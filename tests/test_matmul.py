@@ -1,0 +1,112 @@
+"""Ternary GEMM correctness: pallas(interpret) vs xla vs numpy int reference.
+
+Encodes the reference's >TABLE_ENTRY_SIZE staging-bug class (SURVEY §0) as a
+permanent regression test: token counts M in {1, 8, 32, 33, 64, 128, 512}
+must all be exact.  GEMM exactness is asserted on pre-quantized int8 inputs
+(integer math has a unique right answer); the float front-end is tested
+separately with a one-quantum tolerance since round-to-nearest ties at the
+float32 ULP level may legally differ between numpy and XLA.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vlut_tpu.ops.matmul import ternary_matmul, ternary_matmul_quantized
+from vlut_tpu.ops.packing import pack_ternary
+from vlut_tpu.ops.quant import quantize_activations
+
+
+def _int_reference(q, s, trits, w_scale):
+    acc = np.asarray(q, np.int32) @ np.asarray(trits, np.int32)
+    return acc.astype(np.float32) * np.asarray(s) * w_scale
+
+
+def _case(m, k, n, fmt, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    scale = np.float32(0.031)
+    t = pack_ternary(trits, scale=scale, fmt=fmt)
+    q, s = quantize_activations(jnp.asarray(x))
+    return x, q, s, trits, scale, t
+
+
+M_SWEEP = [1, 8, 32, 33, 64, 128, 512]
+
+
+@pytest.mark.parametrize("m", M_SWEEP)
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+def test_xla_exact(m, fmt):
+    x, q, s, trits, scale, t = _case(m, 640, 256, fmt, seed=m)
+    ref = _int_reference(q, s, trits, scale)
+    got = np.asarray(ternary_matmul_quantized(q, s, t, impl="xla"))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("m", M_SWEEP)
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+def test_pallas_exact(m, fmt):
+    x, q, s, trits, scale, t = _case(m, 640, 256, fmt, seed=100 + m)
+    ref = _int_reference(q, s, trits, scale)
+    got = np.asarray(
+        ternary_matmul_quantized(q, s, t, impl="pallas_interpret")
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+def test_pallas_multi_ktile(fmt):
+    # K spanning several pack blocks, N spanning several lane tiles
+    x, q, s, trits, scale, t = _case(48, 2560, 384, fmt, seed=9)
+    ref = _int_reference(q, s, trits, scale)
+    got = np.asarray(
+        ternary_matmul_quantized(q, s, t, impl="pallas_interpret")
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_unaligned_k_and_n():
+    # K and N needing padding end-to-end
+    x, q, s, trits, scale, t = _case(5, 300, 130, "i2", seed=11)
+    ref = _int_reference(q, s, trits, scale)
+    for impl in ("xla", "pallas_interpret"):
+        got = np.asarray(ternary_matmul_quantized(q, s, t, impl=impl))
+        assert got.shape == (5, 130)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_per_channel_scale():
+    rng = np.random.default_rng(2)
+    k, n = 512, 256
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    scale = rng.uniform(0.01, 0.1, size=n).astype(np.float32)
+    t = pack_ternary(trits, scale=scale, fmt="i2")
+    q, s = quantize_activations(jnp.asarray(x))
+    ref = _int_reference(q, s, trits, scale[None, :])
+    for impl in ("xla", "pallas_interpret"):
+        got = np.asarray(ternary_matmul_quantized(q, s, t, impl=impl))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_float_frontend_and_batch_dims():
+    # end-to-end float path: tolerance of one activation quantum per element
+    x, q, s, trits, scale, t = _case(6, 512, 128, "i2")
+    x3 = x.reshape(2, 3, 512)
+    ref = _int_reference(q, s, trits, scale).reshape(2, 3, 128)
+    got = np.asarray(ternary_matmul(jnp.asarray(x3), t, impl="xla"))
+    assert got.shape == (2, 3, 128)
+    quantum = np.asarray(s).reshape(2, 3, 1) * scale
+    assert (np.abs(got - ref) <= 512 * quantum + 1e-6).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_activations_semantics():
+    x = np.array([[1.0, -3.0, 0.5], [0.0, 0.0, 0.0]], np.float32)
+    q, s = quantize_activations(jnp.asarray(x))
+    q, s = np.asarray(q), np.asarray(s)
+    # max-ABS scaling (fixes reference max-positive quirk, SURVEY §2.1.3)
+    assert q[0, 1] == -127
+    np.testing.assert_allclose(s[0, 0], 3.0 / 127.0, rtol=1e-6)
+    assert (q[1] == 0).all() and s[1, 0] == 0.0

@@ -1,0 +1,131 @@
+"""Ternary matmul front-end: activation quant + kernel dispatch.
+
+The TPU equivalent of the reference's mul_mat Vec-LUT hook
+(ggml/src/ggml-cpu/ggml-cpu.c:1370-1421): quantize activations per token to
+int8, then run the ternary GEMM.  Unlike the reference there is no staging
+buffer and no tile-major layout between the two steps — the documented
+source of its >32-token correctness bug (SURVEY §0) — activations flow in
+natural (tokens, K) layout.
+
+Two interchangeable execution paths, both bit-identical in integer math:
+
+* ``xla``    — unpack to int8 + ``lax.dot_general`` (works everywhere; the
+               correctness reference and the CPU-test path).
+* ``pallas`` — fused unpack+GEMM kernel (:mod:`vlut_tpu.ops.pallas_gemm`),
+               the production TPU path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from vlut_tpu.ops import pallas_gemm
+from vlut_tpu.ops.packing import TernaryTensor, unpack_ternary
+from vlut_tpu.ops.quant import quantize_activations
+
+Impl = Literal["auto", "xla", "pallas", "pallas_interpret"]
+
+
+def _default_impl() -> str:
+    env = os.environ.get("VLUT_TPU_MATMUL_IMPL", "auto")
+    if env != "auto":
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def ternary_matmul(
+    x: jax.Array,
+    t: TernaryTensor,
+    *,
+    impl: Impl = "auto",
+    out_dtype=None,
+    block_shapes: tuple[int, int, int] | None = None,
+) -> jax.Array:
+    """x (..., K) float @ ternary W (K, N) -> (..., N).
+
+    Semantics: ``round(x*127/max|x|) @ trits * (max|x|/127) * w_scale``,
+    int32 accumulation.  Matches the reference's I8_V x I2_V/I1_V contract
+    with the max-abs activation-scale fix (SURVEY §2.1.3).
+    """
+    out_dtype = out_dtype or (x.dtype if x.dtype != jnp.float64 else jnp.float32)
+    *batch, k = x.shape
+    if k != t.k:
+        raise ValueError(f"x K={k} vs weight K={t.k}")
+    m = 1
+    for b in batch:
+        m *= b
+    x_q, x_scale = quantize_activations(x.reshape(m, k))
+    out = ternary_matmul_quantized(
+        x_q, x_scale, t, impl=impl, out_dtype=out_dtype,
+        block_shapes=block_shapes,
+    )
+    return out.reshape(*batch, t.n)
+
+
+def ternary_matmul_quantized(
+    x_q: jax.Array,  # (M, K) int8
+    x_scale: jax.Array,  # (M, 1) f32
+    t: TernaryTensor,
+    *,
+    impl: Impl = "auto",
+    out_dtype=jnp.float32,
+    block_shapes: tuple[int, int, int] | None = None,
+) -> jax.Array:
+    """GEMM on pre-quantized activations; integer math is exact per impl."""
+    if impl == "auto":
+        impl = _default_impl()
+    m, k = x_q.shape
+
+    if impl == "xla":
+        w = unpack_ternary(t)  # (k, n) int8
+        acc = jax.lax.dot_general(
+            x_q,
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        w_scale = jnp.asarray(t.scale, jnp.float32)
+        out = acc.astype(jnp.float32) * x_scale * w_scale
+        return out.astype(out_dtype)
+
+    if impl not in ("pallas", "pallas_interpret"):
+        raise ValueError(f"unknown impl {impl!r}")
+
+    kp, np_ = t.k_padded, t.n_padded
+    mp = _round_up(max(m, 32), 32)
+    bm, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
+        mp, np_, kp, t.kb
+    )
+    mp = _round_up(mp, bm)
+    x_q = jnp.pad(x_q, ((0, mp - m), (0, kp - k)))
+    x_scale_p = jnp.pad(x_scale, ((0, mp - m), (0, 0)))
+
+    w_scale = jnp.asarray(t.scale, jnp.float32)
+    if w_scale.ndim == 0:
+        w_scale = jnp.full((np_,), w_scale, jnp.float32)
+    else:
+        w_scale = jnp.pad(w_scale, (0, np_ - t.n))
+
+    out = pallas_gemm.ternary_gemm_pallas(
+        x_q,
+        jnp.asarray(t.packed),
+        x_scale_p,
+        w_scale,
+        fmt=t.fmt,
+        kb=t.kb,
+        k=t.k,
+        bm=bm,
+        bn=bn,
+        bk=bk,
+        out_dtype=jnp.float32,
+        interpret=(impl == "pallas_interpret"),
+    )
+    return out[:m, : t.n].astype(out_dtype)

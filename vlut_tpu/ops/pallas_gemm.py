@@ -1,0 +1,172 @@
+"""Fused unpack + int8 ternary GEMM Pallas kernel.
+
+The TPU re-architecture of the reference's LUT GeMM
+(ggml/src/ggml-cpu/ggml-cpu-quants-vlut.c:980-1853).  The reference dodges
+dequant ALU cost on CPUs with an 81/243-entry table lookup per weight byte;
+on TPU the MXU does int8 matmul at full HBM bandwidth, so the winning
+formulation (SURVEY §7 "hard parts") is: stream packed 2-bit/1.6-bit bytes
+from HBM, decode trits to int8 in VMEM on the VPU at line rate, and feed the
+MXU — no table, int32 accumulation (no int16 overflow constraint,
+SURVEY §2.1.5).
+
+Decode exploits the slab layout of :mod:`vlut_tpu.ops.packing`: each byte
+field q yields a *contiguous* (kb/r, BN) slab, so unpack is r shift/mask (i2)
+or multiply-shift divide (i1) ops plus one reshape — zero cross-lane traffic.
+
+Grid is (M tiles, N tiles, K tiles), K innermost ("arbitrary") accumulating
+into a VMEM int32 scratch; the epilogue applies per-token activation scales
+and the per-tensor/per-channel weight scale, mirroring where the reference
+applies them (ggml-cpu-quants-vlut.c:1053-1062 + graph-level .scale multiply,
+src/llama-graph.cpp:780-807).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vlut_tpu.ops.packing import TRITS_PER_BYTE, TernaryTensor
+
+_POW3 = (1, 3, 9, 27, 81)
+
+
+def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
+    """(bk//r, bn) uint8 tile -> (bk, bn) int8 trits."""
+    r = TRITS_PER_BYTE[fmt]
+    nb = bk // kb
+    slab = kb // r
+    p = p.astype(jnp.int32).reshape(nb, slab, bn)
+    slabs = []
+    for q in range(r):
+        if fmt == "i2":
+            f = (p >> (2 * q)) & 3
+        else:
+            f = (p // _POW3[q]) % 3
+        slabs.append(f - 1)
+    w = jnp.stack(slabs, axis=1).reshape(bk, bn)
+    return w.astype(jnp.int8)
+
+
+def _gemm_kernel(
+    x_ref,  # (BM, BK) int8
+    p_ref,  # (BK // r, BN) uint8
+    xs_ref,  # (BM, 1) f32 per-token activation scales
+    ws_ref,  # (1, BN) f32 weight scale (broadcast per-channel)
+    out_ref,  # (BM, BN) out dtype
+    acc_ref,  # (BM, BN) int32 scratch
+    *,
+    fmt: str,
+    kb: int,
+    bk: int,
+    bn: int,
+    n_k: int,
+    out_dtype,
+):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:],
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        out = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+        out_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fmt", "kb", "k", "bm", "bn", "bk", "out_dtype", "interpret",
+    ),
+)
+def ternary_gemm_pallas(
+    x_q: jax.Array,  # (M, Kp) int8, zero-padded to the packed K
+    packed: jax.Array,  # (Kp // r, Np) uint8
+    x_scale: jax.Array,  # (M, 1) f32
+    w_scale: jax.Array,  # (Np,) f32 (per-channel; broadcast scalars upstream)
+    *,
+    fmt: str,
+    kb: int,
+    k: int,
+    bm: int,
+    bn: int,
+    bk: int,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (M, Np) = (x_q @ unpack(packed)) * x_scale * w_scale.
+
+    All shapes must already be tile-aligned: M % bm == 0, Np % bn == 0,
+    Kp % bk == 0, bk % kb == 0.  ``k`` (logical K) is unused at runtime but
+    kept in the signature so distinct logical shapes never share a cache
+    entry by accident.
+    """
+    m, kp = x_q.shape
+    r = TRITS_PER_BYTE[fmt]
+    np_ = packed.shape[1]
+    assert m % bm == 0 and np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
+    assert packed.shape[0] * r == kp, (packed.shape, kp)
+    n_k = kp // bk
+
+    grid = (m // bm, np_ // bn, n_k)
+    kernel = functools.partial(
+        _gemm_kernel,
+        fmt=fmt, kb=kb, bk=bk, bn=bn, n_k=n_k, out_dtype=out_dtype,
+    )
+    flops = 2 * m * np_ * kp
+    bytes_accessed = (
+        m * kp  # x int8
+        + kp * np_ // r  # packed weights
+        + m * np_ * jnp.dtype(out_dtype).itemsize
+        + m * 4 + np_ * 4
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk // r, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x_q, packed, x_scale, w_scale.reshape(1, np_))
+
+
+def default_block_shapes(
+    m: int, np_: int, kp: int, kb: int
+) -> tuple[int, int, int]:
+    """Heuristic (bm, bn, bk) — replaced by the autotuner for hot shapes."""
+    bm = min(256, max(32, _round_up(m, 32)))
+    while m % bm:
+        bm //= 2  # m is pre-padded to a multiple of 32, so this terminates
+    bn = 512 if np_ % 512 == 0 else (256 if np_ % 256 == 0 else 128)
+    bk = kb
+    # Grow bk while the unpacked weight tile stays comfortably in VMEM.
+    while bk * 2 <= kp and kp % (bk * 2) == 0 and bk * 2 * bn <= 2**21:
+        bk *= 2
+    return bm, bn, bk
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
