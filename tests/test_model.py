@@ -1,0 +1,106 @@
+"""Transformer forward tests: cache consistency, arch variants, parity.
+
+Mirrors the reference's missing correctness layer: incremental decode with a
+KV cache must reproduce the no-cache full forward bit-for-bit-ish (same
+quantized matmuls, same math — tolerance covers bf16 cache storage), and the
+quantized model must track its own FP-dequant twin closely.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vlut_tpu.config import PRESETS
+from vlut_tpu.models.transformer import forward, init_kv_cache, init_params
+
+
+def _tiny(arch="tiny"):
+    cfg = PRESETS[arch]
+    params = init_params(cfg, seed=0)
+    return cfg, params
+
+
+@pytest.mark.parametrize("arch", ["tiny", "tiny_bitnet"])
+def test_forward_shapes(arch):
+    cfg, params = _tiny(arch)
+    b, t = 2, 8
+    tokens = jnp.arange(b * t, dtype=jnp.int32).reshape(b, t) % cfg.vocab_size
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    logits, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    assert logits.shape == (b, t, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_cache_matches_no_cache():
+    cfg, params = _tiny()
+    b, t = 2, 12
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32
+    )
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+
+    cache = init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32)
+    got, cache = forward(params, cfg, tokens, pos, cache, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_incremental_decode_matches_full():
+    cfg, params = _tiny()
+    b, t = 2, 10
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+
+    full, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+
+    # prefill first 6, then decode one token at a time
+    cache = init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32)
+    _, cache = forward(params, cfg, tokens[:, :6], pos[:, :6], cache,
+                       impl="xla")
+    outs = []
+    for i in range(6, t):
+        lg, cache = forward(
+            params, cfg, tokens[:, i : i + 1], pos[:, i : i + 1], cache,
+            impl="xla",
+        )
+        outs.append(np.asarray(lg)[:, 0])
+    inc = np.stack(outs, axis=1)
+    ref = np.asarray(full)[:, 6:]
+    # XLA fuses reductions differently for T=1 vs T=10 shapes, so activation
+    # quant can flip rounding ties by one quantum — tolerance is quantization
+    # noise, with hard top-1 agreement (greedy decode invariance).
+    np.testing.assert_allclose(inc, ref, rtol=0.05, atol=0.05)
+    assert (inc.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_quantized_tracks_dequant():
+    cfg, params = _tiny()
+    b, t = 1, 8
+    tokens = jnp.asarray([[3, 7, 11, 2, 9, 4, 5, 6]], jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    q, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    f, _ = forward(params, cfg, tokens, pos, None, impl="dequant")
+    # int8 activation quant noise only — top-1 agreement and close logits
+    qa, fa = np.asarray(q), np.asarray(f)
+    assert (qa.argmax(-1) == fa.argmax(-1)).mean() > 0.9
+    rel = np.abs(qa - fa).max() / (np.abs(fa).max() + 1e-9)
+    assert rel < 0.08
+
+
+def test_pallas_interpret_full_model():
+    cfg, params = _tiny()
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    a, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    bl, _ = forward(params, cfg, tokens, pos, None, impl="pallas_interpret")
+    a, bl = np.asarray(a), np.asarray(bl)
+    # GEMM exactness is asserted in test_matmul; across full jitted programs
+    # XLA fusion differences can flip activation-quant rounding ties, so the
+    # model-level contract is quant-noise closeness + greedy invariance.
+    np.testing.assert_allclose(a, bl, rtol=0.05, atol=0.05)
+    assert (a.argmax(-1) == bl.argmax(-1)).all()

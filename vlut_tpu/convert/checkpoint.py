@@ -1,0 +1,114 @@
+"""Native packed-ternary checkpoint format.
+
+Replaces the reference's GGUF + llama-quantize two-step (SURVEY §3.4) with a
+single directory:
+
+    <ckpt>/
+      vlut_config.json        — ModelConfig + format metadata
+      model.safetensors       — packed trits (uint8), scales, norms,
+                                embed/lm_head (bf16 as uint16 view)
+      tokenizer files         — copied verbatim from the HF source so
+                                transformers.AutoTokenizer works offline
+
+Tensor naming: flat keys mirroring the params pytree, e.g.
+``layers.wq.packed`` (L, rows, n) uint8, ``layers.wq.scale`` (L,) f32,
+``embed`` (V, D), ``final_norm`` (D,).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import shutil
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+from vlut_tpu.config import ModelConfig
+
+_TOKENIZER_FILES = (
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "tokenizer.model",
+    "special_tokens_map.json",
+    "vocab.json",
+    "merges.txt",
+    "generation_config.json",
+)
+
+FORMAT_VERSION = 1
+
+
+def _flatten(tree: dict[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        elif v is None:
+            continue
+        else:
+            arr = np.asarray(v)
+            if arr.dtype == jnp.bfloat16:
+                arr = arr.view(np.uint16)
+                key = key + "::bf16"
+            out[key] = arr
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict[str, Any]:
+    tree: dict[str, Any] = {}
+    for key, arr in flat.items():
+        if key.endswith("::bf16"):
+            key = key[: -len("::bf16")]
+            arr = jnp.asarray(arr).view(jnp.bfloat16)
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def save_checkpoint(
+    path: str | pathlib.Path,
+    cfg: ModelConfig,
+    params: dict[str, Any],
+    tokenizer_src: str | pathlib.Path | None = None,
+    extra_meta: dict[str, Any] | None = None,
+) -> None:
+    path = pathlib.Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(params)
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+              str(path / "model.safetensors"))
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "model_config": dataclasses.asdict(cfg),
+        **(extra_meta or {}),
+    }
+    (path / "vlut_config.json").write_text(json.dumps(meta, indent=2))
+    if tokenizer_src is not None:
+        src = pathlib.Path(tokenizer_src)
+        for fname in _TOKENIZER_FILES:
+            f = src / fname
+            if f.exists():
+                shutil.copy(f, path / fname)
+
+
+def load_checkpoint(
+    path: str | pathlib.Path,
+) -> tuple[ModelConfig, dict[str, Any], dict[str, Any]]:
+    """Returns (cfg, params, meta).  Arrays come back as numpy/jnp host
+    arrays; move to device (with shardings) via jax.device_put."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version: {meta}")
+    cfg = ModelConfig(**meta["model_config"])
+    flat = load_file(str(path / "model.safetensors"))
+    params = _unflatten(flat)
+    return cfg, params, meta

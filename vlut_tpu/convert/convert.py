@@ -1,0 +1,245 @@
+"""HF checkpoint -> packed ternary converter.
+
+One-step replacement for the reference's convert_hf_to_gguf_vlut.py (5,174
+LoC) + llama-quantize pipeline: reads a HF directory (config.json +
+*.safetensors), ternarizes the seven projection matrices per layer, packs
+them to i2/i1, and writes a native checkpoint (convert.checkpoint).
+
+Key deltas vs the reference converter, on purpose:
+
+* **Ternary auto-detection** instead of the hardcoded ``is_ternary = True``
+  (convert_hf_to_gguf_vlut.py:1580, SURVEY §2.4): a tensor whose value set is
+  {-s, 0, +s} is packed exactly (lossless); anything else goes through
+  BitNet-style absmean ternarization with a loud warning, never silently.
+* **No GQA q/k permute**: the reference permutes q/k for ggml's rope pairing
+  (convert_hf_to_gguf_vlut.py:1664); our rope uses the HF split-half
+  convention directly, so weights pass through untouched.
+* HF1BitLLM packed-uint8 checkpoints (4x2-bit + inverted ``weight_scale``)
+  are unpacked per the scheme at convert_hf_to_gguf_vlut.py:167-182.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import re
+from typing import Any, Iterator
+
+import numpy as np
+from safetensors import safe_open
+
+from vlut_tpu.config import ModelConfig
+from vlut_tpu.convert.checkpoint import save_checkpoint
+from vlut_tpu.ops.packing import DEFAULT_BLOCK, pack_ternary, ternarize
+
+log = logging.getLogger("vlut_tpu.convert")
+
+# HF name -> our layer-param name (weights transposed to (K, N) at pack time)
+_PROJ_MAP = {
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate",
+    "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+_NORM_MAP = {
+    "input_layernorm": "attn_norm",
+    "post_attention_layernorm": "ffn_norm",
+    # BitNet sub-norms (HF 1bitLLM naming)
+    "self_attn.inner_attn_ln": "attn_sub_norm",
+    "mlp.ffn_layernorm": "ffn_sub_norm",
+    "post_attention_layernorm_2": "ffn_sub_norm",
+}
+
+
+def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
+    raw = json.loads((hf_dir / "config.json").read_text())
+    archs = raw.get("architectures", [])
+    is_bitnet = any("bitnet" in a.lower() for a in archs) or (
+        raw.get("model_type", "") in ("bitnet", "bitllama")
+    )
+    rope_scaling = raw.get("rope_scaling")
+    return ModelConfig(
+        arch="bitnet" if is_bitnet else "llama",
+        vocab_size=raw["vocab_size"],
+        d_model=raw["hidden_size"],
+        n_layers=raw["num_hidden_layers"],
+        n_heads=raw["num_attention_heads"],
+        n_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
+        d_ff=raw["intermediate_size"],
+        head_dim=raw.get("head_dim"),
+        rms_eps=raw.get("rms_norm_eps", 1e-5),
+        rope_theta=raw.get("rope_theta", 10000.0),
+        rope_scaling=rope_scaling,
+        tie_embeddings=raw.get("tie_word_embeddings", False),
+        use_subnorms=is_bitnet,
+        max_seq_len=min(raw.get("max_position_embeddings", 4096), 131072),
+    )
+
+
+def _iter_hf_tensors(hf_dir: pathlib.Path) -> Iterator[tuple[str, np.ndarray]]:
+    files = sorted(hf_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {hf_dir}")
+    for f in files:
+        with safe_open(str(f), framework="numpy") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def _maybe_unpack_2bit(name: str, w: np.ndarray, scales: dict[str, np.ndarray]):
+    """HF1BitLLM Llama3-8B-1.58 stores uint8 with 4 packed 2-bit weights and
+    a separate inverted `.weight_scale`; unpack to float trits * scale."""
+    if w.dtype != np.uint8:
+        return w
+    parts = [((w >> (2 * i)) & 3).astype(np.float32) - 1.0 for i in range(4)]
+    unpacked = np.concatenate(parts, axis=0)
+    key = name.replace(".weight", ".weight_scale")
+    s = scales.get(key)
+    if s is not None:
+        unpacked = unpacked / np.asarray(s, np.float32)
+    return unpacked
+
+
+def _is_exact_ternary(w: np.ndarray) -> tuple[bool, float]:
+    vals = np.unique(w[:: max(1, w.size // 100_000)].astype(np.float32))
+    if len(vals) > 3:
+        return False, 0.0
+    nz = vals[vals != 0]
+    if len(nz) == 0:
+        return True, 1.0
+    s = float(np.abs(nz).max())
+    ok = np.allclose(np.abs(nz), s, rtol=1e-4)
+    return ok, s
+
+
+def convert_hf(
+    hf_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    fmt: str = "i2",
+    dtype_hp: str = "bfloat16",
+) -> ModelConfig:
+    """Convert a HF causal-LM checkpoint to a packed ternary checkpoint."""
+    import jax.numpy as jnp
+
+    hf_dir = pathlib.Path(hf_dir)
+    cfg0 = config_from_hf(hf_dir)
+    cfg = ModelConfig(**{**cfg0.__dict__, "weight_fmt": fmt})
+    L = cfg.n_layers
+    hp = jnp.bfloat16 if dtype_hp == "bfloat16" else jnp.float32
+
+    # First pass: collect side scales (HF1BitLLM weight_scale tensors).
+    side_scales: dict[str, np.ndarray] = {}
+    for name, w in _iter_hf_tensors(hf_dir):
+        if name.endswith("weight_scale"):
+            side_scales[name] = w
+
+    layers: dict[str, Any] = {}
+    top: dict[str, Any] = {}
+    per_layer: dict[str, dict[int, Any]] = {}
+    n_approx = 0
+
+    def note_layer(pname: str, li: int, value):
+        per_layer.setdefault(pname, {})[li] = value
+
+    layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.weight$")
+
+    for name, w in _iter_hf_tensors(hf_dir):
+        if name.endswith("weight_scale"):
+            continue
+        if name == "model.embed_tokens.weight":
+            top["embed"] = np.asarray(jnp.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), jnp.float32
+            ).astype(hp))
+            continue
+        if name == "lm_head.weight":
+            top["lm_head"] = np.asarray(
+                jnp.asarray(w, jnp.float32).T.astype(hp)
+            )
+            continue
+        if name == "model.norm.weight":
+            top["final_norm"] = np.asarray(w, np.float32)
+            continue
+        m = layer_re.match(name)
+        if not m:
+            log.warning("skipping unrecognized tensor %s", name)
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        if sub in _NORM_MAP:
+            note_layer(_NORM_MAP[sub], li, np.asarray(w, np.float32))
+            continue
+        if sub not in _PROJ_MAP:
+            log.warning("skipping unrecognized layer tensor %s", name)
+            continue
+        pname = _PROJ_MAP[sub]
+        wf = _maybe_unpack_2bit(name, w, side_scales)
+        wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
+        exact, s = _is_exact_ternary(wf)
+        if exact:
+            trits = np.sign(wf).astype(np.int8)
+            scale = np.float32(s if s > 0 else 1.0)
+        else:
+            n_approx += 1
+            trits, scale = ternarize(wf)
+        t = pack_ternary(trits, scale=scale, fmt=fmt)
+        note_layer(pname, li, t)
+
+    if n_approx:
+        log.warning(
+            "%d tensors were NOT exactly ternary — applied BitNet absmean "
+            "ternarization (lossy). Expect quality differences vs the "
+            "original float checkpoint.", n_approx,
+        )
+
+    # Stack per-layer values
+    for pname, by_layer in per_layer.items():
+        missing = [i for i in range(L) if i not in by_layer]
+        if missing:
+            if pname in ("attn_sub_norm", "ffn_sub_norm"):
+                continue  # plain-llama checkpoints have no sub-norms
+            raise ValueError(f"missing layers {missing} for {pname}")
+        vals = [by_layer[i] for i in range(L)]
+        if hasattr(vals[0], "packed"):  # TernaryTensor
+            layers[pname] = {
+                "packed": np.stack([np.asarray(v.packed) for v in vals]),
+                "scale": np.stack(
+                    [np.asarray(v.scale).reshape(()) for v in vals]
+                ),
+            }
+        else:
+            layers[pname] = np.stack(vals)
+
+    params: dict[str, Any] = {**top, "layers": layers}
+    if cfg.tie_embeddings and "lm_head" not in params:
+        pass  # forward() falls back to embed.T
+
+    save_checkpoint(
+        out_dir, cfg, params, tokenizer_src=hf_dir,
+        extra_meta={
+            "source": str(hf_dir),
+            "ternarized_tensors": n_approx,
+        },
+    )
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert a HF ternary checkpoint to vlut_tpu format"
+    )
+    ap.add_argument("hf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--fmt", choices=("i2", "i1"), default="i2")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg = convert_hf(args.hf_dir, args.out_dir, fmt=args.fmt)
+    print(f"converted: {cfg}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from vlut_tpu.ops import pallas_gemm
 from vlut_tpu.ops.packing import TernaryTensor, unpack_ternary
 from vlut_tpu.ops.quant import quantize_activations
 
-Impl = Literal["auto", "xla", "pallas", "pallas_interpret"]
+Impl = Literal["auto", "xla", "pallas", "pallas_interpret", "dequant"]
 
 
 def _default_impl() -> str:
@@ -62,6 +62,19 @@ def ternary_matmul(
     m = 1
     for b in batch:
         m *= b
+    if impl == "dequant":
+        # FP-dequant baseline (no activation quant): the "lossless" accuracy
+        # reference the reference compares against (SURVEY §2.1.9) — used for
+        # ppl-delta and logits-parity tests, never in production serving.
+        w = unpack_ternary(t, dtype=jnp.float32) * jnp.asarray(
+            t.scale, jnp.float32
+        )
+        out = jnp.dot(
+            x.reshape(m, k).astype(jnp.float32),
+            w,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(out_dtype).reshape(*batch, t.n)
     x_q, x_scale = quantize_activations(x.reshape(m, k))
     out = ternary_matmul_quantized(
         x_q, x_scale, t, impl=impl, out_dtype=out_dtype,

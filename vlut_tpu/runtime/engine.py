@@ -1,0 +1,294 @@
+"""Slot-based inference engine: prefill + fused decode/sample steps.
+
+The TPU re-architecture of the reference's decode loop + server slots
+(src/llama-context.cpp:1034, tools/server/server-context.cpp:1855).  Where
+the reference builds one *mixed* variable-shape batch per iteration, XLA
+wants static shapes, so the engine runs two compiled programs:
+
+* ``prefill``  — one request at a time, (1, T_bucket) tokens into its slot's
+  KV rows (T bucketed to limit recompiles);
+* ``step``     — all slots at once, (n_slots, 1) tokens; forward + sampler
+  chain fused in one jitted call with the KV cache donated, so per step only
+  n_slots int32s cross the host boundary.
+
+Continuous batching = host loop admitting queued requests into free slots
+between steps, exactly the slot state machine of server_context::update_slots
+but with the batch shape fixed at n_slots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlut_tpu.config import ModelConfig
+from vlut_tpu.models.transformer import forward
+from vlut_tpu.runtime import kv_cache as kvc
+from vlut_tpu.runtime.sampling import SamplerParams, sample, stack_params
+
+PENALTY_WINDOW = 64
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: list[int]
+    max_new_tokens: int = 64
+    sampler: SamplerParams = dataclasses.field(default_factory=SamplerParams)
+    stop_tokens: tuple[int, ...] = ()
+    # filled by the engine:
+    rid: int = -1
+    output: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Request | None = None
+    length: int = 0  # tokens currently in KV
+    generated: int = 0
+
+
+class Engine:
+    """Single-host engine over an optionally sharded params/cache pytree."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict[str, Any],
+        n_slots: int = 8,
+        max_len: int | None = None,
+        impl: str = "auto",
+        cache_dtype=jnp.bfloat16,
+        prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.max_len = max_len or cfg.max_seq_len
+        self.impl = impl
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= self.max_len
+        ) or (self.max_len,)
+
+        self.cache = kvc.new_cache(
+            cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
+            cfg.head_dim_, cache_dtype,
+        )
+        self.slots = [_Slot() for _ in range(n_slots)]
+        self.queue: list[Request] = []
+        self._next_rid = 0
+        self._key = jax.random.PRNGKey(0)
+
+        # device-side sampler state
+        self.ring = jnp.full((n_slots, PENALTY_WINDOW), -1, jnp.int32)
+        self.ring_cnt = jnp.zeros((n_slots,), jnp.int32)
+        self._sp = stack_params([SamplerParams()] * n_slots)
+
+        self._prefill_cache: dict[int, Callable] = {}
+        self._step_fn = self._build_step()
+
+    # --- compiled programs -------------------------------------------------
+
+    def _build_prefill(self, t_bucket: int):
+        cfg, impl = self.cfg, self.impl
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
+        def prefill_fn(params, cache, tokens, positions, slot, n_valid):
+            # tokens (1, T): run forward on the single slot's cache view.
+            sl_k = jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
+            sl_v = jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
+            logits, new_sl = forward(
+                params, cfg, tokens, positions,
+                {"k": sl_k, "v": sl_v}, impl=impl,
+                logits_at=(n_valid - 1)[None],
+            )
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], new_sl["k"], slot, axis=1
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], new_sl["v"], slot, axis=1
+            )
+            # logits of the last *valid* prompt token (selected pre-head)
+            last = logits[0, 0]
+            return last, {"k": k, "v": v}
+
+        return prefill_fn
+
+    def _build_step(self):
+        cfg, impl = self.cfg, self.impl
+
+        @functools.partial(jax.jit, donate_argnums=(1, 5, 6))
+        def step_fn(params, cache, tokens, lengths, sp, ring, ring_cnt, key):
+            # tokens (B,) int32 last sampled/prompt token per slot
+            logits, cache = forward(
+                params, cfg, tokens[:, None], lengths[:, None], cache,
+                impl=impl,
+            )
+            logits = logits[:, 0].astype(jnp.float32)
+            pw = ring.shape[1]
+            slot_pos = jnp.arange(pw)[None, :]
+            valid = (slot_pos < ring_cnt[:, None]) & (
+                slot_pos >= (ring_cnt - sp["penalty_last_n"])[:, None]
+            )
+            nxt = sample(logits, sp, key, ring, valid)
+            ring = ring.at[
+                jnp.arange(ring.shape[0]), ring_cnt % pw
+            ].set(nxt)
+            ring_cnt = ring_cnt + 1
+            return nxt, cache, ring, ring_cnt
+
+        return step_fn
+
+    # --- host API ------------------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        req.rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(req)
+        return req.rid
+
+    def _bucket(self, t: int) -> int:
+        for b in self.prefill_buckets:
+            if t <= b:
+                return b
+        raise ValueError(
+            f"prompt length {t} exceeds max bucket "
+            f"{self.prefill_buckets[-1]}"
+        )
+
+    def _admit(self):
+        for i, slot in enumerate(self.slots):
+            if slot.req is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = req.prompt
+            if not prompt:
+                req.done = True
+                continue
+            tb = self._bucket(len(prompt))
+            if tb not in self._prefill_cache:
+                self._prefill_cache[tb] = self._build_prefill(tb)
+            toks = np.zeros((1, tb), np.int32)
+            toks[0, : len(prompt)] = prompt
+            pos = np.zeros((1, tb), np.int32)
+            pos[0, : len(prompt)] = np.arange(len(prompt))
+            # padding tokens sit at positions len..tb-1 so their KV rows land
+            # above the valid region; mask j<=q_pos keeps them invisible,
+            # and the next prefill/decode of this slot overwrites them.
+            pos[0, len(prompt) :] = np.arange(len(prompt), tb)
+
+            last_logits, self.cache = self._prefill_cache[tb](
+                self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+                jnp.int32(i), jnp.int32(len(prompt)),
+            )
+            slot.req = req
+            slot.length = len(prompt)
+            slot.generated = 0
+            # seed penalty ring with the prompt tail
+            tail = prompt[-PENALTY_WINDOW:]
+            ring = np.full((PENALTY_WINDOW,), -1, np.int32)
+            ring[: len(tail)] = tail
+            self.ring = self.ring.at[i].set(jnp.asarray(ring))
+            self.ring_cnt = self.ring_cnt.at[i].set(len(tail))
+            # sample the first token from the prefill logits
+            self._sp = stack_params(
+                [
+                    (s.req.sampler if s.req else SamplerParams())
+                    for s in self.slots
+                ]
+            )
+            self._key, sub = jax.random.split(self._key)
+            pw = PENALTY_WINDOW
+            slot_pos = jnp.arange(pw)[None, :]
+            valid = slot_pos < self.ring_cnt[i : i + 1, None]
+            tok = sample(
+                last_logits[None].astype(jnp.float32),
+                {k: v[i : i + 1] for k, v in self._sp.items()},
+                sub,
+                self.ring[i : i + 1],
+                valid,
+            )
+            self._push_token(i, int(tok[0]))
+
+    def _push_token(self, i: int, tok: int):
+        slot = self.slots[i]
+        req = slot.req
+        req.output.append(tok)
+        slot.generated += 1
+        self.ring = self.ring.at[i, int(self.ring_cnt[i]) % PENALTY_WINDOW].set(
+            tok
+        )
+        self.ring_cnt = self.ring_cnt.at[i].add(1)
+        if (
+            tok in req.stop_tokens
+            or slot.generated >= req.max_new_tokens
+            or slot.length + slot.generated >= self.max_len - 1
+        ):
+            req.done = True
+            slot.req = None
+            slot.length = 0
+            slot.generated = 0
+
+    def step(self) -> bool:
+        """One engine iteration: admit new requests, decode all active slots.
+
+        Returns True if any work remains.
+        """
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s.req is not None]
+        if not active:
+            return bool(self.queue)
+
+        tokens = np.zeros((self.n_slots,), np.int32)
+        lengths = np.zeros((self.n_slots,), np.int32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                tokens[i] = s.req.output[-1]
+                lengths[i] = s.length + s.generated - 1
+            # inactive slots decode garbage at row 0; harmless & static-shape
+
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.cache, self.ring, self.ring_cnt = self._step_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt, sub,
+        )
+        nxt = np.asarray(nxt)
+        for i in active:
+            # ring was already updated in-device for every slot; host mirrors
+            self._push_token_host_only(i, int(nxt[i]))
+        return True
+
+    def _push_token_host_only(self, i: int, tok: int):
+        slot = self.slots[i]
+        req = slot.req
+        req.output.append(tok)
+        slot.generated += 1
+        if (
+            tok in req.stop_tokens
+            or slot.generated >= req.max_new_tokens
+            or slot.length + slot.generated >= self.max_len - 1
+        ):
+            req.done = True
+            slot.req = None
+            slot.length = 0
+            slot.generated = 0
+
+    def run(self, reqs: list[Request], progress: bool = False) -> list[Request]:
+        """Submit everything and loop until drained (batch entry point)."""
+        for r in reqs:
+            self.submit(r)
+        t0 = time.perf_counter()
+        steps = 0
+        while self.step():
+            steps += 1
+            if progress and steps % 32 == 0:
+                done = sum(r.done for r in reqs)
+                print(f"[engine] step {steps}, {done}/{len(reqs)} done, "
+                      f"{time.perf_counter()-t0:.1f}s")
+        return reqs
