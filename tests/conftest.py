@@ -1,13 +1,16 @@
 """Test env: force CPU JAX with an 8-device virtual mesh (SURVEY §4.8).
 
-Must run before jax is imported anywhere in the test process.
+The container's sitecustomize registers the real-TPU PJRT plugin and pins
+JAX_PLATFORMS before any of our code runs, so env vars are too late; the
+jax config API still works as long as no backend has initialized.  Set
+VLUT_TEST_TPU=1 to run the suite on real hardware (single chip, no virtual
+mesh).
 """
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+if not os.environ.get("VLUT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)

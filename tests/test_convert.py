@@ -14,6 +14,13 @@ from safetensors.numpy import save_file
 
 from vlut_tpu.convert.checkpoint import load_checkpoint, save_checkpoint
 from vlut_tpu.convert.convert import convert_hf
+from vlut_tpu.models.dims import (
+    make_plan,
+    pad_heads_cols,
+    pad_heads_rows,
+    scatter_cols,
+    scatter_rows,
+)
 from vlut_tpu.models.transformer import forward, init_params, weight_specs
 from vlut_tpu.config import PRESETS
 from vlut_tpu.ops.packing import TernaryTensor, unpack_ternary_np
@@ -85,6 +92,7 @@ def test_convert_exact_ternary(tmp_path):
     cfg2, params, meta = load_checkpoint(out)
     assert meta["ternarized_tensors"] == 0  # everything detected as exact
     specs = weight_specs(cfg2)
+    plan = make_plan(cfg2)
     name_map = {
         "self_attn.q_proj": "wq", "self_attn.k_proj": "wk",
         "self_attn.v_proj": "wv", "self_attn.o_proj": "wo",
@@ -100,7 +108,24 @@ def test_convert_exact_ternary(tmp_path):
             k=spec.k, n=spec.n, fmt=spec.fmt, kb=spec.kb,
         )
         got = unpack_ternary_np(t)
-        np.testing.assert_array_equal(got, trits)
+        # apply the checkpoint layout (head/chunk padding) to the raw trits
+        if pname in ("wq", "wk", "wv"):
+            heads = cfg2.n_heads if pname == "wq" else cfg2.n_kv_heads
+            want = pad_heads_cols(trits, heads, plan.hd, plan.hd_p)
+        elif pname == "wo":
+            want = pad_heads_rows(trits, cfg2.n_heads, plan.hd, plan.hd_p)
+            want = scatter_rows(
+                want, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p
+            )
+        elif pname in ("w_gate", "w_up"):
+            want = scatter_cols(
+                trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+            )
+        else:  # w_down
+            want = scatter_rows(
+                trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+            )
+        np.testing.assert_array_equal(got, want)
         assert float(t.scale) == pytest.approx(float(scale), rel=1e-5)
 
     # loaded model runs

@@ -27,7 +27,9 @@ def test_forward_shapes(arch):
     tokens = jnp.arange(b * t, dtype=jnp.int32).reshape(b, t) % cfg.vocab_size
     pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
     logits, _ = forward(params, cfg, tokens, pos, None, impl="xla")
-    assert logits.shape == (b, t, cfg.vocab_size)
+    from vlut_tpu.models.dims import make_plan
+
+    assert logits.shape == (b, t, make_plan(cfg).vocab_p)
     assert np.isfinite(np.asarray(logits)).all()
 
 

@@ -30,6 +30,9 @@ class ModelConfig:
     use_subnorms: bool = False  # bitnet attn/ffn sub-norms (src/models/bitnet.cpp)
     weight_fmt: str = "i2"  # "i2" (2.0 bpw) | "i1" (1.6 bpw)
     max_seq_len: int = 4096
+    # checkpoints are packed with enough padding to shard evenly over any
+    # tensor-parallel degree dividing tp_pack (see models/dims.py)
+    tp_pack: int = 8
 
     @property
     def head_dim_(self) -> int:

@@ -31,7 +31,9 @@ from safetensors import safe_open
 
 from vlut_tpu.config import ModelConfig
 from vlut_tpu.convert.checkpoint import save_checkpoint
-from vlut_tpu.ops.packing import DEFAULT_BLOCK, pack_ternary, ternarize
+from vlut_tpu.models.dims import make_plan, pad_vec_heads, scatter_vec
+from vlut_tpu.models.transformer import pack_weight
+from vlut_tpu.ops.packing import ternarize
 
 log = logging.getLogger("vlut_tpu.convert")
 
@@ -156,9 +158,10 @@ def convert_hf(
             ).astype(hp))
             continue
         if name == "lm_head.weight":
-            top["lm_head"] = np.asarray(
-                jnp.asarray(w, jnp.float32).T.astype(hp)
-            )
+            head = np.asarray(w, np.float32).T  # (D, V)
+            plan = make_plan(cfg)
+            head = np.pad(head, ((0, 0), (0, plan.vocab_p - head.shape[1])))
+            top["lm_head"] = np.asarray(jnp.asarray(head).astype(hp))
             continue
         if name == "model.norm.weight":
             top["final_norm"] = np.asarray(w, np.float32)
@@ -169,7 +172,17 @@ def convert_hf(
             continue
         li, sub = int(m.group(1)), m.group(2)
         if sub in _NORM_MAP:
-            note_layer(_NORM_MAP[sub], li, np.asarray(w, np.float32))
+            pname = _NORM_MAP[sub]
+            v = np.asarray(w, np.float32)
+            plan = make_plan(cfg)
+            if pname == "attn_sub_norm":
+                v = pad_vec_heads(v, cfg.n_heads, plan.hd, plan.hd_p)
+                v = scatter_vec(
+                    v, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p
+                )
+            elif pname == "ffn_sub_norm":
+                v = scatter_vec(v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
+            note_layer(pname, li, v)
             continue
         if sub not in _PROJ_MAP:
             log.warning("skipping unrecognized layer tensor %s", name)
@@ -184,7 +197,7 @@ def convert_hf(
         else:
             n_approx += 1
             trits, scale = ternarize(wf)
-        t = pack_ternary(trits, scale=scale, fmt=fmt)
+        t = pack_weight(pname, trits, scale, cfg)
         note_layer(pname, li, t)
 
     if n_approx:

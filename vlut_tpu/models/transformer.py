@@ -14,6 +14,13 @@ multiplied (SURVEY §2.1.9).
 
 BITNET arch adds sub-norms: RMSNorm on the attention output before wo and on
 gate*up before w_down (reference src/models/bitnet.cpp:33-120).
+
+Tensor parallelism: pass ``tp_axis`` (a mesh axis name) when calling inside
+``shard_map``.  The layout is Megatron-style — wq/wk/wv/w_gate/w_up
+column-sharded (heads / ff channels local), wo/w_down row-sharded with a
+psum epilogue, lm_head vocab-sharded, norms replicated; sub-norms over
+sharded dims psum their sufficient statistics.  All padded dims come from
+models/dims.py so shards stay tile-aligned.
 """
 
 from __future__ import annotations
@@ -26,13 +33,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlut_tpu.config import ModelConfig
-from vlut_tpu.ops.matmul import ternary_matmul
-from vlut_tpu.ops.norm import rms_norm
-from vlut_tpu.ops.packing import (
-    DEFAULT_BLOCK,
-    TernaryTensor,
-    pack_ternary,
+from vlut_tpu.models.dims import (
+    DimPlan,
+    make_plan,
+    pad_heads_cols,
+    pad_heads_rows,
+    scatter_cols,
+    scatter_rows,
 )
+from vlut_tpu.ops.matmul import ternary_matmul
+from vlut_tpu.ops.packing import TernaryTensor, pack_ternary
 from vlut_tpu.ops.rope import apply_rope, rope_table
 
 
@@ -46,18 +56,34 @@ class TernarySpec:
     kb: int
 
 
-def weight_specs(cfg: ModelConfig) -> dict[str, TernarySpec]:
-    fmt = cfg.weight_fmt
-    kb = DEFAULT_BLOCK[fmt]
-    d, dq, dkv, f = cfg.d_model, cfg.q_dim, cfg.kv_dim, cfg.d_ff
+def weight_specs(
+    cfg: ModelConfig, tp: int = 1, plan: DimPlan | None = None
+) -> dict[str, TernarySpec]:
+    """Local (per-shard) packed weight specs for a tp-way split."""
+    plan = plan or make_plan(cfg)
+    fmt, kb = cfg.weight_fmt, plan.kb
+    d = cfg.d_model
+    if tp > 1:
+        for dim, what in (
+            (cfg.n_heads, "n_heads"),
+            (cfg.n_kv_heads, "n_kv_heads"),
+        ):
+            if dim % tp:
+                raise ValueError(f"{what}={dim} not divisible by tp={tp}")
+        if plan.tp_pack % tp:
+            raise ValueError(f"tp={tp} must divide tp_pack={plan.tp_pack}")
+    # padded layouts are treated as the logical op widths (pad positions are
+    # zero trits -> exact); outputs stay in padded layout between ops
+    qd, kvd = plan.q_dim_p // tp, plan.kv_dim_p // tp
+    wo_k, ff = plan.wo_in_p // tp, plan.ff_p // tp
     return {
-        "wq": TernarySpec(d, dq, fmt, kb),
-        "wk": TernarySpec(d, dkv, fmt, kb),
-        "wv": TernarySpec(d, dkv, fmt, kb),
-        "wo": TernarySpec(dq, d, fmt, kb),
-        "w_gate": TernarySpec(d, f, fmt, kb),
-        "w_up": TernarySpec(d, f, fmt, kb),
-        "w_down": TernarySpec(f, d, fmt, kb),
+        "wq": TernarySpec(d, qd, fmt, kb),
+        "wk": TernarySpec(d, kvd, fmt, kb),
+        "wv": TernarySpec(d, kvd, fmt, kb),
+        "wo": TernarySpec(wo_k, d, fmt, kb),
+        "w_gate": TernarySpec(d, ff, fmt, kb),
+        "w_up": TernarySpec(d, ff, fmt, kb),
+        "w_down": TernarySpec(ff, d, fmt, kb),
     }
 
 
@@ -69,19 +95,132 @@ def _layer_tensor(layers: dict, name: str, spec: TernarySpec) -> TernaryTensor:
     )
 
 
+def pack_weight(
+    name: str,
+    trits: np.ndarray,  # logical (K, N) in HF orientation (K=input)
+    scale,
+    cfg: ModelConfig,
+    plan: DimPlan | None = None,
+) -> TernaryTensor:
+    """Pack one projection with the plan's padding/permutation applied.
+
+    The single entry point shared by the converter and synthetic init so the
+    layout is defined in exactly one place.
+    """
+    plan = plan or make_plan(cfg)
+    kb, fmt = plan.kb, cfg.weight_fmt
+    hd, hd_p = plan.hd, plan.hd_p
+    if name in ("wq", "wk", "wv"):
+        heads = cfg.n_heads if name == "wq" else cfg.n_kv_heads
+        trits = pad_heads_cols(trits, heads, hd, hd_p)
+        return pack_ternary(trits, scale, fmt, kb)
+    if name == "wo":
+        trits = pad_heads_rows(trits, cfg.n_heads, hd, hd_p)
+        trits = scatter_rows(
+            trits, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p
+        )
+        return pack_ternary(trits, scale, fmt, kb)
+    if name in ("w_gate", "w_up"):
+        trits = scatter_cols(
+            trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+        )
+        return pack_ternary(trits, scale, fmt, kb)
+    if name == "w_down":
+        trits = scatter_rows(
+            trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+        )
+        return pack_ternary(trits, scale, fmt, kb)
+    raise KeyError(name)
+
+
+_I2_CODE_LUT = np.array(
+    [
+        (c % 3) | ((c // 3 % 3) << 2) | ((c // 9 % 3) << 4) | ((c // 27 % 3) << 6)
+        for c in range(81)
+    ],
+    dtype=np.uint8,
+)
+
+
+def init_params_fast(
+    cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
+) -> dict[str, Any]:
+    """Random *packed* parameters, generated directly in packed form.
+
+    For multi-GB synthetic benchmark models (e.g. Llama3-8B-1.58 shapes)
+    where running the full trit->pack pipeline would take minutes.  Padding
+    positions get random (not zero) trits, which is irrelevant for perf
+    benchmarks; use init_params for correctness work.
+    """
+    rng = np.random.default_rng(seed)
+    plan = make_plan(cfg)
+    specs = weight_specs(cfg, plan=plan)
+    r = {"i2": 4, "i1": 5}[cfg.weight_fmt]
+
+    def rows(spec: TernarySpec) -> int:
+        kp = -(-spec.k // spec.kb) * spec.kb
+        return kp // r
+
+    def cols(spec: TernarySpec) -> int:
+        return -(-spec.n // 128) * 128
+
+    layers: dict[str, Any] = {}
+    for name, spec in specs.items():
+        shape = (cfg.n_layers, rows(spec), cols(spec))
+        if cfg.weight_fmt == "i2":
+            codes = rng.integers(0, 81, size=shape, dtype=np.uint8)
+            packed = _I2_CODE_LUT[codes]
+        else:
+            packed = rng.integers(0, 243, size=shape, dtype=np.uint8)
+        layers[name] = {
+            "packed": jnp.asarray(packed),
+            "scale": jnp.full((cfg.n_layers,), 0.05, jnp.float32),
+        }
+    layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
+    layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
+    if cfg.use_subnorms:
+        layers["attn_sub_norm"] = jnp.ones(
+            (cfg.n_layers, plan.wo_in_p), jnp.float32
+        )
+        layers["ffn_sub_norm"] = jnp.ones(
+            (cfg.n_layers, plan.ff_p), jnp.float32
+        )
+    params: dict[str, Any] = {
+        "embed": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, cfg.d_model)) * 0.02, dtype
+        ),
+        "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(
+            rng.standard_normal((cfg.d_model, plan.vocab_p)) * 0.02, dtype
+        )
+    return params
+
+
 def init_params(
     cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
 ) -> dict[str, Any]:
     """Random ternary parameters (synthetic models for tests/benchmarks)."""
     rng = np.random.default_rng(seed)
-    specs = weight_specs(cfg)
+    plan = make_plan(cfg)
+    logical_dims = {
+        "wq": (cfg.d_model, cfg.q_dim),
+        "wk": (cfg.d_model, cfg.kv_dim),
+        "wv": (cfg.d_model, cfg.kv_dim),
+        "wo": (cfg.q_dim, cfg.d_model),
+        "w_gate": (cfg.d_model, cfg.d_ff),
+        "w_up": (cfg.d_model, cfg.d_ff),
+        "w_down": (cfg.d_ff, cfg.d_model),
+    }
 
-    def stack_ternary(spec: TernarySpec):
+    def stack_ternary(name: str):
         packed, scales = [], []
         for _ in range(cfg.n_layers):
-            trits = rng.integers(-1, 2, size=(spec.k, spec.n), dtype=np.int8)
-            t = pack_ternary(trits, scale=np.float32(0.05), fmt=spec.fmt,
-                             kb=spec.kb)
+            k, n = logical_dims[name]
+            trits = rng.integers(-1, 2, size=(k, n), dtype=np.int8)
+            t = pack_weight(name, trits, np.float32(0.05), cfg, plan)
             packed.append(np.asarray(t.packed))
             scales.append(np.asarray(t.scale))
         return {
@@ -89,12 +228,18 @@ def init_params(
             "scale": jnp.asarray(np.stack(scales)),
         }
 
-    layers: dict[str, Any] = {name: stack_ternary(s) for name, s in specs.items()}
+    layers: dict[str, Any] = {
+        name: stack_ternary(name) for name in logical_dims
+    }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     if cfg.use_subnorms:
-        layers["attn_sub_norm"] = jnp.ones((cfg.n_layers, cfg.q_dim), jnp.float32)
-        layers["ffn_sub_norm"] = jnp.ones((cfg.n_layers, cfg.d_ff), jnp.float32)
+        layers["attn_sub_norm"] = jnp.ones(
+            (cfg.n_layers, plan.wo_in_p), jnp.float32
+        )
+        layers["ffn_sub_norm"] = jnp.ones(
+            (cfg.n_layers, plan.ff_p), jnp.float32
+        )
 
     embed = rng.standard_normal((cfg.vocab_size, cfg.d_model)) * 0.02
     params: dict[str, Any] = {
@@ -103,7 +248,8 @@ def init_params(
         "layers": layers,
     }
     if not cfg.tie_embeddings:
-        head = rng.standard_normal((cfg.d_model, cfg.vocab_size)) * 0.02
+        head = rng.standard_normal((cfg.d_model, plan.vocab_p)) * 0.02
+        head[:, cfg.vocab_size :] = 0.0
         params["lm_head"] = jnp.asarray(head, dtype)
     return params
 
@@ -112,25 +258,30 @@ def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int | None = None,
     dtype=jnp.bfloat16,
 ) -> dict[str, jax.Array]:
+    plan = make_plan(cfg)
     s = max_len or cfg.max_seq_len
-    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim_)
+    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, plan.hd_p)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _attention(
-    q: jax.Array,  # (B, T, H, hd) — already roped
-    k: jax.Array,  # (B, S, Hkv, hd)
-    v: jax.Array,  # (B, S, Hkv, hd)
-    q_pos: jax.Array,  # (B, T)
-    k_pos: jax.Array,  # (B, S)
-) -> jax.Array:
+def _rms(x, weight, eps, n_logical, tp_axis=None):
+    """RMSNorm where zero-padded tails don't skew the mean and sharded dims
+    psum their sufficient statistics."""
+    xf = x.astype(jnp.float32)
+    ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    if tp_axis is not None:
+        ss = jax.lax.psum(ss, tp_axis)
+    out = xf * jax.lax.rsqrt(ss / n_logical + eps) * weight.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, q_pos, k_pos, hd_logical):
     b, t, h, hd = q.shape
     hkv = k.shape[2]
     g = h // hkv
-    qf = q.astype(jnp.float32) * (1.0 / np.sqrt(hd))
+    qf = q.astype(jnp.float32) * (1.0 / np.sqrt(hd_logical))
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    # (B, Hkv, G, T, S)
     qf = qf.reshape(b, t, hkv, g, hd)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf)
     mask = (k_pos[:, None, None, None, :] <= q_pos[:, None, None, :, None]) & (
@@ -152,6 +303,8 @@ def forward(
     impl: str = "auto",
     logits_last_only: bool = False,
     logits_at: jax.Array | None = None,  # (B,) per-row index into T
+    tp_axis: str | None = None,
+    tp_size: int = 1,
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -159,12 +312,19 @@ def forward(
     (the T new tokens of batch row b occupy cache rows positions[b, 0] ...
     positions[b, 0]+T-1 — the continuous-batching engine guarantees this).
     Cache row j of row b is assumed to hold the token at position j.
+
+    Under shard_map pass tp_axis + tp_size; params/cache/lm_head must then be
+    the local shards per parallel/sharding.py.
     """
     b, t = tokens.shape
-    specs = weight_specs(cfg)
-    hd = cfg.head_dim_
+    plan = make_plan(cfg)
+    specs = weight_specs(cfg, tp=tp_size, plan=plan)
+    heads_l = cfg.n_heads // tp_size
+    kv_heads_l = cfg.n_kv_heads // tp_size
+    hd_p = plan.hd_p
     cos, sin = rope_table(
-        cfg.max_seq_len, hd, cfg.rope_theta, cfg.rope_scaling
+        cfg.max_seq_len, plan.hd, cfg.rope_theta, cfg.rope_scaling,
+        pad_to=hd_p,
     )
 
     x = params["embed"][tokens]  # (B, T, D)
@@ -181,15 +341,15 @@ def forward(
     mm = lambda h_, lt: ternary_matmul(h_, lt, impl=impl)  # noqa: E731
 
     def layer_step(x, xs):
-        lp, kc, vc = xs  # kc/vc: (B, S, Hkv, hd) or None placeholders
+        lp, kc, vc = xs  # kc/vc: (B, S, Hkv_local, hd_p) or None
 
-        h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model)
         q = mm(h, _layer_tensor(lp, "wq", specs["wq"]))
         k = mm(h, _layer_tensor(lp, "wk", specs["wk"]))
         v = mm(h, _layer_tensor(lp, "wv", specs["wv"]))
-        q = q.reshape(b, t, cfg.n_heads, hd)
-        k = k.reshape(b, t, cfg.n_kv_heads, hd)
-        v = v.reshape(b, t, cfg.n_kv_heads, hd)
+        q = q.reshape(b, t, heads_l, hd_p)
+        k = k.reshape(b, t, kv_heads_l, hd_p)
+        v = v.reshape(b, t, kv_heads_l, hd_p)
         q = apply_rope(q, safe_pos, cos, sin)
         k = apply_rope(k, safe_pos, cos, sin)
 
@@ -204,22 +364,39 @@ def forward(
         else:
             k_all, v_all = k, v
 
-        att = _attention(q, k_all, v_all, safe_pos, k_pos_row)
-        att = att.reshape(b, t, cfg.q_dim)
+        att = _attention(q, k_all, v_all, safe_pos, k_pos_row, plan.hd)
+        # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
+        chunks_l = plan.tp_pack // tp_size
+        att = att.reshape(b, t, chunks_l, plan.wo_chunk)
+        if plan.wo_chunk_p != plan.wo_chunk:
+            att = jnp.pad(
+                att,
+                ((0, 0), (0, 0), (0, 0), (0, plan.wo_chunk_p - plan.wo_chunk)),
+            )
+        att = att.reshape(b, t, chunks_l * plan.wo_chunk_p)
         if cfg.use_subnorms:
-            att = rms_norm(att, lp["attn_sub_norm"], cfg.rms_eps)
-        x = x + mm(att, _layer_tensor(lp, "wo", specs["wo"])).astype(x.dtype)
+            att = _rms(
+                att, lp["attn_sub_norm"], cfg.rms_eps,
+                cfg.n_heads * plan.hd, tp_axis,
+            )
+        o = mm(att, _layer_tensor(lp, "wo", specs["wo"]))
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o.astype(x.dtype)
 
-        h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
+        h = _rms(x, lp["ffn_norm"], cfg.rms_eps, cfg.d_model)
         gate = mm(h, _layer_tensor(lp, "w_gate", specs["w_gate"]))
         up = mm(h, _layer_tensor(lp, "w_up", specs["w_up"]))
         act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
         act = act.astype(x.dtype)
         if cfg.use_subnorms:
-            act = rms_norm(act, lp["ffn_sub_norm"], cfg.rms_eps)
-        x = x + mm(act, _layer_tensor(lp, "w_down", specs["w_down"])).astype(
-            x.dtype
-        )
+            act = _rms(
+                act, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff, tp_axis
+            )
+        dn = mm(act, _layer_tensor(lp, "w_down", specs["w_down"]))
+        if tp_axis is not None:
+            dn = jax.lax.psum(dn, tp_axis)
+        x = x + dn.astype(x.dtype)
         return x, (kc, vc)
 
     if use_cache:
@@ -235,7 +412,7 @@ def forward(
         )
         new_cache = None
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _rms(x, params["final_norm"], cfg.rms_eps, cfg.d_model)
     if logits_at is not None:
         # project only the requested token per row (prefill wants one row's
         # logits; computing (B, T, V) for V=128k would waste HBM)

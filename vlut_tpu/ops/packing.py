@@ -45,13 +45,14 @@ import numpy as np
 
 Format = Literal["i2", "i1"]
 
-# Trits per byte and default K-block sizes per format.  Block sizes mirror the
-# reference's accumulation groups (512 for I2, 640 for I1 — reference:
-# ggml/src/ggml-cpu/ggml-cpu-quants-vlut.c:996,1540) but here they are pure
-# layout parameters; accumulation on TPU is int32 on the MXU with no
-# overflow-driven flushing.
+# Trits per byte and default K-block sizes per format.  The reference's
+# accumulation groups are 512 (I2) / 640 (I1) (ggml-cpu-quants-vlut.c:996,
+# 1540) because its int16 accumulators must flush; on TPU accumulation is
+# int32 on the MXU, so kb is a pure layout parameter.  We pick the smallest
+# VMEM-tileable blocks (slab = kb/r = 32 sublanes, the int8 min tile) so
+# tensor-parallel K-shards stay block-aligned with minimal padding.
 TRITS_PER_BYTE = {"i2": 4, "i1": 5}
-DEFAULT_BLOCK = {"i2": 512, "i1": 640}
+DEFAULT_BLOCK = {"i2": 128, "i1": 160}
 LANES = 128  # TPU lane width; packed channel dim is padded to this
 
 _POW3 = np.array([1, 3, 9, 27, 81], dtype=np.int16)
@@ -117,10 +118,18 @@ def pack_ternary(
     scale: np.ndarray | float = 1.0,
     fmt: Format = "i2",
     kb: int | None = None,
+    k_mult: int | None = None,
+    n_mult: int | None = None,
 ) -> TernaryTensor:
     """Pack a {-1, 0, +1} int matrix of shape (K, N) into a TernaryTensor.
 
     Host-side (numpy).  Padding rows (K -> multiple of ``kb``) are zero trits.
+
+    ``k_mult``/``n_mult`` request extra padding so the packed array can be
+    evenly sharded across a tensor-parallel mesh axis: for a tp-way split,
+    pass k_mult = tp * kb (K-sharded weights) or n_mult = tp * 128
+    (N-sharded weights).  Padding trits are zero, so sharded matmuls stay
+    exact no matter which shard holds the pad.
     """
     if trits.ndim != 2:
         raise ValueError(f"expected 2-D (K, N) trits, got {trits.shape}")
@@ -129,8 +138,9 @@ def pack_ternary(
     if kb % r:
         raise ValueError(f"kb={kb} must be divisible by {r} for fmt={fmt}")
     k, n = trits.shape
-    kp = _round_up(k, kb)
-    npad = _round_up(n, LANES)  # lane-align channels (e.g. bitnet d_ff=8640)
+    kp = _round_up(k, max(kb, k_mult or kb))
+    # lane-align channels (e.g. bitnet d_ff=8640), or shard-align when asked
+    npad = _round_up(n, max(LANES, n_mult or LANES))
 
     t = np.zeros((kp, npad), dtype=np.int16)
     t[:k, :n] = trits.astype(np.int16)

@@ -45,12 +45,23 @@ def rope_table(
     head_dim: int,
     theta: float = 10000.0,
     scaling: dict[str, Any] | None = None,
+    pad_to: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Precompute (cos, sin) tables of shape (max_len, head_dim // 2)."""
+    """Precompute (cos, sin) tables of shape (max_len, head_dim // 2).
+
+    ``pad_to`` pads the frequency axis to pad_to//2 with identity rotations
+    (cos=1, sin=0) for the padded-head-dim layout (models/dims.py) — the
+    padded components are zero, so any rotation is a no-op there.
+    """
     inv = _inv_freq(head_dim, theta, scaling)
     pos = jnp.arange(max_len, dtype=jnp.float32)
     ang = pos[:, None] * inv[None, :]
-    return jnp.cos(ang), jnp.sin(ang)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    if pad_to is not None and pad_to > head_dim:
+        extra = (pad_to - head_dim) // 2
+        cos = jnp.pad(cos, ((0, 0), (0, extra)), constant_values=1.0)
+        sin = jnp.pad(sin, ((0, 0), (0, extra)), constant_values=0.0)
+    return cos, sin
 
 
 def apply_rope(

@@ -1,0 +1,66 @@
+"""shard_map wrappers: run the ternary forward SPMD over a ("dp","tp") mesh.
+
+Pallas kernels cannot be auto-partitioned by GSPMD, so the whole forward
+runs inside shard_map with explicit in/out specs (parallel/sharding.py); the
+two per-layer psums (after wo and w_down) and the sub-norm statistic psums
+are the only collectives — Megatron TP riding ICI.  This subsumes what the
+reference does with its backend scheduler + RPC (SURVEY §2.3): there is no
+graph splitting or tensor RPC to port, XLA SPMD + ICI collectives replace
+them wholesale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from vlut_tpu.config import ModelConfig
+from vlut_tpu.models.transformer import forward
+from vlut_tpu.parallel.sharding import cache_specs, param_specs
+
+
+def make_forward_tp(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    params_tree: dict[str, Any],
+    impl: str = "auto",
+    with_cache: bool = True,
+):
+    """Returns f(params, cache, tokens, positions, logits_at) -> (logits, cache)
+    running SPMD over the mesh.  Batch shards over "dp", weights over "tp".
+
+    ``logits_at``: (B,) index of the token whose logits to return per row
+    (pass zeros for T=1 decode).
+    """
+    tp = mesh.shape["tp"]
+    pspecs = param_specs(cfg, params_tree)
+    cspecs = cache_specs() if with_cache else None
+
+    def local_fn(params, cache, tokens, positions, logits_at):
+        logits, new_cache = forward(
+            params, cfg, tokens, positions, cache,
+            impl=impl, tp_axis="tp", tp_size=tp, logits_at=logits_at,
+        )
+        return logits, new_cache
+
+    in_specs = (
+        pspecs,
+        cspecs,
+        P("dp", None),
+        P("dp", None),
+        P("dp"),
+    )
+    out_specs = (P("dp", None, "tp"), cspecs)
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )

@@ -30,9 +30,24 @@ import numpy as np
 from vlut_tpu.config import ModelConfig
 from vlut_tpu.models.transformer import forward
 from vlut_tpu.runtime import kv_cache as kvc
-from vlut_tpu.runtime.sampling import SamplerParams, sample, stack_params
+from vlut_tpu.runtime.sampling import (
+    NEG_INF,
+    SamplerParams,
+    sample,
+    stack_params,
+)
 
 PENALTY_WINDOW = 64
+
+
+def _mask_pad_vocab(logits: jax.Array, vocab_size: int) -> jax.Array:
+    """lm_head may be vocab-padded for sharding (models/dims.py)."""
+    v = logits.shape[-1]
+    if v == vocab_size:
+        return logits
+    return jnp.where(
+        jnp.arange(v) < vocab_size, logits, jnp.float32(NEG_INF)
+    )
 
 
 @dataclasses.dataclass
@@ -76,9 +91,12 @@ class Engine:
             b for b in prefill_buckets if b <= self.max_len
         ) or (self.max_len,)
 
+        from vlut_tpu.models.dims import make_plan
+
+        plan = make_plan(cfg)
         self.cache = kvc.new_cache(
             cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
-            cfg.head_dim_, cache_dtype,
+            plan.hd_p, cache_dtype,
         )
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: list[Request] = []
@@ -130,7 +148,9 @@ class Engine:
                 params, cfg, tokens[:, None], lengths[:, None], cache,
                 impl=impl,
             )
-            logits = logits[:, 0].astype(jnp.float32)
+            logits = _mask_pad_vocab(
+                logits[:, 0].astype(jnp.float32), cfg.vocab_size
+            )
             pw = ring.shape[1]
             slot_pos = jnp.arange(pw)[None, :]
             valid = (slot_pos < ring_cnt[:, None]) & (
@@ -208,7 +228,10 @@ class Engine:
             slot_pos = jnp.arange(pw)[None, :]
             valid = slot_pos < self.ring_cnt[i : i + 1, None]
             tok = sample(
-                last_logits[None].astype(jnp.float32),
+                _mask_pad_vocab(
+                    last_logits[None].astype(jnp.float32),
+                    self.cfg.vocab_size,
+                ),
                 {k: v[i : i + 1] for k, v in self._sp.items()},
                 sub,
                 self.ring[i : i + 1],
