@@ -1,0 +1,130 @@
+"""Ternary GEMM microbenchmark — the TPU mirror of test-vlut-gemm.
+
+Reference harness: tests/test-vlut-gemm.cpp (perf mode over real model
+GEMM shapes).  Same shapes, same reporting spirit (us/run, GB/s, TFLOP/s);
+measurement method adapted to this environment's remote-TPU quirks:
+
+* device->host syncs cost ~25 ms over the tunnel and async dispatch
+  completion signals are unreliable, so each timing sample is ONE jitted
+  fori_loop running the kernel n times with a data dependency between
+  iterations, fetched via a scalar sum;
+* weights are a stack of L=8 distinct matrices indexed per iteration, so
+  the compiler cannot hoist them into VMEM — every run streams from HBM
+  like a real decode step does;
+* reported time is the marginal (t[n_hi] - t[n_lo]) / (n_hi - n_lo),
+  which cancels dispatch/fetch overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlut_tpu.ops import pallas_gemm
+from vlut_tpu.ops.packing import pack_ternary
+
+# reference shapes: tests/test-vlut-gemm.cpp:717-721
+MODEL_SHAPES = {
+    "bitnet_3b": (3200, 8640),
+    "llama3_8b": (4096, 14336),
+    "falcon_1b": (2048, 8192),
+}
+L_STACK = 8
+
+
+def bench_gemm(
+    fmt: str,
+    m: int,
+    k: int,
+    n: int,
+    block_shapes: tuple[int, int, int] | None = None,
+    n_lo: int = 16,
+    n_hi: int = 256,
+    repeats: int = 3,
+) -> dict[str, Any]:
+    rng = np.random.default_rng(0)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    t = pack_ternary(trits, np.float32(0.03), fmt)
+    kp, np_ = t.k_padded, t.n_padded
+    rows = t.packed.shape[0]
+    packs = np.stack([np.asarray(t.packed)] * L_STACK)
+    packs[..., 0] = np.arange(L_STACK, dtype=np.uint8)[:, None]
+    pl_stack = jax.device_put(jnp.asarray(packs))
+    mp = max(32, -(-m // 32) * 32)
+    q = jax.device_put(
+        jnp.asarray(rng.integers(-100, 100, (mp, kp)), jnp.int8)
+    )
+    s = jax.device_put(jnp.ones((mp, 1), jnp.float32))
+    ws = jax.device_put(jnp.ones((np_,), jnp.float32))
+    bm, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
+        mp, np_, kp, t.kb
+    )
+    gemm = functools.partial(
+        pallas_gemm.ternary_gemm_pallas,
+        fmt=fmt, kb=t.kb, k=k, bm=bm, bn=bn, bk=bk,
+    )
+
+    @jax.jit
+    def loop(q, pl_stack, n_iter):
+        def body(i, acc):
+            out = gemm(acc, pl_stack[i % L_STACK], s, ws)
+            return acc ^ out[:, :kp].astype(jnp.int8)
+
+        return jnp.sum(
+            jax.lax.fori_loop(0, n_iter, body, q).astype(jnp.int32)
+        )
+
+    ts = {}
+    for n_iter in (n_lo, n_hi):
+        int(loop(q, pl_stack, n_iter))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            int(loop(q, pl_stack, n_iter))
+            best = min(best, time.perf_counter() - t0)
+        ts[n_iter] = best
+    dt = (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
+    wbytes = rows * np_
+    return {
+        "fmt": fmt,
+        "m": m, "k": k, "n": n,
+        "blocks": (bm, bn, bk),
+        "us": dt * 1e6,
+        "gbps_packed": wbytes / dt / 1e9,
+        "tflops": 2 * m * k * n / dt / 1e12,
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="ternary GEMM microbench")
+    ap.add_argument("-m", "--model", choices=list(MODEL_SHAPES), default=None)
+    ap.add_argument("-ns", default="32,256",
+                    help="comma-separated token counts")
+    ap.add_argument("--fmt", default="i2,i1")
+    args = ap.parse_args(argv)
+
+    models = [args.model] if args.model else list(MODEL_SHAPES)
+    ns = [int(x) for x in args.ns.split(",")]
+    fmts = args.fmt.split(",")
+    print(f"{'model':10s} {'gemm':14s} {'fmt':3s} {'M':>4s} "
+          f"{'us':>9s} {'GB/s':>7s} {'TFLOP/s':>8s}")
+    for model in models:
+        d, ff = MODEL_SHAPES[model]
+        for (k, n, tag) in ((d, d, "dxd"), (d, ff, "dxff"), (ff, d, "ffxd")):
+            for fmt in fmts:
+                for m in ns:
+                    r = bench_gemm(fmt, m, k, n)
+                    print(f"{model:10s} {tag:14s} {r['fmt']:3s} {m:4d} "
+                          f"{r['us']:9.1f} {r['gbps_packed']:7.1f} "
+                          f"{r['tflops']:8.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

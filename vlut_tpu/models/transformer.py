@@ -157,8 +157,11 @@ def init_params_fast(
     specs = weight_specs(cfg, plan=plan)
     r = {"i2": 4, "i1": 5}[cfg.weight_fmt]
 
+    import math as _math
+
     def rows(spec: TernarySpec) -> int:
-        kp = -(-spec.k // spec.kb) * spec.kb
+        align = _math.lcm(spec.kb, 128)
+        kp = -(-spec.k // align) * align
         return kp // r
 
     def cols(spec: TernarySpec) -> int:

@@ -37,6 +37,7 @@ like the reference's ``.scale`` side tensors (src/llama-quant.cpp, SURVEY
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Literal
 
 import jax
@@ -138,7 +139,10 @@ def pack_ternary(
     if kb % r:
         raise ValueError(f"kb={kb} must be divisible by {r} for fmt={fmt}")
     k, n = trits.shape
-    kp = _round_up(k, max(kb, k_mult or kb))
+    # K must align to lcm(kb, LANES) so GEMM K-tiles (whose x-block minor dim
+    # must be a lane multiple) always land on pack-block boundaries
+    k_align = math.lcm(kb, LANES)
+    kp = _round_up(k, max(k_align, k_mult or k_align))
     # lane-align channels (e.g. bitnet d_ff=8640), or shard-align when asked
     npad = _round_up(n, max(LANES, n_mult or LANES))
 

@@ -157,11 +157,14 @@ def default_block_shapes(
     m: int, np_: int, kp: int, kb: int
 ) -> tuple[int, int, int]:
     """Heuristic (bm, bn, bk) — replaced by the autotuner for hot shapes."""
+    import math
+
     bm = min(256, max(32, _round_up(m, 32)))
     while m % bm:
         bm //= 2  # m is pre-padded to a multiple of 32, so this terminates
     bn = 512 if np_ % 512 == 0 else (256 if np_ % 256 == 0 else 128)
-    bk = kb
+    # K tiles must be lane multiples (x block minor dim) and block multiples
+    bk = math.lcm(kb, 128)
     # Grow bk while the unpacked weight tile stays comfortably in VMEM.
     while bk * 2 <= kp and kp % (bk * 2) == 0 and bk * 2 * bn <= 2**21:
         bk *= 2

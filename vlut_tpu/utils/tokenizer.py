@@ -1,0 +1,49 @@
+"""Tokenizer host layer.
+
+The reference reimplements SPM/BPE/WPM/UGM in 3.9k lines of C++
+(src/llama-vocab.cpp); per SURVEY §7 we deliberately reuse HF tokenizers on
+the host instead — the checkpoint directory carries the tokenizer files
+verbatim (convert/checkpoint.py), so AutoTokenizer works offline.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+
+class Tokenizer:
+    def __init__(self, path: str | pathlib.Path):
+        try:
+            from transformers import AutoTokenizer
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "transformers is required for tokenization"
+            ) from e
+        self.tk = AutoTokenizer.from_pretrained(str(path))
+
+    def encode(self, text: str, add_bos: bool = True) -> list[int]:
+        ids = self.tk.encode(text, add_special_tokens=add_bos)
+        return list(ids)
+
+    def decode(self, ids: list[int]) -> str:
+        return self.tk.decode(ids, skip_special_tokens=False)
+
+    def apply_chat_template(
+        self, messages: list[dict[str, Any]], add_generation_prompt=True
+    ) -> list[int]:
+        return list(
+            self.tk.apply_chat_template(
+                messages,
+                add_generation_prompt=add_generation_prompt,
+                tokenize=True,
+            )
+        )
+
+    @property
+    def eos_id(self) -> int | None:
+        return self.tk.eos_token_id
+
+    @property
+    def bos_id(self) -> int | None:
+        return self.tk.bos_token_id
