@@ -1,0 +1,72 @@
+"""Speculative decoding invariant: output == target-model greedy decode,
+regardless of draft quality (the property the reference's verify loop
+guarantees, common/speculative.cpp)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vlut_tpu.config import PRESETS
+from vlut_tpu.models.transformer import forward, init_kv_cache, init_params
+from vlut_tpu.runtime.speculative import make_speculative_fn
+
+CFG = PRESETS["tiny"]
+
+
+def _greedy(params, prompts, n_new):
+    b, t = prompts.shape
+    cache = init_kv_cache(CFG, b, max_len=64)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    logits, cache = forward(
+        params, CFG, prompts, pos, cache, impl="xla",
+        logits_at=jnp.full((b,), t - 1, jnp.int32),
+    )
+    toks = [np.asarray(jnp.argmax(logits[:, 0, : CFG.vocab_size], -1))]
+    lengths = t
+    for _ in range(n_new - 1):
+        lg, cache = forward(
+            params, CFG, jnp.asarray(toks[-1][:, None], jnp.int32),
+            jnp.full((b, 1), lengths, jnp.int32), cache, impl="xla",
+        )
+        toks.append(np.asarray(jnp.argmax(lg[:, 0, : CFG.vocab_size], -1)))
+        lengths += 1
+    return np.stack(toks, 1)
+
+
+def _spec(params_t, params_d, prompts, n_new, k):
+    b, t = prompts.shape
+    cache_t = init_kv_cache(CFG, b, max_len=64)
+    cache_d = init_kv_cache(CFG, b, max_len=64)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    at = jnp.full((b,), t - 1, jnp.int32)
+    lg_t, cache_t = forward(params_t, CFG, prompts, pos, cache_t,
+                            impl="xla", logits_at=at)
+    _, cache_d = forward(params_d, CFG, prompts, pos, cache_d,
+                         impl="xla", logits_at=at)
+    last = jnp.argmax(lg_t[:, 0, : CFG.vocab_size], -1).astype(jnp.int32)
+    first = np.asarray(last)
+    lengths = jnp.full((b,), t, jnp.int32)
+    fn = make_speculative_fn(CFG, CFG, k_draft=k, max_new=n_new - 1,
+                             impl="xla")
+    out, cnt, accs, _, _ = fn(params_t, params_d, cache_t, cache_d, last,
+                              lengths)
+    assert (np.asarray(cnt) >= n_new - 1).all()
+    return np.concatenate(
+        [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
+    ), np.asarray(accs)
+
+
+@pytest.mark.parametrize("draft_seed", [0, 5])
+def test_speculative_matches_greedy(draft_seed):
+    params_t = init_params(CFG, seed=0)
+    params_d = init_params(CFG, seed=draft_seed)
+    rng = np.random.default_rng(2)
+    prompts = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 5)), jnp.int32)
+    n_new, k = 8, 3
+
+    ref = _greedy(params_t, prompts, n_new)
+    got, accs = _spec(params_t, params_d, prompts, n_new, k)
+    np.testing.assert_array_equal(got, ref)
+    if draft_seed == 0:
+        # identical draft == target: acceptance should be high
+        assert accs.mean() > 1.0

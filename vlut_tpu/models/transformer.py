@@ -110,26 +110,23 @@ def pack_weight(
     plan = plan or make_plan(cfg)
     kb, fmt = plan.kb, cfg.weight_fmt
     hd, hd_p = plan.hd, plan.hd_p
+    pk = lambda tr: pack_ternary(tr, scale, fmt, kb, use_native=True)  # noqa: E731
     if name in ("wq", "wk", "wv"):
         heads = cfg.n_heads if name == "wq" else cfg.n_kv_heads
-        trits = pad_heads_cols(trits, heads, hd, hd_p)
-        return pack_ternary(trits, scale, fmt, kb)
+        return pk(pad_heads_cols(trits, heads, hd, hd_p))
     if name == "wo":
         trits = pad_heads_rows(trits, cfg.n_heads, hd, hd_p)
-        trits = scatter_rows(
-            trits, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p
+        return pk(
+            scatter_rows(trits, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p)
         )
-        return pack_ternary(trits, scale, fmt, kb)
     if name in ("w_gate", "w_up"):
-        trits = scatter_cols(
-            trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+        return pk(
+            scatter_cols(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
-        return pack_ternary(trits, scale, fmt, kb)
     if name == "w_down":
-        trits = scatter_rows(
-            trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+        return pk(
+            scatter_rows(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
-        return pack_ternary(trits, scale, fmt, kb)
     raise KeyError(name)
 
 
@@ -169,12 +166,22 @@ def init_params_fast(
 
     layers: dict[str, Any] = {}
     for name, spec in specs.items():
-        shape = (cfg.n_layers, rows(spec), cols(spec))
+        # one random layer tiled L times (benchmark bytes, not real values;
+        # single-core RNG for multi-GB arrays would take minutes otherwise),
+        # first column stamped per layer so nothing can alias/dedupe
         if cfg.weight_fmt == "i2":
-            codes = rng.integers(0, 81, size=shape, dtype=np.uint8)
-            packed = _I2_CODE_LUT[codes]
+            codes = rng.integers(
+                0, 81, size=(rows(spec), cols(spec)), dtype=np.uint8
+            )
+            one = _I2_CODE_LUT[codes]
         else:
-            packed = rng.integers(0, 243, size=shape, dtype=np.uint8)
+            one = rng.integers(
+                0, 243, size=(rows(spec), cols(spec)), dtype=np.uint8
+            )
+        packed = np.broadcast_to(
+            one, (cfg.n_layers,) + one.shape
+        ).copy()
+        packed[:, :, 0] = np.arange(cfg.n_layers, dtype=np.uint8)[:, None]
         layers[name] = {
             "packed": jnp.asarray(packed),
             "scale": jnp.full((cfg.n_layers,), 0.05, jnp.float32),

@@ -121,6 +121,7 @@ def pack_ternary(
     kb: int | None = None,
     k_mult: int | None = None,
     n_mult: int | None = None,
+    use_native: bool = False,
 ) -> TernaryTensor:
     """Pack a {-1, 0, +1} int matrix of shape (K, N) into a TernaryTensor.
 
@@ -150,6 +151,17 @@ def pack_ternary(
     t[:k, :n] = trits.astype(np.int16)
     if not ((t >= -1) & (t <= 1)).all():
         raise ValueError("trits must be in {-1, 0, +1}")
+
+    scale = np.asarray(scale, dtype=np.float32)
+
+    if use_native:
+        from vlut_tpu.convert import native  # lazy: builds .so on first use
+
+        packed = native.pack(t.astype(np.int8), fmt, kb)
+        if packed is not None:
+            return TernaryTensor(
+                packed=packed, scale=scale, k=k, n=n, fmt=fmt, kb=kb
+            )
 
     nb = kp // kb
     slab = kb // r
