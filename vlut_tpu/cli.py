@@ -1,0 +1,205 @@
+"""Command-line entry points (the reference's tools/ binaries, unified).
+
+  vlut-tpu convert   — HF checkpoint -> packed ternary (convert + quantize)
+  vlut-tpu generate  — prompt completion (llama-cli analog)
+  vlut-tpu batched   — shared-prompt np-way fan-out demo (llama-batched)
+  vlut-tpu serve     — OpenAI-compatible HTTP server (llama-server)
+  vlut-tpu bench     — GEMM microbench (test-vlut-gemm perf analog)
+  vlut-tpu ppl       — perplexity over a text file (llama-perplexity)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load(model_dir):
+    import jax
+
+    from vlut_tpu.convert.checkpoint import load_checkpoint
+
+    cfg, params, meta = load_checkpoint(model_dir)
+    params = jax.device_put(params)
+    return cfg, params, meta
+
+
+def cmd_convert(args):
+    from vlut_tpu.convert.convert import convert_hf
+
+    cfg = convert_hf(args.hf_dir, args.out_dir, fmt=args.fmt)
+    print(f"converted: {cfg}")
+
+
+def cmd_generate(args):
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model)
+    tok = Tokenizer(args.model)
+    eng = Engine(cfg, params, n_slots=1, max_len=args.ctx)
+    sp = SamplerParams(
+        temperature=args.temp, top_k=args.top_k, top_p=args.top_p,
+        repeat_penalty=args.repeat_penalty,
+    )
+    stop = (tok.eos_id,) if tok.eos_id is not None else ()
+    req = Request(
+        prompt=tok.encode(args.prompt), max_new_tokens=args.n_predict,
+        sampler=sp, stop_tokens=stop,
+    )
+    t0 = time.time()
+    eng.run([req])
+    dt = time.time() - t0
+    print(tok.decode(req.output))
+    print(
+        f"\n[{len(req.output)} tokens, {len(req.output)/dt:.1f} tok/s | "
+        f"{eng.perf.summary()}]", file=sys.stderr,
+    )
+
+
+def cmd_batched(args):
+    """Shared-prompt fan-out: one prompt, np parallel continuations
+    (reference examples/batched/batched.cpp demo config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlut_tpu.models.transformer import forward, init_kv_cache
+    from vlut_tpu.runtime.generate import make_generate_fn
+    from vlut_tpu.runtime.sampling import SamplerParams, stack_params
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model)
+    tok = Tokenizer(args.model)
+    ids = tok.encode(args.prompt)
+    b, t = args.np_parallel, len(ids)
+
+    cache = init_kv_cache(cfg, b, max_len=t + args.n_predict + 8)
+    tokens = jnp.tile(jnp.asarray(ids, jnp.int32)[None], (b, 1))
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    logits, cache = forward(
+        params, cfg, tokens, pos, cache,
+        logits_at=jnp.full((b,), t - 1, jnp.int32),
+    )
+    sp = stack_params([
+        SamplerParams(temperature=args.temp, seed=i,
+                      repeat_penalty=args.repeat_penalty)
+        for i in range(b)
+    ])
+    last = jnp.argmax(
+        logits[:, 0, : cfg.vocab_size], -1
+    ).astype(jnp.int32)
+    gen = make_generate_fn(cfg, n_steps=args.n_predict)
+    t0 = time.time()
+    out, _ = gen(params, cache, last,
+                 jnp.full((b,), t, jnp.int32), sp,
+                 jax.random.PRNGKey(args.seed))
+    out.block_until_ready()
+    dt = time.time() - t0
+    import numpy as np
+
+    for i, row in enumerate(np.asarray(out)):
+        print(f"--- seq {i} ---")
+        print(args.prompt + tok.decode([int(x) for x in row]))
+    total = b * args.n_predict
+    print(f"\n[{total} tokens in {dt:.2f}s = {total/dt:.1f} tok/s]",
+          file=sys.stderr)
+
+
+def cmd_serve(args):
+    from vlut_tpu.serving.server import main as server_main
+
+    server_main([
+        "--model", args.model, "--host", args.host,
+        "--port", str(args.port), "--slots", str(args.slots),
+        "--ctx", str(args.ctx),
+    ])
+
+
+def cmd_bench(args):
+    from vlut_tpu.bench.kernels import main as bench_main
+
+    argv = []
+    if args.model_shape:
+        argv += ["-m", args.model_shape]
+    argv += ["-ns", args.ns, "--fmt", args.fmt]
+    bench_main(argv)
+
+
+def cmd_ppl(args):
+    import numpy as np
+
+    from vlut_tpu.eval.perplexity import logits_compare, perplexity
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model)
+    tok = Tokenizer(args.model)
+    text = open(args.file).read()
+    ids = np.asarray(tok.encode(text), np.int32)
+    out = perplexity(params, cfg, ids, window=args.window)
+    print(f"ppl = {out['ppl']:.4f} over {out['tokens']} tokens")
+    if args.check_lossless:
+        cmp = logits_compare(params, cfg, ids)
+        print(f"quantized-vs-dequant: KL mean {cmp['kl_mean']:.3e}, "
+              f"top1 {cmp['top1_agreement']*100:.2f}%")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vlut-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("convert")
+    p.add_argument("hf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--fmt", choices=("i2", "i1"), default="i2")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("generate")
+    p.add_argument("--model", required=True)
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("-n", "--n-predict", type=int, default=128)
+    p.add_argument("--ctx", type=int, default=4096)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--repeat-penalty", type=float, default=1.0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("batched")
+    p.add_argument("--model", required=True)
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("-np", "--np-parallel", type=int, default=32)
+    p.add_argument("-n", "--n-predict", type=int, default=16)
+    p.add_argument("--temp", type=float, default=0.5)
+    p.add_argument("--repeat-penalty", type=float, default=1.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_batched)
+
+    p = sub.add_parser("serve")
+    p.add_argument("--model", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--ctx", type=int, default=4096)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench")
+    p.add_argument("-m", "--model-shape", default=None)
+    p.add_argument("-ns", default="32,256")
+    p.add_argument("--fmt", default="i2,i1")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("ppl")
+    p.add_argument("--model", required=True)
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("--window", type=int, default=512)
+    p.add_argument("--check-lossless", action="store_true")
+    p.set_defaults(fn=cmd_ppl)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,32 @@ class _Slot:
     req: Request | None = None
     length: int = 0  # tokens currently in KV
     generated: int = 0
+    # full token history currently materialized in this slot's KV rows —
+    # basis for prompt-cache prefix reuse (reference: longest-common-prefix
+    # reuse in server update_slots, tools/server/server-context.cpp:2172)
+    history: list[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class PerfCounters:
+    """llama_perf_context analog (include/llama.h:1399-1419)."""
+
+    n_prompt_tokens: int = 0
+    t_prompt_s: float = 0.0
+    n_decode_tokens: int = 0
+    t_decode_s: float = 0.0
+    n_reused_tokens: int = 0
+
+    def summary(self) -> str:
+        pp = self.n_prompt_tokens / self.t_prompt_s if self.t_prompt_s else 0
+        tg = self.n_decode_tokens / self.t_decode_s if self.t_decode_s else 0
+        return (
+            f"prompt: {self.n_prompt_tokens} tok in "
+            f"{self.t_prompt_s*1e3:.0f} ms ({pp:.1f} tok/s) | "
+            f"decode: {self.n_decode_tokens} tok in "
+            f"{self.t_decode_s*1e3:.0f} ms ({tg:.1f} tok/s) | "
+            f"reused: {self.n_reused_tokens} tok"
+        )
 
 
 class Engine:
@@ -110,6 +136,7 @@ class Engine:
 
         self._prefill_cache: dict[int, Callable] = {}
         self._step_fn = self._build_step()
+        self.perf = PerfCounters()
 
     # --- compiled programs -------------------------------------------------
 
@@ -182,34 +209,59 @@ class Engine:
             f"{self.prefill_buckets[-1]}"
         )
 
+    @staticmethod
+    def _common_prefix(a: list[int], b: list[int]) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
     def _admit(self):
-        for i, slot in enumerate(self.slots):
-            if slot.req is not None or not self.queue:
-                continue
+        while self.queue:
+            free = [i for i, s in enumerate(self.slots) if s.req is None]
+            if not free:
+                return
             req = self.queue.pop(0)
             prompt = req.prompt
             if not prompt:
                 req.done = True
                 continue
-            tb = self._bucket(len(prompt))
+            # pick the free slot whose cached history shares the longest
+            # prefix (prompt-cache reuse, server-context.cpp:2172)
+            i = max(
+                free,
+                key=lambda s: self._common_prefix(
+                    self.slots[s].history, prompt
+                ),
+            )
+            slot = self.slots[i]
+            reuse = min(
+                self._common_prefix(slot.history, prompt), len(prompt) - 1
+            )
+            new = prompt[reuse:]
+            t0 = time.perf_counter()
+            tb = self._bucket(len(new))
             if tb not in self._prefill_cache:
                 self._prefill_cache[tb] = self._build_prefill(tb)
             toks = np.zeros((1, tb), np.int32)
-            toks[0, : len(prompt)] = prompt
-            pos = np.zeros((1, tb), np.int32)
-            pos[0, : len(prompt)] = np.arange(len(prompt))
-            # padding tokens sit at positions len..tb-1 so their KV rows land
-            # above the valid region; mask j<=q_pos keeps them invisible,
-            # and the next prefill/decode of this slot overwrites them.
-            pos[0, len(prompt) :] = np.arange(len(prompt), tb)
+            toks[0, : len(new)] = new
+            # padding tokens sit at positions above the valid region; mask
+            # j<=q_pos keeps them invisible and later writes overwrite them
+            pos = (reuse + np.arange(tb, dtype=np.int32))[None]
 
             last_logits, self.cache = self._prefill_cache[tb](
                 self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.int32(i), jnp.int32(len(prompt)),
+                jnp.int32(i), jnp.int32(len(new)),
             )
+            self.perf.n_prompt_tokens += len(new)
+            self.perf.n_reused_tokens += reuse
+            self.perf.t_prompt_s += time.perf_counter() - t0
             slot.req = req
             slot.length = len(prompt)
             slot.generated = 0
+            slot.history = list(prompt)
             # seed penalty ring with the prompt tail
             tail = prompt[-PENALTY_WINDOW:]
             ring = np.full((PENALTY_WINDOW,), -1, np.int32)
@@ -239,24 +291,31 @@ class Engine:
             )
             self._push_token(i, int(tok[0]))
 
-    def _push_token(self, i: int, tok: int):
+    def _finish_if_done(self, i: int, tok: int):
         slot = self.slots[i]
         req = slot.req
-        req.output.append(tok)
-        slot.generated += 1
-        self.ring = self.ring.at[i, int(self.ring_cnt[i]) % PENALTY_WINDOW].set(
-            tok
-        )
-        self.ring_cnt = self.ring_cnt.at[i].add(1)
         if (
             tok in req.stop_tokens
             or slot.generated >= req.max_new_tokens
             or slot.length + slot.generated >= self.max_len - 1
         ):
             req.done = True
+            # KV holds prompt + all generated tokens except the last sampled
+            # one (never decoded) — that is the reusable cached prefix
+            slot.history = list(req.prompt) + req.output[:-1]
             slot.req = None
             slot.length = 0
             slot.generated = 0
+
+    def _push_token(self, i: int, tok: int):
+        slot = self.slots[i]
+        slot.req.output.append(tok)
+        slot.generated += 1
+        self.ring = self.ring.at[i, int(self.ring_cnt[i]) % PENALTY_WINDOW].set(
+            tok
+        )
+        self.ring_cnt = self.ring_cnt.at[i].add(1)
+        self._finish_if_done(i, tok)
 
     def step(self) -> bool:
         """One engine iteration: admit new requests, decode all active slots.
@@ -277,30 +336,62 @@ class Engine:
             # inactive slots decode garbage at row 0; harmless & static-shape
 
         self._key, sub = jax.random.split(self._key)
+        t0 = time.perf_counter()
         nxt, self.cache, self.ring, self.ring_cnt = self._step_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt, sub,
         )
         nxt = np.asarray(nxt)
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode_tokens += len(active)
         for i in active:
             # ring was already updated in-device for every slot; host mirrors
             self._push_token_host_only(i, int(nxt[i]))
         return True
 
     def _push_token_host_only(self, i: int, tok: int):
+        # device ring already updated inside the fused step
         slot = self.slots[i]
-        req = slot.req
-        req.output.append(tok)
+        slot.req.output.append(tok)
         slot.generated += 1
-        if (
-            tok in req.stop_tokens
-            or slot.generated >= req.max_new_tokens
-            or slot.length + slot.generated >= self.max_len - 1
-        ):
-            req.done = True
-            slot.req = None
-            slot.length = 0
-            slot.generated = 0
+        self._finish_if_done(i, tok)
+
+    # --- sequence/state ops (llama-memory contract subset, SURVEY §2.4) ---
+
+    def save_slot(self, i: int) -> bytes:
+        """Serialize slot i's cached prefix (llama_state_seq_save analog)."""
+        from vlut_tpu.runtime import state as state_mod
+
+        slot = self.slots[i]
+        length = len(slot.history)
+        return state_mod.save_slot_state(
+            self.cache, i, length, slot.history
+        )
+
+    def restore_slot(self, i: int, data: bytes) -> None:
+        """Load a serialized prefix into idle slot i; the next request
+        admitted there reuses it via the prompt cache."""
+        from vlut_tpu.runtime import state as state_mod
+
+        if self.slots[i].req is not None:
+            raise RuntimeError(f"slot {i} is busy")
+        self.cache, history = state_mod.load_slot_state(self.cache, i, data)
+        self.slots[i].history = history
+        self.slots[i].length = 0
+
+    def fork_slot(self, src: int, dst: int) -> None:
+        """Copy slot src's cached prefix to idle slot dst (seq_cp — the
+        shared-prompt fan-out primitive, examples/batched/batched.cpp:163)."""
+        from vlut_tpu.runtime import kv_cache as kvc_mod
+
+        if self.slots[dst].req is not None:
+            raise RuntimeError(f"slot {dst} is busy")
+        n = len(self.slots[src].history)
+        self.cache = kvc_mod.seq_cp(
+            self.cache, jnp.int32(src), jnp.int32(dst), jnp.int32(n)
+        )
+        self.slots[dst].history = list(self.slots[src].history)
+        self.slots[dst].length = 0
 
     def run(self, reqs: list[Request], progress: bool = False) -> list[Request]:
         """Submit everything and loop until drained (batch entry point)."""

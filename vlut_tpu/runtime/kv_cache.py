@@ -53,23 +53,38 @@ def seq_cp(
 def seq_shift(
     cache: dict[str, jax.Array],
     slot: jax.Array,
-    start: jax.Array,  # first row to keep after the removed span
+    start: jax.Array,  # first KEPT row after the removed span (old indexing)
     count: jax.Array,  # rows removed (shift distance)
+    cos: jax.Array,  # rope tables (max_pos, hd_p // 2) — see rope_table
+    sin: jax.Array,
 ) -> dict[str, jax.Array]:
-    """Context-shift: drop rows [start-count, start) of `slot` and slide the
-    tail left (reference server context-shift, server-context.cpp:1916).
+    """Context-shift: drop rows [start-count, start) of `slot`, slide the
+    tail left, and re-rotate the moved keys by -count positions so their
+    RoPE phase matches their new absolute position.
 
-    NOTE round 1: positional (RoPE) rebasing of shifted keys is NOT applied —
-    the engine only uses this for whole-prefix truncation where it is exact.
-    Full shift support (seq_add with rope re-rotation) is queued work.
+    The reference implements this as a deferred K-shift graph applied on
+    memory_update (llama_kv_cache shift + server context-shift,
+    server-context.cpp:1916); rotations compose additively per frequency,
+    so R(p-c) = R(-c) . R(p) makes the rebase exact.
     """
     max_len = cache["k"].shape[2]
     idx = jnp.arange(max_len)
-    src_rows = jnp.where(idx >= start - count, idx + count, idx)
-    src_rows = jnp.clip(src_rows, 0, max_len - 1)
+    moved = idx >= start - count
+    src_rows = jnp.clip(jnp.where(moved, idx + count, idx), 0, max_len - 1)
 
-    def sh(a):
-        s = a[:, slot][:, src_rows]
-        return jax.lax.dynamic_update_index_in_dim(a, s, slot, axis=1)
+    # rotation by -count: angles of position `count`, negated sin
+    c = cos[count]  # (hd_p // 2,)
+    s = -sin[count]
 
-    return {"k": sh(cache["k"]), "v": sh(cache["v"])}
+    k = cache["k"]
+    ks = k[:, slot][:, src_rows]  # (L, S, Hkv, hd_p)
+    half = k.shape[-1] // 2
+    k1, k2 = ks[..., :half], ks[..., half:]
+    kr = jnp.concatenate([k1 * c - k2 * s, k2 * c + k1 * s], axis=-1)
+    kr = jnp.where(moved[None, :, None, None], kr, ks).astype(k.dtype)
+    k = jax.lax.dynamic_update_index_in_dim(k, kr, slot, axis=1)
+
+    v = cache["v"]
+    vs = v[:, slot][:, src_rows]
+    v = jax.lax.dynamic_update_index_in_dim(v, vs, slot, axis=1)
+    return {"k": k, "v": v}
