@@ -1,0 +1,225 @@
+"""GBNF grammar engine tests (reference: src/llama-grammar.cpp,
+tests/test-grammar-integration.cpp, common/json-schema-to-grammar.cpp)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vlut_tpu.runtime.grammar import (
+    Grammar,
+    GrammarError,
+    GrammarSampler,
+    GrammarState,
+    json_schema_to_gbnf,
+)
+
+
+def _matches(gbnf: str, text: str) -> bool:
+    g = Grammar.from_gbnf(gbnf)
+    s = GrammarState(g).advance_text(text)
+    return s.can_end
+
+
+def test_literal_alternates():
+    g = 'root ::= "yes" | "no"'
+    assert _matches(g, "yes")
+    assert _matches(g, "no")
+    assert not _matches(g, "ye")
+    assert not _matches(g, "maybe")
+
+
+def test_char_class_and_star():
+    g = "root ::= [a-z]*"
+    assert _matches(g, "")
+    assert _matches(g, "abcxyz")
+    assert not _matches(g, "aB")
+
+
+def test_plus_and_question():
+    g = 'root ::= [0-9]+ ("." [0-9]+)?'
+    assert _matches(g, "42")
+    assert _matches(g, "3.14")
+    assert not _matches(g, "")
+    assert not _matches(g, ".5")
+
+
+def test_rule_refs_and_recursion():
+    g = """
+root ::= expr
+expr ::= term ("+" term)*
+term ::= [0-9]+ | "(" expr ")"
+"""
+    assert _matches(g, "1+2+345")
+    assert _matches(g, "(1+2)+3")
+    assert not _matches(g, "1+")
+
+
+def test_negated_class_and_escapes():
+    g = 'root ::= "\\"" [^"]* "\\""'
+    assert _matches(g, '"hello world"')
+    assert not _matches(g, '"unterminated')
+
+
+def test_bounded_repetition():
+    g = "root ::= [ab]{2,3}"
+    assert not _matches(g, "a")
+    assert _matches(g, "ab")
+    assert _matches(g, "aba")
+    assert not _matches(g, "abab")
+
+
+def test_exact_repetition_and_unbounded():
+    assert _matches("root ::= [x]{3}", "xxx")
+    assert not _matches("root ::= [x]{3}", "xx")
+    assert _matches("root ::= [x]{2,}", "xxxxx")
+    assert not _matches("root ::= [x]{2,}", "x")
+
+
+def test_dot_any():
+    g = 'root ::= "a" . "c"'
+    assert _matches(g, "abc")
+    assert _matches(g, "aZc")
+    assert not _matches(g, "ac")
+
+
+def test_comments_and_multiline():
+    g = """
+# a grammar
+root ::= greeting  # trailing comment
+greeting ::= "hi" | "yo"
+"""
+    assert _matches(g, "yo")
+
+
+def test_undefined_rule_raises():
+    with pytest.raises(GrammarError):
+        Grammar.from_gbnf("root ::= nothere")
+
+
+def test_mask_and_accept():
+    pieces = ["yes", "no", "y", "es", "maybe", "<eos>", ""]
+    gs = GrammarSampler('root ::= "yes" | "no"', pieces, eos_ids=(5,))
+    m = gs.mask()
+    np.testing.assert_array_equal(
+        m, [True, True, True, False, False, False, False]
+    )
+    gs.accept(2)  # "y"
+    m = gs.mask()
+    # now only "es" continues; eos not yet allowed
+    assert m[3] and not m[0] and not m[1] and not m[5]
+    gs.accept(3)  # "es"
+    m = gs.mask()
+    assert m[5]  # grammar can end -> eos allowed
+    assert not m[:5].any()
+
+
+def test_accept_bad_token_raises():
+    pieces = ["a", "z"]
+    gs = GrammarSampler('root ::= "a"', pieces)
+    with pytest.raises(GrammarError):
+        gs.accept(1)
+
+
+def test_json_schema_object():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+        },
+        "required": ["name", "age"],
+    }
+    gbnf = json_schema_to_gbnf(schema)
+    g = Grammar.from_gbnf(gbnf)
+    ok = json.dumps({"name": "bob", "age": 3})
+    assert GrammarState(g).advance_text(ok).can_end
+    bad = json.dumps({"name": "bob", "age": "three"})
+    st = GrammarState(g).advance_text(bad)
+    assert not st.can_end
+
+
+def test_json_schema_enum_and_array():
+    schema = {
+        "type": "object",
+        "properties": {
+            "color": {"enum": ["red", "green"]},
+            "nums": {"type": "array", "items": {"type": "integer"}},
+        },
+        "required": ["color", "nums"],
+    }
+    g = Grammar.from_gbnf(json_schema_to_gbnf(schema))
+    ok = json.dumps({"color": "red", "nums": [1, 2, 3]})
+    assert GrammarState(g).advance_text(ok).can_end
+    bad = json.dumps({"color": "blue", "nums": []})
+    assert not GrammarState(g).advance_text(bad).can_end
+
+
+def test_json_schema_anyof_and_const():
+    schema = {"anyOf": [{"const": 1}, {"type": "string"}]}
+    g = Grammar.from_gbnf(json_schema_to_gbnf(schema))
+    assert GrammarState(g).advance_text("1").can_end
+    assert GrammarState(g).advance_text('"x"').can_end
+    assert not GrammarState(g).advance_text("2.5").can_end
+
+
+def test_json_schema_bare_is_any_value():
+    g = Grammar.from_gbnf(json_schema_to_gbnf({}))
+    for ok in ['{"a": [1, 2.5, null, true, "s"]}', "[]", '"str"', "-3.5e2"]:
+        assert GrammarState(g).advance_text(ok).can_end, ok
+
+
+def test_grammar_sampler_generates_valid_json():
+    """Greedy-ish loop: repeatedly pick the first allowed token; result must
+    parse as JSON matching the schema (end-to-end mask correctness)."""
+    schema = {
+        "type": "object",
+        "properties": {"ok": {"type": "boolean"}},
+        "required": ["ok"],
+    }
+    gbnf = json_schema_to_gbnf(schema)
+    pieces = ['{"', 'ok', '":', ' ', 'true', 'false', '}', '{', '"', ':',
+              '<eos>']
+    gs = GrammarSampler(gbnf, pieces, eos_ids=(10,))
+    out = []
+    for _ in range(32):
+        m = gs.mask()
+        assert m.any(), f"dead end after {out}"
+        tid = int(np.argmax(m))
+        if tid == 10:
+            break
+        gs.accept(tid)
+        out.append(pieces[tid])
+    text = "".join(out)
+    assert json.loads(text) == {"ok": True} or json.loads(text) == {
+        "ok": False
+    }
+
+
+def test_engine_grammar_constrained(tmp_path):
+    """End-to-end: engine decode with a GBNF constraint produces only
+    grammar-admissible text (integration of grammar mask -> fused step)."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import init_params
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.grammar import GrammarSampler
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    # byte-ish pieces: token i -> single char chr(i) for printable range
+    pieces = [chr(i) if 32 <= i < 127 else "" for i in range(cfg.vocab_size)]
+    gs = GrammarSampler('root ::= "ab" [0-9]+', pieces, eos_ids=(1,))
+    eng = Engine(cfg, params, n_slots=2, max_len=64)
+    req = Request(
+        prompt=[5, 6, 7], max_new_tokens=8,
+        sampler=SamplerParams(temperature=1.0, seed=0),
+        stop_tokens=(1,), grammar=gs,
+    )
+    eng.run([req])
+    text = "".join(pieces[t] for t in req.output if t != 1)
+    assert text.startswith("ab")
+    assert all(c in "0123456789" for c in text[2:])
+    assert len(text) >= 2

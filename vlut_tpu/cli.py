@@ -40,14 +40,41 @@ def cmd_generate(args):
     cfg, params, _ = _load(args.model)
     tok = Tokenizer(args.model)
     eng = Engine(cfg, params, n_slots=1, max_len=args.ctx)
+    bias = []
+    for spec in args.logit_bias or ():
+        t, _, b = spec.partition(":")
+        bias.append((int(t), float(b)))
     sp = SamplerParams(
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p,
+        min_p=args.min_p, typical_p=args.typical,
+        dynatemp_range=args.dynatemp_range,
+        dynatemp_exponent=args.dynatemp_exp,
+        xtc_p=args.xtc_probability, xtc_t=args.xtc_threshold,
+        top_n_sigma=args.top_nsigma,
+        mirostat_tau=(args.mirostat_ent if args.mirostat else 0.0),
+        mirostat_eta=args.mirostat_lr,
         repeat_penalty=args.repeat_penalty,
+        presence_penalty=args.presence_penalty,
+        frequency_penalty=args.frequency_penalty,
+        dry_multiplier=args.dry_multiplier, dry_base=args.dry_base,
+        dry_allowed_length=args.dry_allowed_length,
+        logit_bias=tuple(bias), seed=args.seed,
     )
     stop = (tok.eos_id,) if tok.eos_id is not None else ()
+    grammar = None
+    if args.grammar_file:
+        grammar = tok.make_grammar(open(args.grammar_file).read())
+    elif args.json_schema:
+        import json
+
+        from vlut_tpu.runtime.grammar import json_schema_to_gbnf
+
+        grammar = tok.make_grammar(
+            json_schema_to_gbnf(json.loads(args.json_schema))
+        )
     req = Request(
         prompt=tok.encode(args.prompt), max_new_tokens=args.n_predict,
-        sampler=sp, stop_tokens=stop,
+        sampler=sp, stop_tokens=stop, grammar=grammar,
     )
     t0 = time.time()
     eng.run([req])
@@ -163,7 +190,32 @@ def main(argv=None):
     p.add_argument("--temp", type=float, default=0.8)
     p.add_argument("--top-k", type=int, default=40)
     p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--min-p", type=float, default=0.0)
+    p.add_argument("--typical", type=float, default=1.0)
+    p.add_argument("--dynatemp-range", type=float, default=0.0)
+    p.add_argument("--dynatemp-exp", type=float, default=1.0)
+    p.add_argument("--xtc-probability", type=float, default=0.0)
+    p.add_argument("--xtc-threshold", type=float, default=0.1)
+    p.add_argument("--top-nsigma", type=float, default=0.0)
+    p.add_argument("--mirostat", type=int, default=0, choices=(0, 2),
+                   help="0=off, 2=mirostat v2")
+    p.add_argument("--mirostat-ent", type=float, default=5.0,
+                   help="mirostat target entropy tau")
+    p.add_argument("--mirostat-lr", type=float, default=0.1,
+                   help="mirostat learning rate eta")
     p.add_argument("--repeat-penalty", type=float, default=1.0)
+    p.add_argument("--presence-penalty", type=float, default=0.0)
+    p.add_argument("--frequency-penalty", type=float, default=0.0)
+    p.add_argument("--dry-multiplier", type=float, default=0.0)
+    p.add_argument("--dry-base", type=float, default=1.75)
+    p.add_argument("--dry-allowed-length", type=int, default=2)
+    p.add_argument("-l", "--logit-bias", action="append", default=[],
+                   metavar="TOKEN:BIAS")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grammar-file", default=None,
+                   help="GBNF grammar constraining generation")
+    p.add_argument("--json-schema", default=None,
+                   help="JSON schema constraining generation (via GBNF)")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("batched")

@@ -33,7 +33,8 @@ from vlut_tpu.runtime import kv_cache as kvc
 from vlut_tpu.runtime.sampling import (
     NEG_INF,
     SamplerParams,
-    sample,
+    init_state as sampler_init_state,
+    sample_ex,
     stack_params,
 )
 
@@ -56,6 +57,9 @@ class Request:
     max_new_tokens: int = 64
     sampler: SamplerParams = dataclasses.field(default_factory=SamplerParams)
     stop_tokens: tuple[int, ...] = ()
+    # optional GBNF constraint (vlut_tpu.runtime.grammar.GrammarSampler,
+    # already bound to this engine's vocab pieces); reset on admit
+    grammar: Any = None
     # filled by the engine:
     rid: int = -1
     output: list[int] = dataclasses.field(default_factory=list)
@@ -120,6 +124,7 @@ class Engine:
         from vlut_tpu.models.dims import make_plan
 
         plan = make_plan(cfg)
+        self._vocab_p = plan.vocab_p
         self.cache = kvc.new_cache(
             cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
             plan.hd_p, cache_dtype,
@@ -133,6 +138,7 @@ class Engine:
         self.ring = jnp.full((n_slots, PENALTY_WINDOW), -1, jnp.int32)
         self.ring_cnt = jnp.zeros((n_slots,), jnp.int32)
         self._sp = stack_params([SamplerParams()] * n_slots)
+        self._sampler_state = sampler_init_state(n_slots)
 
         self._prefill_cache: dict[int, Callable] = {}
         self._step_fn = self._build_step()
@@ -168,8 +174,11 @@ class Engine:
     def _build_step(self):
         cfg, impl = self.cfg, self.impl
 
-        @functools.partial(jax.jit, donate_argnums=(1, 5, 6))
-        def step_fn(params, cache, tokens, lengths, sp, ring, ring_cnt, key):
+        @functools.partial(jax.jit, donate_argnums=(1, 5, 6, 7))
+        def step_fn(
+            params, cache, tokens, lengths, sp, ring, ring_cnt, sstate, key,
+            mask,
+        ):
             # tokens (B,) int32 last sampled/prompt token per slot
             logits, cache = forward(
                 params, cfg, tokens[:, None], lengths[:, None], cache,
@@ -183,12 +192,14 @@ class Engine:
             valid = (slot_pos < ring_cnt[:, None]) & (
                 slot_pos >= (ring_cnt - sp["penalty_last_n"])[:, None]
             )
-            nxt = sample(logits, sp, key, ring, valid)
+            nxt, sstate = sample_ex(
+                logits, sp, key, sstate, ring, valid, allowed_mask=mask
+            )
             ring = ring.at[
                 jnp.arange(ring.shape[0]), ring_cnt % pw
             ].set(nxt)
             ring_cnt = ring_cnt + 1
-            return nxt, cache, ring, ring_cnt
+            return nxt, cache, ring, ring_cnt, sstate
 
         return step_fn
 
@@ -279,17 +290,38 @@ class Engine:
             pw = PENALTY_WINDOW
             slot_pos = jnp.arange(pw)[None, :]
             valid = slot_pos < self.ring_cnt[i : i + 1, None]
-            tok = sample(
+            # new request: reset carried sampler state (mirostat mu)
+            self._sampler_state = jax.tree.map(
+                lambda a: a.at[i].set(0), self._sampler_state
+            )
+            row_mask = None
+            if req.grammar is not None:
+                req.grammar.reset()
+                m = np.ones((1, self._vocab_p), bool)
+                m[0, : self.cfg.vocab_size] = req.grammar.mask()[
+                    : self.cfg.vocab_size
+                ]
+                row_mask = jnp.asarray(m)
+            tok, row_state = sample_ex(
                 _mask_pad_vocab(
                     last_logits[None].astype(jnp.float32),
                     self.cfg.vocab_size,
                 ),
                 {k: v[i : i + 1] for k, v in self._sp.items()},
                 sub,
+                {k: v[i : i + 1] for k, v in self._sampler_state.items()},
                 self.ring[i : i + 1],
                 valid,
+                allowed_mask=row_mask,
             )
-            self._push_token(i, int(tok[0]))
+            self._sampler_state = {
+                k: self._sampler_state[k].at[i].set(row_state[k][0])
+                for k in self._sampler_state
+            }
+            first_tok = int(tok[0])
+            if req.grammar is not None and first_tok not in req.stop_tokens:
+                req.grammar.accept(first_tok)
+            self._push_token(i, first_tok)
 
     def _finish_if_done(self, i: int, tok: int):
         slot = self.slots[i]
@@ -337,17 +369,43 @@ class Engine:
 
         self._key, sub = jax.random.split(self._key)
         t0 = time.perf_counter()
-        nxt, self.cache, self.ring, self.ring_cnt = self._step_fn(
+        mask = self._grammar_mask(active)
+        (
+            nxt, self.cache, self.ring, self.ring_cnt, self._sampler_state,
+        ) = self._step_fn(
             self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt, sub,
+            jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt,
+            self._sampler_state, sub, mask,
         )
         nxt = np.asarray(nxt)
         self.perf.t_decode_s += time.perf_counter() - t0
         self.perf.n_decode_tokens += len(active)
         for i in active:
+            tok = int(nxt[i])
+            g = self.slots[i].req.grammar
+            if g is not None and tok not in self.slots[i].req.stop_tokens:
+                g.accept(tok)
             # ring was already updated in-device for every slot; host mirrors
-            self._push_token_host_only(i, int(nxt[i]))
+            self._push_token_host_only(i, tok)
         return True
+
+    def _grammar_mask(self, active: list[int]):
+        """(n_slots, V) bool allowed-token mask, or None when no active slot
+        has a grammar (keeps the common path transfer-free)."""
+        grams = [
+            (i, self.slots[i].req.grammar)
+            for i in active
+            if self.slots[i].req.grammar is not None
+        ]
+        if not grams:
+            return None
+        v = self.cfg.vocab_size
+        # mask at the padded lm_head width; pad region already NEG_INF via
+        # _mask_pad_vocab, True here keeps it so
+        mask = np.ones((self.n_slots, self._vocab_p), bool)
+        for i, g in grams:
+            mask[i, :v] = g.mask()[:v]
+        return jnp.asarray(mask)
 
     def _push_token_host_only(self, i: int, tok: int):
         # device ring already updated inside the fused step

@@ -47,3 +47,31 @@ class Tokenizer:
     @property
     def bos_id(self) -> int | None:
         return self.tk.bos_token_id
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tk)
+
+    def pieces(self) -> list[str]:
+        """Decoded text of every vocab id — the grammar engine's view of the
+        vocabulary (src/llama-vocab.cpp token_to_piece analog).  Special
+        tokens decode to "" so grammars never emit them.  Cached."""
+        if getattr(self, "_pieces", None) is None:
+            n = len(self.tk)
+            special = set(self.tk.all_special_ids)
+            out = []
+            for i in range(n):
+                if i in special:
+                    out.append("")
+                else:
+                    out.append(self.tk.decode([i], skip_special_tokens=False))
+            self._pieces = out
+        return self._pieces
+
+    def make_grammar(self, gbnf: str):
+        """Build a GrammarSampler bound to this vocab (EOS allowed at
+        grammar accept states)."""
+        from vlut_tpu.runtime.grammar import GrammarSampler
+
+        eos = (self.eos_id,) if self.eos_id is not None else ()
+        return GrammarSampler(gbnf, self.pieces(), eos_ids=eos)
