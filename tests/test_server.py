@@ -17,6 +17,7 @@ class StubTokenizer:
 
     eos_id = 0
     bos_id = 1
+    tk = None  # no underlying HF tokenizer (infill FIM probing)
 
     def encode(self, text, add_bos=True):
         ids = [1] if add_bos else []
@@ -25,11 +26,20 @@ class StubTokenizer:
     def decode(self, ids):
         return "".join(chr(97 + (i % 26)) for i in ids if i >= 2)
 
-    def apply_chat_template(self, messages, add_generation_prompt=True):
+    def apply_chat_template(self, messages, add_generation_prompt=True,
+                            tools=None):
         out = [1]
         for m in messages:
             out += self.encode(m.get("content", ""), add_bos=False)
         return out
+
+    def pieces(self):
+        return [chr(97 + (i % 26)) if i >= 2 else "" for i in range(256)]
+
+    def make_grammar(self, gbnf):
+        from vlut_tpu.runtime.grammar import GrammarSampler
+
+        return GrammarSampler(gbnf, self.pieces(), eos_ids=(self.eos_id,))
 
 
 @pytest.fixture(scope="module")
@@ -93,3 +103,187 @@ def test_metrics_and_slots(server):
     status, data = _req(server, "GET", "/slots")
     assert status == 200
     assert len(json.loads(data)) == 2
+
+
+def test_props_and_models(server):
+    status, data = _req(server, "GET", "/props")
+    assert status == 200
+    props = json.loads(data)
+    assert props["n_slots"] == 2 and props["arch"] == "llama"
+    status, data = _req(server, "GET", "/v1/models")
+    assert status == 200
+    assert json.loads(data)["data"][0]["object"] == "model"
+
+
+def test_tokenize_detokenize(server):
+    status, data = _req(server, "POST", "/tokenize", {"content": "abc"})
+    assert status == 200
+    ids = json.loads(data)["tokens"]
+    assert len(ids) == 3
+    status, data = _req(server, "POST", "/detokenize", {"tokens": ids})
+    assert status == 200
+    assert isinstance(json.loads(data)["content"], str)
+
+
+def test_streaming_completion(server):
+    conn = http.client.HTTPConnection(*server, timeout=300)
+    conn.request(
+        "POST", "/completion",
+        body=json.dumps({"prompt": "hello", "n_predict": 4,
+                         "temperature": 0.0, "ignore_eos": True,
+                         "stream": True}),
+        headers={"Content-Type": "application/json"},
+    )
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+    raw = r.read().decode()
+    conn.close()
+    events = [
+        json.loads(line[6:])
+        for line in raw.splitlines()
+        if line.startswith("data: ") and line != "data: [DONE]"
+    ]
+    assert raw.rstrip().endswith("data: [DONE]")
+    assert events[-1]["stop"] is True
+    assert events[-1]["tokens_predicted"] == 4
+    text = "".join(e.get("content", "") for e in events)
+    # streamed deltas must equal the non-streamed completion
+    _, data = _req(
+        server, "POST", "/completion",
+        {"prompt": "hello", "n_predict": 4, "temperature": 0.0,
+         "ignore_eos": True},
+    )
+    assert text == json.loads(data)["content"]
+
+
+def test_streaming_chat(server):
+    conn = http.client.HTTPConnection(*server, timeout=300)
+    conn.request(
+        "POST", "/v1/chat/completions",
+        body=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 3, "temperature": 0.0,
+                         "ignore_eos": True, "stream": True}),
+        headers={"Content-Type": "application/json"},
+    )
+    r = conn.getresponse()
+    raw = r.read().decode()
+    conn.close()
+    chunks = [
+        json.loads(line[6:])
+        for line in raw.splitlines()
+        if line.startswith("data: ") and line != "data: [DONE]"
+    ]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_stop_strings(server):
+    # with temp 0 the model is deterministic; find its unconstrained text,
+    # then use a mid-text substring as the stop string
+    _, data = _req(
+        server, "POST", "/completion",
+        {"prompt": "stop test", "n_predict": 8, "temperature": 0.0,
+         "ignore_eos": True},
+    )
+    full = json.loads(data)["content"]
+    assert len(full) >= 4
+    stop = full[2:4]
+    _, data = _req(
+        server, "POST", "/completion",
+        {"prompt": "stop test", "n_predict": 8, "temperature": 0.0,
+         "ignore_eos": True, "stop": [stop]},
+    )
+    out = json.loads(data)["content"]
+    assert stop not in out
+    assert out == full[: full.find(stop)]
+
+
+def test_embeddings(server):
+    status, data = _req(
+        server, "POST", "/v1/embeddings",
+        {"input": ["hello world", "bye"]},
+    )
+    assert status == 200
+    out = json.loads(data)
+    assert len(out["data"]) == 2
+    import numpy as np
+
+    v0 = np.asarray(out["data"][0]["embedding"])
+    v1 = np.asarray(out["data"][1]["embedding"])
+    assert v0.shape == v1.shape and v0.shape[0] == PRESETS["tiny"].d_model
+    np.testing.assert_allclose(np.linalg.norm(v0), 1.0, rtol=1e-4)
+    assert not np.allclose(v0, v1)
+
+
+def test_embeddings_pooling_modes(server):
+    for pooling in ("mean", "last", "cls"):
+        status, data = _req(
+            server, "POST", "/embedding",
+            {"input": "abc", "pooling": pooling},
+        )
+        assert status == 200, pooling
+
+
+def test_rerank(server):
+    status, data = _req(
+        server, "POST", "/v1/rerank",
+        {"query": "hello", "documents": ["aa bb", "cc dd", "ee"],
+         "top_n": 2},
+    )
+    assert status == 200
+    out = json.loads(data)
+    assert len(out["results"]) == 2
+    scores = [r["relevance_score"] for r in out["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_grammar_constrained_completion(server):
+    status, data = _req(
+        server, "POST", "/completion",
+        {"prompt": "Q", "n_predict": 6, "temperature": 1.0,
+         "grammar": 'root ::= [a-d]+'},
+    )
+    assert status == 200
+    out = json.loads(data)["content"]
+    assert out and all(c in "abcd" for c in out)
+
+
+def test_slot_save_restore(server):
+    # run a request to populate slot history, then save/erase/restore
+    _req(server, "POST", "/completion",
+         {"prompt": "cache me", "n_predict": 2, "temperature": 0.0,
+          "ignore_eos": True})
+    status, data = _req(
+        server, "POST", "/slots/0?action=save", {"filename": "t0"}
+    )
+    assert status == 200
+    saved = json.loads(data)
+    assert saved["n_bytes"] > 0
+    status, data = _req(
+        server, "POST", "/slots/0?action=restore", {"filename": "t0"}
+    )
+    assert status == 200
+    assert json.loads(data)["n_restored"] == saved["n_saved"]
+    status, _ = _req(server, "POST", "/slots/0?action=erase", {})
+    assert status == 200
+    status, _ = _req(server, "POST", "/slots/9?action=save", {})
+    assert status == 400
+    status, _ = _req(server, "POST", "/slots/0?action=bogus", {})
+    assert status == 400
+
+
+def test_apply_template(server):
+    status, data = _req(
+        server, "POST", "/apply-template",
+        {"messages": [{"role": "user", "content": "yo"}]},
+    )
+    assert status == 200
+    assert isinstance(json.loads(data)["prompt"], str)
+
+
+def test_unknown_route_404(server):
+    status, _ = _req(server, "POST", "/nope", {})
+    assert status == 404
+    status, _ = _req(server, "GET", "/nope")
+    assert status == 404

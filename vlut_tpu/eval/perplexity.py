@@ -60,6 +60,24 @@ def perplexity(
     }
 
 
+def window_logprobs(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: np.ndarray,
+    impl: str = "auto",
+) -> np.ndarray:
+    """(len-1,) log p(tokens[i+1] | tokens[:i+1]) — the scoring primitive
+    behind rerank and multiple-choice evals."""
+    ids = jnp.asarray(np.asarray(tokens, np.int32))[None]
+    t = ids.shape[1]
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    logits, _ = forward(params, cfg, ids, pos, None, impl=impl)
+    logits = logits[0, :-1, : cfg.vocab_size].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    out = jnp.take_along_axis(logp, ids[0, 1:, None], axis=-1)[:, 0]
+    return np.asarray(out)
+
+
 def logits_compare(
     params: dict[str, Any],
     cfg: ModelConfig,

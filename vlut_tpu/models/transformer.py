@@ -315,6 +315,7 @@ def forward(
     logits_at: jax.Array | None = None,  # (B,) per-row index into T
     tp_axis: str | None = None,
     tp_size: int = 1,
+    output: str = "logits",  # "logits" | "hidden" (post-final-norm states)
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -423,6 +424,10 @@ def forward(
         new_cache = None
 
     x = _rms(x, params["final_norm"], cfg.rms_eps, cfg.d_model)
+    if output == "hidden":
+        # embeddings path (reference: llama_get_embeddings / pooling in
+        # src/llama-context.cpp) — final-norm hidden states, no lm_head
+        return x, new_cache
     if logits_at is not None:
         # project only the requested token per row (prefill wants one row's
         # logits; computing (B, T, V) for V=128k would waste HBM)

@@ -451,6 +451,25 @@ class Engine:
         self.slots[dst].history = list(self.slots[src].history)
         self.slots[dst].length = 0
 
+    def cancel(self, rid: int) -> bool:
+        """Abort a queued or running request (server stop-strings / client
+        disconnect).  A running slot keeps its KV history for prefix reuse."""
+        for j, r in enumerate(self.queue):
+            if r.rid == rid:
+                self.queue.pop(j)
+                r.done = True
+                return True
+        for slot in self.slots:
+            if slot.req is not None and slot.req.rid == rid:
+                req = slot.req
+                req.done = True
+                slot.history = list(req.prompt) + req.output[:-1]
+                slot.req = None
+                slot.length = 0
+                slot.generated = 0
+                return True
+        return False
+
     def run(self, reqs: list[Request], progress: bool = False) -> list[Request]:
         """Submit everything and loop until drained (batch entry point)."""
         for r in reqs:

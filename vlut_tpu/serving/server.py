@@ -6,13 +6,25 @@ stdlib ThreadingHTTPServer parks request threads on per-request events
 while a single engine thread drives Engine.step() continuously (continuous
 batching).  Endpoints (reference: tools/server/README.md:341+):
 
-  POST /completion, /v1/completions   — plain completion
-  POST /v1/chat/completions           — chat-template completion
+  POST /completion, /v1/completions   — plain completion (+SSE streaming)
+  POST /v1/chat/completions           — chat-template completion (+SSE)
+  POST /infill                        — fill-in-middle completion
+  POST /embedding, /v1/embeddings     — pooled final-hidden embeddings
+  POST /rerank, /v1/rerank            — query/document relevance scores
+  POST /tokenize, /detokenize         — vocab round-trips
+  POST /apply-template                — chat template expansion only
+  POST /slots/{id}?action=save|restore|erase — slot KV state management
   GET  /health                        — liveness (reference :343)
   GET  /metrics                       — Prometheus text (reference :988)
   GET  /slots                         — slot introspection
+  GET  /props, /v1/models             — model/server properties
 
-No SSE streaming yet (queued work); responses are returned whole.
+Request fields mirror the reference's completion API: prompt, n_predict /
+max_tokens, temperature, top_k, top_p, min_p, typ_p, xtc_probability,
+xtc_threshold, top_n_sigma, mirostat{,_tau,_eta}, dynatemp_{range,exponent},
+repeat_penalty, presence_penalty, frequency_penalty, dry_{multiplier,base,
+allowed_length}, logit_bias, seed, stop (strings), grammar (GBNF),
+json_schema / response_format, stream, ignore_eos.
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
+from urllib.parse import parse_qs, urlparse
 
 from vlut_tpu.runtime.engine import Engine, Request
 from vlut_tpu.runtime.sampling import SamplerParams
@@ -29,21 +42,29 @@ from vlut_tpu.utils.tokenizer import Tokenizer
 
 
 class ServerState:
-    def __init__(self, engine: Engine, tokenizer: Tokenizer):
+    def __init__(self, engine: Engine, tokenizer: Tokenizer,
+                 model_name: str = "vlut-tpu"):
         self.engine = engine
         self.tok = tokenizer
+        self.model_name = model_name
         self.lock = threading.Lock()
         self.events: dict[int, threading.Event] = {}
         self.metrics = {
             "prompt_tokens_total": 0,
             "generated_tokens_total": 0,
             "requests_total": 0,
+            "requests_errors_total": 0,
         }
+        self.slot_files: dict[str, bytes] = {}  # in-memory slot save area
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
+        self._embed_fn = None
 
     def start(self):
         self.thread.start()
+
+    def stop(self):
+        self.running = False
 
     def _loop(self):
         while self.running:
@@ -67,33 +88,197 @@ class ServerState:
                 return False
         return True
 
-    def submit_and_wait(self, req: Request, timeout: float = 600.0):
+    def submit(self, req: Request) -> threading.Event:
         ev = threading.Event()
         with self.lock:
             rid = self.engine.submit(req)
             self.events[rid] = ev
             self.metrics["requests_total"] += 1
             self.metrics["prompt_tokens_total"] += len(req.prompt)
-        ok = ev.wait(timeout)
+        return ev
+
+    def finish(self, req: Request):
         with self.lock:
-            self.events.pop(rid, None)
+            self.events.pop(req.rid, None)
             self.metrics["generated_tokens_total"] += len(req.output)
-        if not ok:
-            raise TimeoutError(f"request {rid} timed out")
-        return req
+
+    def cancel(self, req: Request):
+        with self.lock:
+            self.engine.cancel(req.rid)
+            ev = self.events.pop(req.rid, None)
+        if ev:
+            ev.set()
+
+    # --- embeddings (pooled final-hidden states) --------------------------
+
+    def embed(self, ids_list: list[list[int]], pooling: str = "mean"):
+        """Batched embedding over token id lists.  Pooling: mean | last |
+        cls (reference: llama_pooling_type, src/llama-context.cpp)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.transformer import forward
+
+        cfg = self.engine.cfg
+        t_max = max(1, max(len(x) for x in ids_list))
+        # pad to a bucket to bound recompiles
+        bucket = 16
+        while bucket < t_max:
+            bucket *= 2
+        b = len(ids_list)
+        toks = np.zeros((b, bucket), np.int32)
+        pos = np.zeros((b, bucket), np.int32)
+        lens = np.asarray([len(x) for x in ids_list], np.int32)
+        for i, ids in enumerate(ids_list):
+            toks[i, : len(ids)] = ids
+            pos[i, : bucket] = np.arange(bucket)
+
+        if self._embed_fn is None:
+            @jax.jit
+            def _embed(params, toks, pos, lens):
+                hidden, _ = forward(
+                    params, cfg, toks, pos, None, output="hidden"
+                )
+                hidden = hidden.astype(jnp.float32)
+                t = hidden.shape[1]
+                valid = (jnp.arange(t)[None, :] < lens[:, None])
+                mean = (hidden * valid[..., None]).sum(1) / jnp.maximum(
+                    lens[:, None], 1
+                )
+                last = hidden[jnp.arange(hidden.shape[0]), lens - 1]
+                cls = hidden[:, 0]
+                return mean, last, cls
+
+            self._embed_fn = _embed
+
+        with self.lock:
+            mean, last, cls = self._embed_fn(
+                self.engine.params, jnp.asarray(toks), jnp.asarray(pos),
+                jnp.asarray(lens),
+            )
+        out = {"mean": mean, "last": last, "cls": cls}[pooling]
+        out = np.asarray(out)
+        # L2-normalize (reference: embd_normalize default 2 in server)
+        norms = np.linalg.norm(out, axis=-1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
+
+    def rerank(self, query_ids, doc_ids_list):
+        """Relevance score per (query, doc): mean log-prob of the document
+        tokens conditioned on the query (likelihood scoring).
+
+        The reference serves dedicated reranker checkpoints with a rank
+        head (tools/server /rerank); generative checkpoints here score by
+        conditional likelihood instead — same API, monotone-equivalent use.
+        """
+        import numpy as np
+
+        from vlut_tpu.eval.perplexity import window_logprobs
+
+        scores = []
+        for doc in doc_ids_list:
+            ids = list(query_ids) + list(doc)
+            with self.lock:
+                lp = window_logprobs(
+                    self.engine.params, self.engine.cfg,
+                    np.asarray(ids, np.int32),
+                )
+            tail = lp[len(query_ids) - 1 :]
+            scores.append(float(np.mean(tail)) if len(tail) else 0.0)
+        return scores
 
 
 def _sampler_from_body(body: dict[str, Any]) -> SamplerParams:
+    bias: list[tuple[int, float]] = []
+    lb = body.get("logit_bias")
+    if isinstance(lb, dict):
+        bias = [(int(k), float(v)) for k, v in lb.items()]
+    elif isinstance(lb, list):
+        bias = [(int(t), float(v)) for t, v in lb]
+    mirostat = int(body.get("mirostat", 0))
     return SamplerParams(
         temperature=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
+        typical_p=float(body.get("typ_p", body.get("typical_p", 1.0))),
+        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
+        xtc_p=float(body.get("xtc_probability", 0.0)),
+        xtc_t=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", 0.0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)) if mirostat else 0.0,
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
         repeat_penalty=float(body.get("repeat_penalty", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        dry_base=float(body.get("dry_base", 1.75)),
+        dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+        logit_bias=tuple(bias),
         seed=int(body.get("seed", 0)),
     )
+
+
+def _grammar_from_body(body: dict[str, Any], tok: Tokenizer):
+    from vlut_tpu.runtime.grammar import json_schema_to_gbnf
+
+    if body.get("grammar"):
+        return tok.make_grammar(body["grammar"])
+    schema = body.get("json_schema")
+    rf = body.get("response_format") or {}
+    if schema is None and rf.get("type") == "json_schema":
+        schema = (rf.get("json_schema") or {}).get("schema", {})
+    if schema is None and rf.get("type") == "json_object":
+        schema = {}
+    if schema is not None:
+        return tok.make_grammar(json_schema_to_gbnf(schema))
+    return None
+
+
+def _parse_tool_calls(text: str):
+    """Best-effort tool-call extraction (reference: common/chat.cpp parsers).
+
+    Recognizes Hermes/Qwen-style <tool_call>{...}</tool_call> blocks and
+    bare top-level JSON objects with a "name" + "arguments" shape."""
+    calls = []
+    rest = text
+    import re
+
+    for m in re.finditer(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", text,
+                         re.DOTALL):
+        try:
+            obj = json.loads(m.group(1))
+            calls.append(obj)
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(r"<tool_call>.*?</tool_call>", "", text,
+                      flags=re.DOTALL).strip()
+        return calls, rest
+    stripped = text.strip()
+    if stripped.startswith("{"):
+        try:
+            obj = json.loads(stripped)
+            if isinstance(obj, dict) and "name" in obj and (
+                "arguments" in obj or "parameters" in obj
+            ):
+                return [obj], ""
+        except json.JSONDecodeError:
+            pass
+    return [], text
+
+
+def _split_reasoning(text: str):
+    """<think>...</think> reasoning split (reference: server reasoning_
+    content handling for R1/Qwen-style models)."""
+    import re
+
+    m = re.match(r"\s*<think>(.*?)</think>(.*)", text, re.DOTALL)
+    if m:
+        return m.group(1).strip(), m.group(2).strip()
+    return None, text
 
 
 def make_handler(state: ServerState):
@@ -111,10 +296,24 @@ def make_handler(state: ServerState):
             self.end_headers()
             self.wfile.write(data)
 
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+        def _sse(self, obj: Any):
+            self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+            self.wfile.flush()
+
+        # --- GET -----------------------------------------------------------
+
         def do_GET(self):
-            if self.path == "/health":
+            path = urlparse(self.path).path
+            if path == "/health":
                 self._json(200, {"status": "ok"})
-            elif self.path == "/metrics":
+            elif path == "/metrics":
                 lines = []
                 for k, v in state.metrics.items():
                     lines.append(f"# TYPE vlut_{k} counter")
@@ -124,25 +323,51 @@ def make_handler(state: ServerState):
                 )
                 lines.append("# TYPE vlut_slots_busy gauge")
                 lines.append(f"vlut_slots_busy {busy}")
+                lines.append("# TYPE vlut_slots_total gauge")
+                lines.append(f"vlut_slots_total {state.engine.n_slots}")
                 data = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
-            elif self.path == "/slots":
+            elif path == "/slots":
                 slots = [
                     {
                         "id": i,
                         "busy": s.req is not None,
                         "length": s.length,
                         "generated": s.generated,
+                        "cached_tokens": len(s.history),
                     }
                     for i, s in enumerate(state.engine.slots)
                 ]
                 self._json(200, slots)
+            elif path == "/props":
+                cfg = state.engine.cfg
+                self._json(200, {
+                    "model": state.model_name,
+                    "n_ctx": state.engine.max_len,
+                    "n_slots": state.engine.n_slots,
+                    "arch": cfg.arch,
+                    "weight_fmt": cfg.weight_fmt,
+                    "vocab_size": cfg.vocab_size,
+                    "bos_token_id": state.tok.bos_id,
+                    "eos_token_id": state.tok.eos_id,
+                })
+            elif path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{
+                        "id": state.model_name,
+                        "object": "model",
+                        "owned_by": "vlut-tpu",
+                    }],
+                })
             else:
                 self._json(404, {"error": "not found"})
+
+        # --- POST ----------------------------------------------------------
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -151,35 +376,121 @@ def make_handler(state: ServerState):
             except json.JSONDecodeError:
                 self._json(400, {"error": "bad json"})
                 return
+            parsed = urlparse(self.path)
+            path = parsed.path
             try:
-                if self.path in ("/completion", "/v1/completions"):
+                if path in ("/completion", "/completions", "/v1/completions"):
                     self._completion(body)
-                elif self.path == "/v1/chat/completions":
+                elif path == "/v1/chat/completions":
                     self._chat(body)
+                elif path == "/infill":
+                    self._infill(body)
+                elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                    self._embedding(body)
+                elif path in ("/rerank", "/reranking", "/v1/rerank"):
+                    self._rerank(body)
+                elif path == "/tokenize":
+                    ids = state.tok.encode(
+                        body.get("content", ""),
+                        add_bos=bool(body.get("add_special", False)),
+                    )
+                    self._json(200, {"tokens": ids})
+                elif path == "/detokenize":
+                    self._json(200, {
+                        "content": state.tok.decode(body.get("tokens", []))
+                    })
+                elif path == "/apply-template":
+                    ids = state.tok.apply_chat_template(
+                        body.get("messages", [])
+                    )
+                    self._json(200, {"prompt": state.tok.decode(ids)})
+                elif path.startswith("/slots/"):
+                    self._slot_action(path, parsed.query, body)
                 else:
                     self._json(404, {"error": "not found"})
+            except BrokenPipeError:
+                pass
             except Exception as e:  # noqa: BLE001
+                state.metrics["requests_errors_total"] += 1
                 self._json(500, {"error": str(e)})
 
-        def _run(self, prompt_ids, body):
-            stop = ()
+        # --- core run loop with stop strings + optional streaming ---------
+
+        def _make_request(self, prompt_ids, body):
+            stop_tok = ()
             if state.tok.eos_id is not None and not body.get(
                 "ignore_eos", False
             ):
-                stop = (state.tok.eos_id,)
-            req = Request(
+                stop_tok = (state.tok.eos_id,)
+            return Request(
                 prompt=prompt_ids,
                 max_new_tokens=int(
                     body.get("n_predict", body.get("max_tokens", 128))
                 ),
                 sampler=_sampler_from_body(body),
-                stop_tokens=stop,
+                stop_tokens=stop_tok,
+                grammar=_grammar_from_body(body, state.tok),
             )
-            state.submit_and_wait(req)
-            out_ids = req.output
-            if out_ids and out_ids[-1] in stop:
-                out_ids = out_ids[:-1]
-            return req, state.tok.decode(out_ids)
+
+        def _stop_strings(self, body) -> list[str]:
+            stop = body.get("stop", [])
+            if isinstance(stop, str):
+                stop = [stop]
+            return [s for s in stop if s]
+
+        def _run_collect(self, req: Request, stops: list[str],
+                         on_delta=None) -> tuple[str, str]:
+            """Drive req to completion; returns (text, finish_reason).
+            Calls on_delta(new_text) as tokens stream in."""
+            ev = state.submit(req)
+            emitted = ""
+            finish = "stop"
+            stop_toks = set(req.stop_tokens)
+            try:
+                while True:
+                    done = ev.wait(0.02)
+                    with state.lock:
+                        out = list(req.output)
+                    vis = [t for t in out if t not in stop_toks]
+                    text = state.tok.decode(vis)
+                    # hold back a partial stop-string suffix
+                    cut = len(text)
+                    hit = None
+                    for s in stops:
+                        j = text.find(s)
+                        if j != -1 and (hit is None or j < hit):
+                            hit = j
+                    if hit is not None:
+                        text = text[:hit]
+                        state.cancel(req)
+                        finish = "stop"
+                        if on_delta and len(text) > len(emitted):
+                            on_delta(text[len(emitted):])
+                        emitted = text
+                        break
+                    safe = cut
+                    for s in stops:
+                        for k in range(1, len(s)):
+                            if text.endswith(s[:k]):
+                                safe = min(safe, len(text) - k)
+                    if on_delta and safe > len(emitted):
+                        on_delta(text[len(emitted):safe])
+                        emitted = text[:safe]
+                    if done:
+                        if on_delta and len(text) > len(emitted):
+                            on_delta(text[len(emitted):])
+                        emitted = text
+                        if (
+                            len(req.output) >= req.max_new_tokens
+                            and (not out or out[-1] not in stop_toks)
+                        ):
+                            finish = "length"
+                        break
+            finally:
+                state.finish(req)
+            return emitted, finish
+
+        # --- endpoints -----------------------------------------------------
 
         def _completion(self, body):
             prompt = body.get("prompt", "")
@@ -188,24 +499,95 @@ def make_handler(state: ServerState):
                 if isinstance(prompt, list)
                 else state.tok.encode(prompt)
             )
-            req, text = self._run(ids, body)
+            req = self._make_request(ids, body)
+            stops = self._stop_strings(body)
+            if body.get("stream"):
+                self._sse_start()
+                def emit(delta):
+                    self._sse({"content": delta, "stop": False})
+                text, finish = self._run_collect(req, stops, emit)
+                self._sse({
+                    "content": "", "stop": True,
+                    "stopped_limit": finish == "length",
+                    "tokens_predicted": len(req.output),
+                    "tokens_evaluated": len(req.prompt),
+                })
+                self.wfile.write(b"data: [DONE]\n\n")
+                return
+            text, finish = self._run_collect(req, stops)
             self._json(200, {
                 "content": text,
                 "tokens_predicted": len(req.output),
                 "tokens_evaluated": len(req.prompt),
                 "stop": True,
+                "stopped_limit": finish == "length",
             })
 
         def _chat(self, body):
             msgs = body.get("messages", [])
-            ids = state.tok.apply_chat_template(msgs)
-            req, text = self._run(ids, body)
+            tools = body.get("tools")
+            try:
+                ids = state.tok.apply_chat_template(msgs, tools=tools)
+            except TypeError:
+                ids = state.tok.apply_chat_template(msgs)
+            req = self._make_request(ids, body)
+            stops = self._stop_strings(body)
+            created = int(time.time())
+            cmpl_id = f"chatcmpl-{req.rid if req.rid >= 0 else created}"
+            if body.get("stream"):
+                self._sse_start()
+                def emit(delta):
+                    self._sse({
+                        "id": cmpl_id, "object": "chat.completion.chunk",
+                        "created": created, "model": state.model_name,
+                        "choices": [{
+                            "index": 0,
+                            "delta": {"content": delta},
+                            "finish_reason": None,
+                        }],
+                    })
+                text, finish = self._run_collect(req, stops, emit)
+                self._sse({
+                    "id": cmpl_id, "object": "chat.completion.chunk",
+                    "created": created, "model": state.model_name,
+                    "choices": [{
+                        "index": 0, "delta": {},
+                        "finish_reason": finish,
+                    }],
+                })
+                self.wfile.write(b"data: [DONE]\n\n")
+                return
+            text, finish = self._run_collect(req, stops)
+            reasoning, text = _split_reasoning(text)
+            calls, text = _parse_tool_calls(text) if tools else ([], text)
+            message: dict[str, Any] = {"role": "assistant", "content": text}
+            if reasoning:
+                message["reasoning_content"] = reasoning
+            if calls:
+                message["tool_calls"] = [
+                    {
+                        "id": f"call_{i}",
+                        "type": "function",
+                        "function": {
+                            "name": c.get("name", ""),
+                            "arguments": json.dumps(
+                                c.get("arguments", c.get("parameters", {}))
+                            ),
+                        },
+                    }
+                    for i, c in enumerate(calls)
+                ]
+                message["content"] = text or None
+                finish = "tool_calls"
             self._json(200, {
+                "id": cmpl_id,
                 "object": "chat.completion",
+                "created": created,
+                "model": state.model_name,
                 "choices": [{
                     "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": "stop",
+                    "message": message,
+                    "finish_reason": finish,
                 }],
                 "usage": {
                     "prompt_tokens": len(req.prompt),
@@ -213,6 +595,113 @@ def make_handler(state: ServerState):
                     "total_tokens": len(req.prompt) + len(req.output),
                 },
             })
+
+        def _infill(self, body):
+            """Fill-in-middle: input_prefix + input_suffix around the cursor
+            (reference: tools/server /infill; FIM token ids from tokenizer
+            special tokens when present, else plain concatenation)."""
+            prefix = body.get("input_prefix", "")
+            suffix = body.get("input_suffix", "")
+            tk = state.tok.tk
+            fim_pre = getattr(tk, "fim_prefix_token_id", None)
+            fim_suf = getattr(tk, "fim_suffix_token_id", None)
+            fim_mid = getattr(tk, "fim_middle_token_id", None)
+            if None not in (fim_pre, fim_suf, fim_mid):
+                ids = (
+                    [fim_pre] + state.tok.encode(prefix, add_bos=False)
+                    + [fim_suf] + state.tok.encode(suffix, add_bos=False)
+                    + [fim_mid]
+                )
+            else:
+                ids = state.tok.encode(prefix, add_bos=True)
+            req = self._make_request(ids, body)
+            text, finish = self._run_collect(req, self._stop_strings(body))
+            self._json(200, {
+                "content": text,
+                "tokens_predicted": len(req.output),
+                "stop": True,
+            })
+
+        def _embedding(self, body):
+            inp = body.get("input", body.get("content", ""))
+            if isinstance(inp, str):
+                inp = [inp]
+            ids_list = [
+                x if isinstance(x, list) else state.tok.encode(x)
+                for x in inp
+            ]
+            pooling = body.get("pooling", "mean")
+            vecs = state.embed(ids_list, pooling=pooling)
+            self._json(200, {
+                "object": "list",
+                "data": [
+                    {
+                        "object": "embedding",
+                        "index": i,
+                        "embedding": v.tolist(),
+                    }
+                    for i, v in enumerate(vecs)
+                ],
+                "model": state.model_name,
+                "usage": {
+                    "prompt_tokens": sum(len(x) for x in ids_list),
+                    "total_tokens": sum(len(x) for x in ids_list),
+                },
+            })
+
+        def _rerank(self, body):
+            query = body.get("query", "")
+            docs = body.get("documents", [])
+            q_ids = state.tok.encode(query)
+            d_ids = [state.tok.encode(d, add_bos=False) for d in docs]
+            scores = state.rerank(q_ids, d_ids)
+            order = sorted(
+                range(len(scores)), key=lambda i: -scores[i]
+            )
+            top_n = int(body.get("top_n", len(docs)))
+            self._json(200, {
+                "model": state.model_name,
+                "results": [
+                    {"index": i, "relevance_score": scores[i]}
+                    for i in order[:top_n]
+                ],
+            })
+
+        def _slot_action(self, path, query, body):
+            try:
+                slot_id = int(path.split("/")[2])
+            except (IndexError, ValueError):
+                self._json(400, {"error": "bad slot id"})
+                return
+            action = (parse_qs(query).get("action") or [""])[0]
+            eng = state.engine
+            if not 0 <= slot_id < eng.n_slots:
+                self._json(400, {"error": "slot id out of range"})
+                return
+            name = body.get("filename", f"slot{slot_id}")
+            with state.lock:
+                if action == "save":
+                    data = eng.save_slot(slot_id)
+                    state.slot_files[name] = data
+                    self._json(200, {
+                        "id_slot": slot_id, "filename": name,
+                        "n_saved": len(eng.slots[slot_id].history),
+                        "n_bytes": len(data),
+                    })
+                elif action == "restore":
+                    if name not in state.slot_files:
+                        self._json(404, {"error": f"no saved state {name}"})
+                        return
+                    eng.restore_slot(slot_id, state.slot_files[name])
+                    self._json(200, {
+                        "id_slot": slot_id,
+                        "n_restored": len(eng.slots[slot_id].history),
+                    })
+                elif action == "erase":
+                    eng.slots[slot_id].history = []
+                    self._json(200, {"id_slot": slot_id, "n_erased": 1})
+                else:
+                    self._json(400, {"error": f"unknown action {action!r}"})
 
     return Handler
 
@@ -222,9 +711,10 @@ def serve(
     tokenizer: Tokenizer,
     host: str = "127.0.0.1",
     port: int = 8080,
+    model_name: str = "vlut-tpu",
 ) -> tuple[ThreadingHTTPServer, ServerState]:
     """Start engine loop + HTTP server (returns without blocking)."""
-    state = ServerState(engine, tokenizer)
+    state = ServerState(engine, tokenizer, model_name=model_name)
     state.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -251,7 +741,8 @@ def main(argv=None):
     params = jax.device_put(params)
     engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx)
     tok = Tokenizer(args.model)
-    httpd, _ = serve(engine, tok, args.host, args.port)
+    httpd, _ = serve(engine, tok, args.host, args.port,
+                     model_name=str(args.model))
     print(f"listening on http://{args.host}:{args.port}")
     try:
         while True:

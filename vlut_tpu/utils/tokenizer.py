@@ -30,13 +30,31 @@ class Tokenizer:
         return self.tk.decode(ids, skip_special_tokens=False)
 
     def apply_chat_template(
-        self, messages: list[dict[str, Any]], add_generation_prompt=True
+        self,
+        messages: list[dict[str, Any]],
+        add_generation_prompt=True,
+        tools: list[dict[str, Any]] | None = None,
     ) -> list[int]:
+        kwargs: dict[str, Any] = {}
+        if tools:
+            kwargs["tools"] = tools
+        if getattr(self.tk, "chat_template", None) is None:
+            # checkpoint carries no template: fall back to ChatML, the
+            # reference server's default (common/chat.cpp chatml fallback)
+            kwargs["chat_template"] = (
+                "{% for message in messages %}"
+                "{{'<|im_start|>' + message['role'] + '\n'"
+                " + message['content'] + '<|im_end|>' + '\n'}}"
+                "{% endfor %}"
+                "{% if add_generation_prompt %}"
+                "{{'<|im_start|>assistant\n'}}{% endif %}"
+            )
         return list(
             self.tk.apply_chat_template(
                 messages,
                 add_generation_prompt=add_generation_prompt,
                 tokenize=True,
+                **kwargs,
             )
         )
 
