@@ -158,3 +158,235 @@ def test_checkpoint_roundtrip_params(tmp_path):
         np.asarray(params["embed"], np.float32),
         np.asarray(jnp.asarray(p2["embed"]), np.float32),
     )
+
+
+# --- arch-superset conversion (qwen2/qwen3/mixtral/gemma2/phi3) -------------
+
+
+def _base_cfgd(**over):
+    d = {
+        "architectures": ["LlamaForCausalLM"],
+        "vocab_size": V,
+        "hidden_size": D,
+        "num_hidden_layers": L,
+        "num_attention_heads": H,
+        "num_key_value_heads": HKV,
+        "intermediate_size": F,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "max_position_embeddings": 128,
+        "tie_word_embeddings": False,
+    }
+    d.update(over)
+    return d
+
+
+def _tern(rng, shp):
+    return (rng.integers(-1, 2, size=shp) * 0.05).astype(np.float32)
+
+
+def _common_tensors(rng):
+    t = {
+        "model.embed_tokens.weight":
+            rng.standard_normal((V, D)).astype(np.float32),
+        "lm_head.weight": rng.standard_normal((V, D)).astype(np.float32),
+        "model.norm.weight": np.ones(D, np.float32),
+    }
+    return t
+
+
+def _fwd_ckpt(out_dir, t=6):
+    cfg, params, _ = load_checkpoint(out_dir)
+    params = {
+        k: (jnp.asarray(v) if not isinstance(v, dict) else v)
+        for k, v in params.items()
+    }
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, t)), jnp.int32)
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    logits, _ = forward(params, cfg, toks, pos, None, impl="xla")
+    return cfg, np.asarray(logits)
+
+
+def test_convert_qwen2_biases(tmp_path):
+    rng = np.random.default_rng(3)
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    (hf / "config.json").write_text(
+        json.dumps(_base_cfgd(architectures=["Qwen2ForCausalLM"],
+                              model_type="qwen2"))
+    )
+    tensors = _common_tensors(rng)
+    shapes = {
+        "self_attn.q_proj": (D, D),
+        "self_attn.k_proj": (D // 2, D),
+        "self_attn.v_proj": (D // 2, D),
+        "self_attn.o_proj": (D, D),
+        "mlp.gate_proj": (F, D),
+        "mlp.up_proj": (F, D),
+        "mlp.down_proj": (D, F),
+    }
+    for i in range(L):
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = np.ones(
+            D, np.float32)
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            np.ones(D, np.float32))
+        for sub, shp in shapes.items():
+            tensors[f"model.layers.{i}.{sub}.weight"] = _tern(rng, shp)
+        for sub in ("self_attn.q_proj", "self_attn.k_proj",
+                    "self_attn.v_proj"):
+            odim = shapes[sub][0]
+            tensors[f"model.layers.{i}.{sub}.bias"] = (
+                rng.standard_normal(odim).astype(np.float32) * 0.1)
+    save_file(tensors, str(hf / "model.safetensors"))
+    out = tmp_path / "ckpt"
+    cfg = convert_hf(hf, out)
+    assert cfg.qkv_bias
+    cfg2, logits = _fwd_ckpt(out)
+    assert "bq" in load_checkpoint(out)[1]["layers"]
+    assert np.isfinite(logits).all()
+
+
+def test_convert_mixtral_moe(tmp_path):
+    rng = np.random.default_rng(4)
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    E = 4
+    (hf / "config.json").write_text(json.dumps(_base_cfgd(
+        architectures=["MixtralForCausalLM"], model_type="mixtral",
+        num_local_experts=E, num_experts_per_tok=2,
+    )))
+    tensors = _common_tensors(rng)
+    for i in range(L):
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = np.ones(
+            D, np.float32)
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            np.ones(D, np.float32))
+        for sub, shp in (("self_attn.q_proj", (D, D)),
+                         ("self_attn.k_proj", (D // 2, D)),
+                         ("self_attn.v_proj", (D // 2, D)),
+                         ("self_attn.o_proj", (D, D))):
+            tensors[f"model.layers.{i}.{sub}.weight"] = _tern(rng, shp)
+        tensors[f"model.layers.{i}.block_sparse_moe.gate.weight"] = (
+            rng.standard_normal((E, D)).astype(np.float32))
+        for e in range(E):
+            pre = f"model.layers.{i}.block_sparse_moe.experts.{e}"
+            tensors[f"{pre}.w1.weight"] = _tern(rng, (F, D))
+            tensors[f"{pre}.w3.weight"] = _tern(rng, (F, D))
+            tensors[f"{pre}.w2.weight"] = _tern(rng, (D, F))
+    save_file(tensors, str(hf / "model.safetensors"))
+    out = tmp_path / "ckpt"
+    cfg = convert_hf(hf, out)
+    assert cfg.n_experts == E and cfg.n_experts_used == 2
+    _, params, _ = load_checkpoint(out)
+    assert params["layers"]["w_gate"]["packed"].shape[:2] == (L, E)
+    assert params["layers"]["router"].shape == (L, D, E)
+    _, logits = _fwd_ckpt(out)
+    assert np.isfinite(logits).all()
+
+
+def test_convert_gemma2_postnorms(tmp_path):
+    rng = np.random.default_rng(5)
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    (hf / "config.json").write_text(json.dumps(_base_cfgd(
+        architectures=["Gemma2ForCausalLM"], model_type="gemma2",
+        tie_word_embeddings=True, query_pre_attn_scalar=16,
+        sliding_window=8,
+    )))
+    tensors = _common_tensors(rng)
+    del tensors["lm_head.weight"]
+    for i in range(L):
+        for nm in ("input_layernorm", "post_attention_layernorm",
+                   "pre_feedforward_layernorm",
+                   "post_feedforward_layernorm"):
+            tensors[f"model.layers.{i}.{nm}.weight"] = np.zeros(
+                D, np.float32)
+        for sub, shp in (("self_attn.q_proj", (D, D)),
+                         ("self_attn.k_proj", (D // 2, D)),
+                         ("self_attn.v_proj", (D // 2, D)),
+                         ("self_attn.o_proj", (D, D)),
+                         ("mlp.gate_proj", (F, D)),
+                         ("mlp.up_proj", (F, D)),
+                         ("mlp.down_proj", (D, F))):
+            tensors[f"model.layers.{i}.{sub}.weight"] = _tern(rng, shp)
+    save_file(tensors, str(hf / "model.safetensors"))
+    out = tmp_path / "ckpt"
+    cfg = convert_hf(hf, out)
+    assert cfg.post_norms and cfg.norm_plus_one and cfg.act_fn == "gelu"
+    assert cfg.attn_scale == 16 ** -0.5
+    _, params, _ = load_checkpoint(out)
+    assert "post_attn_norm" in params["layers"]
+    assert "post_ffn_norm" in params["layers"]
+    _, logits = _fwd_ckpt(out)
+    assert np.isfinite(logits).all()
+    assert np.abs(logits).max() <= cfg.final_logit_softcap + 1e-3
+
+
+def test_convert_phi3_fused(tmp_path):
+    rng = np.random.default_rng(6)
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    (hf / "config.json").write_text(json.dumps(_base_cfgd(
+        architectures=["Phi3ForCausalLM"], model_type="phi3",
+    )))
+    tensors = _common_tensors(rng)
+    for i in range(L):
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = np.ones(
+            D, np.float32)
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            np.ones(D, np.float32))
+        # fused qkv (q_dim + 2*kv_dim rows) and gate_up (2F rows)
+        tensors[f"model.layers.{i}.self_attn.qkv_proj.weight"] = _tern(
+            rng, (D + D // 2 + D // 2, D))
+        tensors[f"model.layers.{i}.self_attn.o_proj.weight"] = _tern(
+            rng, (D, D))
+        tensors[f"model.layers.{i}.mlp.gate_up_proj.weight"] = _tern(
+            rng, (2 * F, D))
+        tensors[f"model.layers.{i}.mlp.down_proj.weight"] = _tern(
+            rng, (D, F))
+    save_file(tensors, str(hf / "model.safetensors"))
+    out = tmp_path / "ckpt"
+    convert_hf(hf, out)
+    _, params, _ = load_checkpoint(out)
+    for nm in ("wq", "wk", "wv", "w_gate", "w_up"):
+        assert nm in params["layers"]
+    _, logits = _fwd_ckpt(out)
+    assert np.isfinite(logits).all()
+
+
+def test_convert_qwen3_qk_norm(tmp_path):
+    rng = np.random.default_rng(7)
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    (hf / "config.json").write_text(json.dumps(_base_cfgd(
+        architectures=["Qwen3ForCausalLM"], model_type="qwen3",
+        head_dim=D // H,
+    )))
+    tensors = _common_tensors(rng)
+    hd = D // H
+    for i in range(L):
+        tensors[f"model.layers.{i}.input_layernorm.weight"] = np.ones(
+            D, np.float32)
+        tensors[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            np.ones(D, np.float32))
+        tensors[f"model.layers.{i}.self_attn.q_norm.weight"] = np.ones(
+            hd, np.float32)
+        tensors[f"model.layers.{i}.self_attn.k_norm.weight"] = np.ones(
+            hd, np.float32)
+        for sub, shp in (("self_attn.q_proj", (D, D)),
+                         ("self_attn.k_proj", (D // 2, D)),
+                         ("self_attn.v_proj", (D // 2, D)),
+                         ("self_attn.o_proj", (D, D)),
+                         ("mlp.gate_proj", (F, D)),
+                         ("mlp.up_proj", (F, D)),
+                         ("mlp.down_proj", (D, F))):
+            tensors[f"model.layers.{i}.{sub}.weight"] = _tern(rng, shp)
+    save_file(tensors, str(hf / "model.safetensors"))
+    out = tmp_path / "ckpt"
+    cfg = convert_hf(hf, out)
+    assert cfg.qk_norm
+    _, params, _ = load_checkpoint(out)
+    assert "q_norm" in params["layers"] and "k_norm" in params["layers"]
+    _, logits = _fwd_ckpt(out)
+    assert np.isfinite(logits).all()

@@ -21,15 +21,33 @@ class ModelConfig:
     n_heads: int
     n_kv_heads: int
     d_ff: int
-    arch: str = "llama"  # "llama" | "bitnet"
+    arch: str = "llama"  # "llama" | "bitnet" (family label; behavior below)
     head_dim: int | None = None
     rms_eps: float = 1e-5
     rope_theta: float = 10000.0
-    rope_scaling: dict[str, Any] | None = None  # llama3-style dict
+    rope_scaling: dict[str, Any] | None = None  # llama3/yarn/linear/longrope
     tie_embeddings: bool = False
     use_subnorms: bool = False  # bitnet attn/ffn sub-norms (src/models/bitnet.cpp)
     weight_fmt: str = "i2"  # "i2" (2.0 bpw) | "i1" (1.6 bpw)
     max_seq_len: int = 4096
+    # --- arch-superset switches (the reference's 103 per-arch graph builders
+    # collapse into config-driven options; src/models/*.cpp) ---------------
+    qkv_bias: bool = False        # qwen2-style q/k/v biases
+    qk_norm: bool = False         # qwen3/gemma3 per-head RMSNorm on q and k
+    act_fn: str = "silu"          # "silu" | "gelu" (gemma)
+    embed_scale: float = 0.0      # gemma: sqrt(d_model); 0 = off
+    post_norms: bool = False      # gemma2 post-attn/post-ffn RMSNorms
+    norm_plus_one: bool = False   # gemma RMSNorm uses (1 + w)
+    attn_logit_softcap: float = 0.0   # gemma2: 50.0
+    final_logit_softcap: float = 0.0  # gemma2: 30.0
+    attn_scale: float = 0.0       # custom 1/scale for QK^T; 0 = 1/sqrt(hd)
+    sliding_window: int = 0       # SWA width; 0 = all-global attention
+    sliding_window_pattern: int = 0  # every Nth layer is global (gemma2: 2)
+    # --- mixture of experts (mixtral/qwen-moe family; reference
+    # build_moe_ffn, src/llama-graph.cpp:1045) -----------------------------
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_norm_topk: bool = True    # renormalize the top-k router weights
     # checkpoints are packed with enough padding to shard evenly over any
     # tensor-parallel degree dividing tp_pack (see models/dims.py)
     tp_pack: int = 8
@@ -85,5 +103,33 @@ PRESETS: dict[str, ModelConfig] = {
         arch="bitnet", vocab_size=256, d_model=128, n_layers=2,
         n_heads=4, n_kv_heads=4, d_ff=256, max_seq_len=128,
         use_subnorms=True,
+    ),
+    # qwen3-style: qk-norm, no bias
+    "tiny_qwen3": ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
+        qk_norm=True, rms_eps=1e-6,
+    ),
+    # qwen2-style: qkv biases
+    "tiny_qwen2": ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
+        qkv_bias=True,
+    ),
+    # gemma2-style: gelu, embed scale, post-norms, softcaps, (1+w) norm,
+    # alternating sliding-window attention
+    "tiny_gemma2": ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
+        act_fn="gelu", embed_scale=128 ** 0.5, post_norms=True,
+        norm_plus_one=True, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, sliding_window=16,
+        sliding_window_pattern=2, tie_embeddings=True,
+    ),
+    # mixtral-style MoE: 4 experts, top-2
+    "tiny_moe": ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
+        n_experts=4, n_experts_used=2,
     ),
 }

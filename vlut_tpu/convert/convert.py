@@ -54,24 +54,89 @@ _NORM_MAP = {
     "self_attn.inner_attn_ln": "attn_sub_norm",
     "mlp.ffn_layernorm": "ffn_sub_norm",
     "post_attention_layernorm_2": "ffn_sub_norm",
+    # qwen3/gemma3 per-head q/k norms
+    "self_attn.q_norm": "q_norm",
+    "self_attn.k_norm": "k_norm",
+}
+# gemma2/gemma3 sandwich norms: post_attention_layernorm is the POST-attn
+# norm there, and the pre-FFN norm has its own name
+_NORM_MAP_POSTNORM = {
+    **_NORM_MAP,
+    "post_attention_layernorm": "post_attn_norm",
+    "pre_feedforward_layernorm": "ffn_norm",
+    "post_feedforward_layernorm": "post_ffn_norm",
+}
+_BIAS_MAP = {
+    "self_attn.q_proj": "bq",
+    "self_attn.k_proj": "bk",
+    "self_attn.v_proj": "bv",
+}
+# MoE: router + per-expert projections (mixtral w1/w3/w2 = gate/up/down)
+_MOE_EXPERT_RE = re.compile(
+    r"(?:block_sparse_moe|mlp)\.experts\.(\d+)\."
+    r"(w1|w2|w3|gate_proj|up_proj|down_proj)$"
+)
+_MOE_EXPERT_MAP = {
+    "w1": "w_gate", "w3": "w_up", "w2": "w_down",
+    "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
 }
 
 
 def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
+    """HF config.json -> ModelConfig.  Arch families map onto the
+    config-driven superset (the reference's per-arch graph builders,
+    src/models/*.cpp): llama/mistral, bitnet, qwen2(+moe), qwen3(+moe),
+    gemma/gemma2/gemma3, mixtral, phi3, falcon3/trilm (LLAMA-arch)."""
     raw = json.loads((hf_dir / "config.json").read_text())
     archs = raw.get("architectures", [])
+    mt = raw.get("model_type", "")
     is_bitnet = any("bitnet" in a.lower() for a in archs) or (
-        raw.get("model_type", "") in ("bitnet", "bitllama")
+        mt in ("bitnet", "bitllama")
     )
+    d_model = raw["hidden_size"]
+    extra: dict[str, Any] = {}
+    if mt == "qwen2" or mt == "qwen2_moe":
+        extra.update(qkv_bias=True)
+    if mt in ("qwen3", "qwen3_moe"):
+        extra.update(qk_norm=True)
+    if mt.startswith("gemma"):
+        extra.update(
+            act_fn="gelu", embed_scale=d_model ** 0.5, norm_plus_one=True,
+        )
+    if mt == "gemma2":
+        extra.update(
+            post_norms=True,
+            attn_logit_softcap=raw.get("attn_logit_softcapping", 50.0),
+            final_logit_softcap=raw.get("final_logit_softcapping", 30.0),
+            sliding_window=raw.get("sliding_window", 4096),
+            sliding_window_pattern=2,
+        )
+        qpas = raw.get("query_pre_attn_scalar")
+        if qpas:
+            extra.update(attn_scale=qpas ** -0.5)
+    if mt == "gemma3_text" or mt == "gemma3":
+        extra.update(
+            post_norms=True, qk_norm=True,
+            sliding_window=raw.get("sliding_window", 1024),
+            sliding_window_pattern=raw.get("sliding_window_pattern", 6),
+        )
+    n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
+    if n_experts:
+        extra.update(
+            n_experts=n_experts,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_norm_topk=raw.get("norm_topk_prob", True),
+            d_ff=raw.get("moe_intermediate_size", raw["intermediate_size"]),
+        )
     rope_scaling = raw.get("rope_scaling")
     return ModelConfig(
         arch="bitnet" if is_bitnet else "llama",
         vocab_size=raw["vocab_size"],
-        d_model=raw["hidden_size"],
+        d_model=d_model,
         n_layers=raw["num_hidden_layers"],
         n_heads=raw["num_attention_heads"],
         n_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
-        d_ff=raw["intermediate_size"],
+        d_ff=extra.pop("d_ff", raw["intermediate_size"]),
         head_dim=raw.get("head_dim"),
         rms_eps=raw.get("rms_norm_eps", 1e-5),
         rope_theta=raw.get("rope_theta", 10000.0),
@@ -79,6 +144,7 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         tie_embeddings=raw.get("tie_word_embeddings", False),
         use_subnorms=is_bitnet,
         max_seq_len=min(raw.get("max_position_embeddings", 4096), 131072),
+        **extra,
     )
 
 
@@ -143,11 +209,29 @@ def convert_hf(
     top: dict[str, Any] = {}
     per_layer: dict[str, dict[int, Any]] = {}
     n_approx = 0
+    plan = make_plan(cfg)
+    norm_map = _NORM_MAP_POSTNORM if cfg.post_norms else _NORM_MAP
 
-    def note_layer(pname: str, li: int, value):
-        per_layer.setdefault(pname, {})[li] = value
+    def note_layer(pname: str, li: int, value, expert: int | None = None):
+        if expert is None:
+            per_layer.setdefault(pname, {})[li] = value
+        else:
+            per_layer.setdefault(pname, {}).setdefault(li, {})[expert] = value
 
-    layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.weight$")
+    def pack_proj(pname: str, wf: np.ndarray, li: int,
+                  expert: int | None = None):
+        nonlocal n_approx
+        wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
+        exact, s = _is_exact_ternary(wf)
+        if exact:
+            trits = np.sign(wf).astype(np.int8)
+            scale = np.float32(s if s > 0 else 1.0)
+        else:
+            n_approx += 1
+            trits, scale = ternarize(wf)
+        note_layer(pname, li, pack_weight(pname, trits, scale, cfg), expert)
+
+    layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)$")
 
     for name, w in _iter_hf_tensors(hf_dir):
         if name.endswith("weight_scale"):
@@ -170,11 +254,20 @@ def convert_hf(
         if not m:
             log.warning("skipping unrecognized tensor %s", name)
             continue
-        li, sub = int(m.group(1)), m.group(2)
-        if sub in _NORM_MAP:
-            pname = _NORM_MAP[sub]
+        li, sub, kind = int(m.group(1)), m.group(2), m.group(3)
+        if kind == "bias":
+            if sub in _BIAS_MAP and cfg.qkv_bias:
+                pname = _BIAS_MAP[sub]
+                v = np.asarray(w, np.float32)
+                heads = cfg.n_heads if pname == "bq" else cfg.n_kv_heads
+                v = pad_vec_heads(v, heads, plan.hd, plan.hd_p)
+                note_layer(pname, li, v)
+            else:
+                log.warning("skipping bias tensor %s", name)
+            continue
+        if sub in norm_map:
+            pname = norm_map[sub]
             v = np.asarray(w, np.float32)
-            plan = make_plan(cfg)
             if pname == "attn_sub_norm":
                 v = pad_vec_heads(v, cfg.n_heads, plan.hd, plan.hd_p)
                 v = scatter_vec(
@@ -182,23 +275,45 @@ def convert_hf(
                 )
             elif pname == "ffn_sub_norm":
                 v = scatter_vec(v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
+            elif pname in ("q_norm", "k_norm"):
+                v = np.pad(v, (0, plan.hd_p - v.shape[0]))
             note_layer(pname, li, v)
+            continue
+        # MoE router + experts
+        if sub in ("block_sparse_moe.gate", "mlp.gate") and cfg.n_experts:
+            note_layer(
+                "router", li, np.asarray(w, np.float32).T  # (D, E)
+            )
+            continue
+        em = _MOE_EXPERT_RE.match(sub)
+        if em and cfg.n_experts:
+            pack_proj(
+                _MOE_EXPERT_MAP[em.group(2)],
+                _maybe_unpack_2bit(name, w, side_scales),
+                li, expert=int(em.group(1)),
+            )
+            continue
+        # phi3-style fused projections
+        if sub == "self_attn.qkv_proj":
+            wf = np.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), np.float32
+            )
+            qd, kvd = cfg.q_dim, cfg.kv_dim
+            pack_proj("wq", wf[:qd], li)
+            pack_proj("wk", wf[qd : qd + kvd], li)
+            pack_proj("wv", wf[qd + kvd :], li)
+            continue
+        if sub == "mlp.gate_up_proj":
+            wf = np.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), np.float32
+            )
+            pack_proj("w_gate", wf[: cfg.d_ff], li)
+            pack_proj("w_up", wf[cfg.d_ff :], li)
             continue
         if sub not in _PROJ_MAP:
             log.warning("skipping unrecognized layer tensor %s", name)
             continue
-        pname = _PROJ_MAP[sub]
-        wf = _maybe_unpack_2bit(name, w, side_scales)
-        wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
-        exact, s = _is_exact_ternary(wf)
-        if exact:
-            trits = np.sign(wf).astype(np.int8)
-            scale = np.float32(s if s > 0 else 1.0)
-        else:
-            n_approx += 1
-            trits, scale = ternarize(wf)
-        t = pack_weight(pname, trits, scale, cfg)
-        note_layer(pname, li, t)
+        pack_proj(_PROJ_MAP[sub], _maybe_unpack_2bit(name, w, side_scales), li)
 
     if n_approx:
         log.warning(
@@ -215,7 +330,26 @@ def convert_hf(
                 continue  # plain-llama checkpoints have no sub-norms
             raise ValueError(f"missing layers {missing} for {pname}")
         vals = [by_layer[i] for i in range(L)]
-        if hasattr(vals[0], "packed"):  # TernaryTensor
+        if isinstance(vals[0], dict):  # {expert: TernaryTensor} per layer
+            E = cfg.n_experts
+            for li, v in enumerate(vals):
+                if sorted(v.keys()) != list(range(E)):
+                    raise ValueError(
+                        f"layer {li} {pname}: experts {sorted(v)} != 0..{E-1}"
+                    )
+            layers[pname] = {
+                "packed": np.stack([
+                    np.stack([np.asarray(v[e].packed) for e in range(E)])
+                    for v in vals
+                ]),
+                "scale": np.stack([
+                    np.stack(
+                        [np.asarray(v[e].scale).reshape(()) for e in range(E)]
+                    )
+                    for v in vals
+                ]),
+            }
+        elif hasattr(vals[0], "packed"):  # TernaryTensor
             layers[pname] = {
                 "packed": np.stack([np.asarray(v.packed) for v in vals]),
                 "scale": np.stack(

@@ -81,6 +81,8 @@ def weight_specs(
         "wk": TernarySpec(d, kvd, fmt, kb),
         "wv": TernarySpec(d, kvd, fmt, kb),
         "wo": TernarySpec(wo_k, d, fmt, kb),
+        # for MoE (cfg.n_experts > 0) these are per-expert shapes; the packed
+        # arrays carry a leading experts dim consumed by the expert scan
         "w_gate": TernarySpec(d, ff, fmt, kb),
         "w_up": TernarySpec(d, ff, fmt, kb),
         "w_down": TernarySpec(ff, d, fmt, kb),
@@ -225,21 +227,34 @@ def init_params(
         "w_down": (cfg.d_ff, cfg.d_model),
     }
 
-    def stack_ternary(name: str):
+    def one_ternary(name: str):
+        k, n = logical_dims[name]
+        trits = rng.integers(-1, 2, size=(k, n), dtype=np.int8)
+        t = pack_weight(name, trits, np.float32(0.05), cfg, plan)
+        return np.asarray(t.packed), np.asarray(t.scale)
+
+    def stack_ternary(name: str, experts: int = 0):
         packed, scales = [], []
         for _ in range(cfg.n_layers):
-            k, n = logical_dims[name]
-            trits = rng.integers(-1, 2, size=(k, n), dtype=np.int8)
-            t = pack_weight(name, trits, np.float32(0.05), cfg, plan)
-            packed.append(np.asarray(t.packed))
-            scales.append(np.asarray(t.scale))
+            if experts:
+                ep, es = zip(*(one_ternary(name) for _ in range(experts)))
+                packed.append(np.stack(ep))
+                scales.append(np.stack(es))
+            else:
+                p, s = one_ternary(name)
+                packed.append(p)
+                scales.append(s)
         return {
             "packed": jnp.asarray(np.stack(packed)),
             "scale": jnp.asarray(np.stack(scales)),
         }
 
+    moe = cfg.n_experts
     layers: dict[str, Any] = {
-        name: stack_ternary(name) for name in logical_dims
+        name: stack_ternary(
+            name, experts=moe if name.startswith("w_") else 0
+        )
+        for name in logical_dims
     }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
@@ -249,6 +264,27 @@ def init_params(
         )
         layers["ffn_sub_norm"] = jnp.ones(
             (cfg.n_layers, plan.ff_p), jnp.float32
+        )
+    if cfg.qkv_bias:
+        for nm, width in (("bq", plan.q_dim_p), ("bk", plan.kv_dim_p),
+                          ("bv", plan.kv_dim_p)):
+            layers[nm] = jnp.asarray(
+                rng.standard_normal((cfg.n_layers, width)) * 0.02, jnp.float32
+            )
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((cfg.n_layers, plan.hd_p), jnp.float32)
+        layers["k_norm"] = jnp.ones((cfg.n_layers, plan.hd_p), jnp.float32)
+    if cfg.post_norms:
+        layers["post_attn_norm"] = jnp.ones(
+            (cfg.n_layers, cfg.d_model), jnp.float32
+        )
+        layers["post_ffn_norm"] = jnp.ones(
+            (cfg.n_layers, cfg.d_model), jnp.float32
+        )
+    if moe:
+        layers["router"] = jnp.asarray(
+            rng.standard_normal((cfg.n_layers, cfg.d_model, moe)) * 0.02,
+            jnp.float32,
         )
 
     embed = rng.standard_normal((cfg.vocab_size, cfg.d_model)) * 0.02
@@ -274,29 +310,40 @@ def init_kv_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _rms(x, weight, eps, n_logical, tp_axis=None):
+def _rms(x, weight, eps, n_logical, tp_axis=None, plus_one=False):
     """RMSNorm where zero-padded tails don't skew the mean and sharded dims
-    psum their sufficient statistics."""
+    psum their sufficient statistics.  plus_one: gemma-style (1 + w)."""
     xf = x.astype(jnp.float32)
     ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
     if tp_axis is not None:
         ss = jax.lax.psum(ss, tp_axis)
-    out = xf * jax.lax.rsqrt(ss / n_logical + eps) * weight.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = 1.0 + w
+    out = xf * jax.lax.rsqrt(ss / n_logical + eps) * w
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, q_pos, k_pos, hd_logical):
+def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
+               window=None):
+    """Causal GQA attention.  window: traced scalar — keys older than
+    q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
+    semantics); softcap: gemma2 tanh score capping."""
     b, t, h, hd = q.shape
     hkv = k.shape[2]
     g = h // hkv
-    qf = q.astype(jnp.float32) * (1.0 / np.sqrt(hd_logical))
+    qf = q.astype(jnp.float32) * (scale or 1.0 / np.sqrt(hd_logical))
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     qf = qf.reshape(b, t, hkv, g, hd)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf)
-    mask = (k_pos[:, None, None, None, :] <= q_pos[:, None, None, :, None]) & (
-        k_pos[:, None, None, None, :] >= 0
-    )
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
+    kp = k_pos[:, None, None, None, :]
+    qp = q_pos[:, None, None, :, None]
+    mask = (kp <= qp) & (kp >= 0)
+    if window is not None:
+        mask &= jnp.where(window > 0, kp > qp - window, True)
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
@@ -339,7 +386,22 @@ def forward(
     )
 
     x = params["embed"][tokens]  # (B, T, D)
+    if cfg.embed_scale:
+        # gemma scales embeddings by sqrt(d_model) (src/models/gemma*.cpp)
+        x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
     safe_pos = jnp.maximum(positions, 0)
+
+    # per-layer sliding window (0 = global): gemma2-style alternating
+    # pattern — every sliding_window_pattern-th layer is global
+    if cfg.sliding_window:
+        li = np.arange(cfg.n_layers)
+        pat = cfg.sliding_window_pattern
+        is_swa = (li % pat != pat - 1) if pat else np.ones_like(li, bool)
+        layer_window = jnp.asarray(
+            np.where(is_swa, cfg.sliding_window, 0), jnp.int32
+        )
+    else:
+        layer_window = jnp.zeros((cfg.n_layers,), jnp.int32)
 
     use_cache = kv_cache is not None
     if use_cache:
@@ -351,16 +413,26 @@ def forward(
 
     mm = lambda h_, lt: ternary_matmul(h_, lt, impl=impl)  # noqa: E731
 
-    def layer_step(x, xs):
-        lp, kc, vc = xs  # kc/vc: (B, S, Hkv_local, hd_p) or None
+    p1 = cfg.norm_plus_one
 
-        h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model)
+    def layer_step(x, xs):
+        lp, kc, vc, window = xs  # kc/vc: (B, S, Hkv_local, hd_p) or None
+
+        h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
         q = mm(h, _layer_tensor(lp, "wq", specs["wq"]))
         k = mm(h, _layer_tensor(lp, "wk", specs["wk"]))
         v = mm(h, _layer_tensor(lp, "wv", specs["wv"]))
+        if cfg.qkv_bias:
+            q = q + lp["bq"].astype(q.dtype)
+            k = k + lp["bk"].astype(k.dtype)
+            v = v + lp["bv"].astype(v.dtype)
         q = q.reshape(b, t, heads_l, hd_p)
         k = k.reshape(b, t, kv_heads_l, hd_p)
         v = v.reshape(b, t, kv_heads_l, hd_p)
+        if cfg.qk_norm:
+            # per-head RMSNorm over the (logical) head dim (qwen3/gemma3)
+            q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
+            k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
         q = apply_rope(q, safe_pos, cos, sin)
         k = apply_rope(k, safe_pos, cos, sin)
 
@@ -375,7 +447,11 @@ def forward(
         else:
             k_all, v_all = k, v
 
-        att = _attention(q, k_all, v_all, safe_pos, k_pos_row, plan.hd)
+        att = _attention(
+            q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
+            scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
+            window=window,
+        )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size
         att = att.reshape(b, t, chunks_l, plan.wo_chunk)
@@ -393,37 +469,111 @@ def forward(
         o = mm(att, _layer_tensor(lp, "wo", specs["wo"]))
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
+        if cfg.post_norms:
+            o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
+                     plus_one=p1)
         x = x + o.astype(x.dtype)
 
-        h = _rms(x, lp["ffn_norm"], cfg.rms_eps, cfg.d_model)
-        gate = mm(h, _layer_tensor(lp, "w_gate", specs["w_gate"]))
-        up = mm(h, _layer_tensor(lp, "w_up", specs["w_up"]))
-        act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
-        act = act.astype(x.dtype)
-        if cfg.use_subnorms:
-            act = _rms(
-                act, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff, tp_axis
+        h = _rms(x, lp["ffn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
+
+        act_f = (
+            jax.nn.silu if cfg.act_fn == "silu"
+            else lambda z: jax.nn.gelu(z, approximate=True)
+        )
+
+        def dense_ffn(hh, gate_t, up_t, down_t):
+            gate = mm(hh, gate_t)
+            up = mm(hh, up_t)
+            a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+            a = a.astype(x.dtype)
+            if cfg.use_subnorms:
+                a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
+                         tp_axis)
+            return mm(a, down_t)
+
+        if cfg.n_experts:
+            # MoE (build_moe_ffn analog, src/llama-graph.cpp:1045): router
+            # top-k combine.  Every expert's packed weights stream through
+            # the ternary matmul via an expert scan — static shapes, no
+            # gather/capacity machinery; optimal when tokens*k >= n_experts
+            # (the serving regime), and the weights are 2 bpw so a full
+            # sweep costs 1/8th of a bf16 MoE's bandwidth.
+            r_logits = jnp.einsum(
+                "btd,de->bte", h.astype(jnp.float32),
+                lp["router"].astype(jnp.float32),
             )
-        dn = mm(act, _layer_tensor(lp, "w_down", specs["w_down"]))
+            k_used = cfg.n_experts_used
+            top_vals, top_idx = jax.lax.top_k(r_logits, k_used)
+            if cfg.moe_norm_topk:
+                top_w = jax.nn.softmax(top_vals, axis=-1)
+            else:
+                probs = jax.nn.softmax(r_logits, axis=-1)
+                top_w = jnp.take_along_axis(probs, top_idx, axis=-1)
+            # dense (B, T, E) combine weights
+            comb = jnp.zeros_like(r_logits)
+            comb = jax.vmap(
+                lambda c, i, w: c.at[jnp.arange(t)[:, None], i].add(w)
+            )(comb, top_idx, top_w)
+
+            def expert_step(acc, exs):
+                gp, gs, up_, us, dp, ds, w_e = exs
+                out_e = dense_ffn(
+                    h,
+                    TernaryTensor(gp, gs, specs["w_gate"].k,
+                                  specs["w_gate"].n, specs["w_gate"].fmt,
+                                  specs["w_gate"].kb),
+                    TernaryTensor(up_, us, specs["w_up"].k,
+                                  specs["w_up"].n, specs["w_up"].fmt,
+                                  specs["w_up"].kb),
+                    TernaryTensor(dp, ds, specs["w_down"].k,
+                                  specs["w_down"].n, specs["w_down"].fmt,
+                                  specs["w_down"].kb),
+                )
+                return acc + w_e[..., None] * out_e.astype(jnp.float32), None
+
+            exs = (
+                lp["w_gate"]["packed"], lp["w_gate"]["scale"],
+                lp["w_up"]["packed"], lp["w_up"]["scale"],
+                lp["w_down"]["packed"], lp["w_down"]["scale"],
+                jnp.moveaxis(comb, -1, 0),  # (E, B, T)
+            )
+            dn, _ = jax.lax.scan(
+                expert_step, jnp.zeros((b, t, x.shape[-1]), jnp.float32), exs
+            )
+            dn = dn.astype(x.dtype)
+        else:
+            dn = dense_ffn(
+                h,
+                _layer_tensor(lp, "w_gate", specs["w_gate"]),
+                _layer_tensor(lp, "w_up", specs["w_up"]),
+                _layer_tensor(lp, "w_down", specs["w_down"]),
+            )
         if tp_axis is not None:
             dn = jax.lax.psum(dn, tp_axis)
+        if cfg.post_norms:
+            dn = _rms(dn, lp["post_ffn_norm"], cfg.rms_eps, cfg.d_model,
+                      plus_one=p1)
         x = x + dn.astype(x.dtype)
         return x, (kc, vc)
 
     if use_cache:
-        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        xs = (params["layers"], kv_cache["k"], kv_cache["v"], layer_window)
         x, (new_k, new_v) = jax.lax.scan(layer_step, x, xs)
         new_cache = {"k": new_k, "v": new_v}
     else:
-        dummy = jnp.zeros((cfg.n_layers,), jnp.int8)
         x, _ = jax.lax.scan(
-            lambda c, xs_: (layer_step(c, (xs_[0], None, None))[0], None),
+            lambda c, xs_: (
+                layer_step(c, (xs_[0], None, None, xs_[1]))[0], None
+            ),
             x,
-            (params["layers"], dummy),
+            (params["layers"], layer_window),
         )
         new_cache = None
 
-    x = _rms(x, params["final_norm"], cfg.rms_eps, cfg.d_model)
+    x = _rms(
+        x, params["final_norm"], cfg.rms_eps, cfg.d_model,
+        plus_one=cfg.norm_plus_one,
+    )
     if output == "hidden":
         # embeddings path (reference: llama_get_embeddings / pooling in
         # src/llama-context.cpp) — final-norm hidden states, no lm_head
@@ -442,4 +592,7 @@ def forward(
         head.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if cfg.final_logit_softcap:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
     return logits, new_cache

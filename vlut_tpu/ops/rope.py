@@ -14,11 +14,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _inv_freq(head_dim: int, theta: float, scaling: dict[str, Any] | None):
+def _inv_freq(
+    head_dim: int, theta: float, scaling: dict[str, Any] | None
+) -> tuple[jax.Array, float]:
+    """Returns (inv_freq, mscale).  Covers the reference's rope_scaling
+    modes (src/llama-model.cpp rope config + ggml rope ext): none, linear,
+    llama3, yarn, longrope."""
     inv = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
-    if scaling and scaling.get("rope_type", scaling.get("type")) == "llama3":
+    if not scaling:
+        return inv, 1.0
+    kind = scaling.get("rope_type", scaling.get("type"))
+    if kind == "llama3":
         factor = scaling.get("factor", 8.0)
         lo = scaling.get("low_freq_factor", 1.0)
         hi = scaling.get("high_freq_factor", 4.0)
@@ -27,7 +35,7 @@ def _inv_freq(head_dim: int, theta: float, scaling: dict[str, Any] | None):
         lo_wl = orig / lo
         hi_wl = orig / hi
         smooth = (orig / wavelen - lo) / (hi - lo)
-        scaled = jnp.where(
+        inv = jnp.where(
             wavelen > lo_wl,
             inv / factor,
             jnp.where(
@@ -36,8 +44,48 @@ def _inv_freq(head_dim: int, theta: float, scaling: dict[str, Any] | None):
                 (1 - smooth) * inv / factor + smooth * inv,
             ),
         )
-        inv = scaled
-    return inv
+        return inv, 1.0
+    if kind == "linear":
+        return inv / scaling.get("factor", 1.0), 1.0
+    if kind == "yarn":
+        # NTK-by-parts interpolation + attention temperature (mscale)
+        factor = scaling.get("factor", 1.0)
+        orig = scaling.get("original_max_position_embeddings", 4096)
+        beta_fast = scaling.get("beta_fast", 32.0)
+        beta_slow = scaling.get("beta_slow", 1.0)
+
+        def dim_for_rotations(n_rot):
+            return (
+                head_dim
+                * math.log(orig / (n_rot * 2 * math.pi))
+                / (2 * math.log(theta))
+            )
+
+        low = max(math.floor(dim_for_rotations(beta_fast)), 0)
+        high = min(math.ceil(dim_for_rotations(beta_slow)), head_dim - 1)
+        dims = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / 2
+        ramp = jnp.clip((dims - low) / max(high - low, 1e-3), 0.0, 1.0)
+        extrap_mask = 1.0 - ramp  # 1 = keep original freq (high-freq dims)
+        inv_interp = inv / factor
+        inv = inv * extrap_mask + inv_interp * (1.0 - extrap_mask)
+        attn_factor = scaling.get("attention_factor")
+        if attn_factor is None:
+            attn_factor = (
+                0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0
+            )
+        return inv, float(attn_factor)
+    if kind == "longrope":
+        # per-dim factors; short/long variants chosen by target length
+        factors = scaling.get("long_factor") or scaling.get("factor")
+        inv = inv / jnp.asarray(factors, jnp.float32)
+        orig = scaling.get("original_max_position_embeddings", 4096)
+        maxp = scaling.get("max_position_embeddings", orig)
+        s = maxp / orig
+        mscale = (
+            math.sqrt(1.0 + math.log(s) / math.log(orig)) if s > 1.0 else 1.0
+        )
+        return inv, float(mscale)
+    raise ValueError(f"unsupported rope scaling type: {kind!r}")
 
 
 def rope_table(
@@ -53,10 +101,10 @@ def rope_table(
     (cos=1, sin=0) for the padded-head-dim layout (models/dims.py) — the
     padded components are zero, so any rotation is a no-op there.
     """
-    inv = _inv_freq(head_dim, theta, scaling)
+    inv, mscale = _inv_freq(head_dim, theta, scaling)
     pos = jnp.arange(max_len, dtype=jnp.float32)
     ang = pos[:, None] * inv[None, :]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    cos, sin = jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
     if pad_to is not None and pad_to > head_dim:
         extra = (pad_to - head_dim) // 2
         cos = jnp.pad(cos, ((0, 0), (0, extra)), constant_values=1.0)
