@@ -79,3 +79,79 @@ def test_mesh_shapes():
     mesh = make_mesh(dp=2, tp=4)
     assert mesh.shape == {"dp": 2, "tp": 4}
     assert len(jax.devices()) == 8
+
+
+# --- ep / sp / pp (new parallel axes; SURVEY §2.3 taxonomy) ------------------
+
+
+def test_ep_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vlut_tpu.parallel.spmd import make_forward_ep
+
+    cfg = PRESETS["tiny_moe"]
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    b, t = 2, 8
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("ep",))
+    fwd = jax.jit(make_forward_ep(cfg, mesh, params, impl="xla"))
+    got = fwd(params, tokens, pos)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sp_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vlut_tpu.parallel.spmd import make_forward_sp
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    b, t = 2, 16  # t divides by sp=4
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+
+    devices = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("sp",))
+    fwd = jax.jit(make_forward_sp(cfg, mesh, impl="xla"))
+    got = fwd(params, tokens, pos)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_pp_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vlut_tpu.parallel.pipeline import make_forward_pp
+
+    cfg = PRESETS["tiny"]  # 2 layers -> pp=2, 1 layer per stage
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    b, t = 4, 8
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+
+    devices = np.asarray(jax.devices()[:2]).reshape(2)
+    mesh = Mesh(devices, ("pp",))
+    fwd = jax.jit(make_forward_pp(cfg, mesh, params, n_microbatches=2,
+                                  impl="xla"))
+    got = fwd(params, tokens, pos)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )

@@ -89,8 +89,12 @@ def weight_specs(
     }
 
 
-def _layer_tensor(layers: dict, name: str, spec: TernarySpec) -> TernaryTensor:
+def _layer_tensor(layers: dict, name: str, spec: TernarySpec):
     w = layers[name]
+    if "dense" in w:
+        # float-twin / QAT training path (train/finetune.py): a dense (K, N)
+        # array with gradients, used via plain dot instead of the int8 GEMM
+        return w["dense"]
     return TernaryTensor(
         packed=w["packed"], scale=w["scale"],
         k=spec.k, n=spec.n, fmt=spec.fmt, kb=spec.kb,
@@ -362,6 +366,9 @@ def forward(
     logits_at: jax.Array | None = None,  # (B,) per-row index into T
     tp_axis: str | None = None,
     tp_size: int = 1,
+    ep_axis: str | None = None,
+    ep_size: int = 1,
+    sp_axis: str | None = None,
     output: str = "logits",  # "logits" | "hidden" (post-final-norm states)
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
@@ -376,20 +383,11 @@ def forward(
     """
     b, t = tokens.shape
     plan = make_plan(cfg)
-    specs = weight_specs(cfg, tp=tp_size, plan=plan)
-    heads_l = cfg.n_heads // tp_size
-    kv_heads_l = cfg.n_kv_heads // tp_size
-    hd_p = plan.hd_p
-    cos, sin = rope_table(
-        cfg.max_seq_len, plan.hd, cfg.rope_theta, cfg.rope_scaling,
-        pad_to=hd_p,
-    )
 
     x = params["embed"][tokens]  # (B, T, D)
     if cfg.embed_scale:
         # gemma scales embeddings by sqrt(d_model) (src/models/gemma*.cpp)
         x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
-    safe_pos = jnp.maximum(positions, 0)
 
     # per-layer sliding window (0 = global): gemma2-style alternating
     # pattern — every sliding_window_pattern-th layer is global
@@ -403,15 +401,102 @@ def forward(
     else:
         layer_window = jnp.zeros((cfg.n_layers,), jnp.int32)
 
-    use_cache = kv_cache is not None
+    x, new_cache = run_layers(
+        params["layers"], x, positions, layer_window,
+        (kv_cache["k"], kv_cache["v"]) if kv_cache is not None else None,
+        cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
+        ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
+    )
+
+    x = _rms(
+        x, params["final_norm"], cfg.rms_eps, cfg.d_model,
+        plus_one=cfg.norm_plus_one,
+    )
+    if output == "hidden":
+        # embeddings path (reference: llama_get_embeddings / pooling in
+        # src/llama-context.cpp) — final-norm hidden states, no lm_head
+        return x, new_cache
+    if logits_at is not None:
+        # project only the requested token per row (prefill wants one row's
+        # logits; computing (B, T, V) for V=128k would waste HBM)
+        x = x[jnp.arange(b), logits_at][:, None]
+    elif logits_last_only:
+        x = x[:, -1:]
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = jnp.dot(
+        x.astype(jnp.float32),
+        head.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.final_logit_softcap:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, new_cache
+
+
+def run_layers(
+    layers: dict[str, Any],
+    x: jax.Array,  # (B, T, D)
+    positions: jax.Array,  # (B, T) int32; -1 marks padding tokens
+    layer_window: jax.Array,  # (L_local,) int32 per-layer SWA width (0=off)
+    kv: tuple[jax.Array, jax.Array] | None,  # stacked (L_local, B, S, H, hd)
+    *,
+    cfg: ModelConfig,
+    plan: DimPlan | None = None,
+    impl: str = "auto",
+    tp_axis: str | None = None,
+    tp_size: int = 1,
+    ep_axis: str | None = None,
+    ep_size: int = 1,
+    sp_axis: str | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array] | None]:
+    """Scan the transformer stack over a (possibly stage-local) layers tree.
+
+    Factored out of :func:`forward` so pipeline parallelism
+    (parallel/pipeline.py) can run a stage's layer slice on microbatches.
+    Parallel axes (all optional, composable under shard_map):
+
+    * ``tp_axis``  — megatron tensor parallel (psum after wo / w_down)
+    * ``ep_axis``  — expert parallel: the experts dim of MoE weights is
+      sharded; each shard computes its local experts' weighted outputs and
+      the combine psums over the axis
+    * ``sp_axis``  — sequence/context parallel for the cache-less path:
+      queries stay local to each T-shard, K/V (and their positions)
+      all-gather per layer (DeepSpeed-Ulysses-style gathered-KV CP)
+    """
+    plan = plan or make_plan(cfg)
+    specs = weight_specs(cfg, tp=tp_size, plan=plan)
+    heads_l = cfg.n_heads // tp_size
+    kv_heads_l = cfg.n_kv_heads // tp_size
+    hd_p = plan.hd_p
+    b, t = positions.shape
+    cos, sin = rope_table(
+        cfg.max_seq_len, plan.hd, cfg.rope_theta, cfg.rope_scaling,
+        pad_to=hd_p,
+    )
+    safe_pos = jnp.maximum(positions, 0)
+
+    use_cache = kv is not None
+    write_start = None
     if use_cache:
-        s = kv_cache["k"].shape[2]
+        s = kv[0].shape[2]
         k_pos_row = jnp.arange(s, dtype=jnp.int32)[None, :].repeat(b, axis=0)
         write_start = safe_pos[:, 0]
+    elif sp_axis is not None:
+        k_pos_row = jax.lax.all_gather(
+            positions, sp_axis, axis=1, tiled=True
+        )
     else:
         k_pos_row = positions
 
-    mm = lambda h_, lt: ternary_matmul(h_, lt, impl=impl)  # noqa: E731
+    def mm(h_, lt):
+        if isinstance(lt, jax.Array):  # dense float twin (training)
+            return jnp.dot(
+                h_.astype(lt.dtype), lt, preferred_element_type=jnp.float32
+            ).astype(h_.dtype)
+        return ternary_matmul(h_, lt, impl=impl)
 
     p1 = cfg.norm_plus_one
 
@@ -444,6 +529,11 @@ def forward(
                 lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
             )(vc, v.astype(vc.dtype), write_start)
             k_all, v_all = kc, vc
+        elif sp_axis is not None:
+            # context parallel: gather K/V across sequence shards; Q stays
+            # local so each shard computes its T/sp slice of the outputs
+            k_all = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
+            v_all = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
         else:
             k_all, v_all = k, v
 
@@ -514,32 +604,52 @@ def forward(
             comb = jax.vmap(
                 lambda c, i, w: c.at[jnp.arange(t)[:, None], i].add(w)
             )(comb, top_idx, top_w)
+            if ep_axis is not None:
+                # expert parallel: this shard holds E/ep experts; keep its
+                # combine-weight slice, psum the partial outputs below
+                e_local = cfg.n_experts // ep_size
+                off = jax.lax.axis_index(ep_axis) * e_local
+                comb = jax.lax.dynamic_slice_in_dim(
+                    comb, off, e_local, axis=2
+                )
+
+            dense_experts = "dense" in lp["w_gate"]
 
             def expert_step(acc, exs):
-                gp, gs, up_, us, dp, ds, w_e = exs
-                out_e = dense_ffn(
-                    h,
-                    TernaryTensor(gp, gs, specs["w_gate"].k,
-                                  specs["w_gate"].n, specs["w_gate"].fmt,
-                                  specs["w_gate"].kb),
-                    TernaryTensor(up_, us, specs["w_up"].k,
-                                  specs["w_up"].n, specs["w_up"].fmt,
-                                  specs["w_up"].kb),
-                    TernaryTensor(dp, ds, specs["w_down"].k,
-                                  specs["w_down"].n, specs["w_down"].fmt,
-                                  specs["w_down"].kb),
-                )
+                if dense_experts:
+                    gt, ut, dt, w_e = exs
+                else:
+                    gp, gs, up_, us, dp, ds, w_e = exs
+                    gt = TernaryTensor(gp, gs, specs["w_gate"].k,
+                                       specs["w_gate"].n,
+                                       specs["w_gate"].fmt,
+                                       specs["w_gate"].kb)
+                    ut = TernaryTensor(up_, us, specs["w_up"].k,
+                                       specs["w_up"].n, specs["w_up"].fmt,
+                                       specs["w_up"].kb)
+                    dt = TernaryTensor(dp, ds, specs["w_down"].k,
+                                       specs["w_down"].n,
+                                       specs["w_down"].fmt,
+                                       specs["w_down"].kb)
+                out_e = dense_ffn(h, gt, ut, dt)
                 return acc + w_e[..., None] * out_e.astype(jnp.float32), None
 
-            exs = (
-                lp["w_gate"]["packed"], lp["w_gate"]["scale"],
-                lp["w_up"]["packed"], lp["w_up"]["scale"],
-                lp["w_down"]["packed"], lp["w_down"]["scale"],
-                jnp.moveaxis(comb, -1, 0),  # (E, B, T)
-            )
+            comb_e = jnp.moveaxis(comb, -1, 0)  # (E, B, T)
+            if dense_experts:
+                exs = (lp["w_gate"]["dense"], lp["w_up"]["dense"],
+                       lp["w_down"]["dense"], comb_e)
+            else:
+                exs = (
+                    lp["w_gate"]["packed"], lp["w_gate"]["scale"],
+                    lp["w_up"]["packed"], lp["w_up"]["scale"],
+                    lp["w_down"]["packed"], lp["w_down"]["scale"],
+                    comb_e,
+                )
             dn, _ = jax.lax.scan(
                 expert_step, jnp.zeros((b, t, x.shape[-1]), jnp.float32), exs
             )
+            if ep_axis is not None:
+                dn = jax.lax.psum(dn, ep_axis)
             dn = dn.astype(x.dtype)
         else:
             dn = dense_ffn(
@@ -557,42 +667,14 @@ def forward(
         return x, (kc, vc)
 
     if use_cache:
-        xs = (params["layers"], kv_cache["k"], kv_cache["v"], layer_window)
+        xs = (layers, kv[0], kv[1], layer_window)
         x, (new_k, new_v) = jax.lax.scan(layer_step, x, xs)
-        new_cache = {"k": new_k, "v": new_v}
-    else:
-        x, _ = jax.lax.scan(
-            lambda c, xs_: (
-                layer_step(c, (xs_[0], None, None, xs_[1]))[0], None
-            ),
-            x,
-            (params["layers"], layer_window),
-        )
-        new_cache = None
-
-    x = _rms(
-        x, params["final_norm"], cfg.rms_eps, cfg.d_model,
-        plus_one=cfg.norm_plus_one,
+        return x, {"k": new_k, "v": new_v}
+    x, _ = jax.lax.scan(
+        lambda c, xs_: (
+            layer_step(c, (xs_[0], None, None, xs_[1]))[0], None
+        ),
+        x,
+        (layers, layer_window),
     )
-    if output == "hidden":
-        # embeddings path (reference: llama_get_embeddings / pooling in
-        # src/llama-context.cpp) — final-norm hidden states, no lm_head
-        return x, new_cache
-    if logits_at is not None:
-        # project only the requested token per row (prefill wants one row's
-        # logits; computing (B, T, V) for V=128k would waste HBM)
-        x = x[jnp.arange(b), logits_at][:, None]
-    elif logits_last_only:
-        x = x[:, -1:]
-    head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    logits = jnp.dot(
-        x.astype(jnp.float32),
-        head.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    if cfg.final_logit_softcap:
-        cap = cfg.final_logit_softcap
-        logits = cap * jnp.tanh(logits / cap)
-    return logits, new_cache
+    return x, None

@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.4.35
@@ -62,5 +63,73 @@ def make_forward_tp(
     out_specs = (P("dp", None, "tp"), cspecs)
     return shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+def make_forward_sp(cfg: ModelConfig, mesh: Mesh, impl: str = "auto"):
+    """Sequence/context-parallel cache-less forward: tokens shard over the
+    "sp" mesh axis along T, K/V all-gather per layer inside run_layers.
+    Params replicated.  Returns f(params, tokens, positions) -> logits with
+    the T dim sharded over "sp".  New capability vs the reference (it has no
+    CP at all, SURVEY §2.3)."""
+
+    def local_fn(params, tokens, positions):
+        logits, _ = forward(
+            params, cfg, tokens, positions, None, impl=impl, sp_axis="sp"
+        )
+        return logits
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    )
+
+
+def make_forward_ep(
+    cfg: ModelConfig, mesh: Mesh, params_tree: dict[str, Any],
+    impl: str = "auto",
+):
+    """Expert-parallel cache-less MoE forward: expert dim of w_gate/w_up/
+    w_down shards over "ep"; attention + router replicated; the combine
+    psums partial expert outputs over "ep" (replaces the reference's
+    single-device mul_mat_id MoE, src/llama-graph.cpp:1045)."""
+    ep = mesh.shape["ep"]
+
+    def espec(v):
+        return {k: P(*([None, "ep"] + [None] * (np.ndim(a) - 2)))
+                for k, a in v.items()}
+
+    lspecs = {
+        name: (
+            espec(v) if name in ("w_gate", "w_up", "w_down")
+            else jax.tree.map(
+                lambda a: P(*([None] * np.ndim(a))), v,
+                is_leaf=lambda a: not isinstance(a, dict),
+            )
+        )
+        for name, v in params_tree["layers"].items()
+    }
+    pspecs = {
+        k: (
+            {"layers": lspecs}["layers"] if k == "layers"
+            else P(*([None] * np.ndim(params_tree[k])))
+        )
+        for k in params_tree
+    }
+
+    def local_fn(params, tokens, positions):
+        logits, _ = forward(
+            params, cfg, tokens, positions, None, impl=impl,
+            ep_axis="ep", ep_size=ep,
+        )
+        return logits
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspecs, P(None, None), P(None, None)),
+        out_specs=P(None, None, None),
         check_vma=False,
     )
