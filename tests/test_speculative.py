@@ -70,3 +70,40 @@ def test_speculative_matches_greedy(draft_seed):
     if draft_seed == 0:
         # identical draft == target: acceptance should be high
         assert accs.mean() > 1.0
+
+
+def test_lookup_matches_greedy():
+    """Prompt-lookup decoding must also reproduce exact greedy output —
+    and on a repetitive prompt it should accept >0 drafts."""
+    from vlut_tpu.runtime.speculative import make_lookup_fn
+
+    params = init_params(CFG, seed=0)
+    b, n_new, k = 2, 12, 3
+    # repetitive prompt so the n-gram matcher has something to copy
+    base = [5, 9, 11, 5, 9, 11, 5, 9]
+    prompts = jnp.asarray([base, base[::-1]], jnp.int32)
+    t = prompts.shape[1]
+
+    ref = _greedy(params, prompts, n_new)
+
+    cache = init_kv_cache(CFG, b, max_len=64)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    lg, cache = forward(params, CFG, prompts, pos, cache, impl="xla",
+                        logits_at=jnp.full((b,), t - 1, jnp.int32))
+    last = jnp.argmax(lg[:, 0, : CFG.vocab_size], -1).astype(jnp.int32)
+    first = np.asarray(last)
+
+    hist = np.zeros((b, 64), np.int32)
+    hist[:, :t] = np.asarray(prompts)
+    hist[np.arange(b), t] = first
+    fn = make_lookup_fn(CFG, k_draft=k, max_new=n_new - 1, ngram=2,
+                        hist_len=64, impl="xla")
+    out, cnt, accs, _ = fn(
+        params, cache, jnp.asarray(hist), jnp.full((b,), t + 1, jnp.int32),
+        last, jnp.full((b,), t, jnp.int32),
+    )
+    assert (np.asarray(cnt) >= n_new - 1).all()
+    got = np.concatenate(
+        [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
+    )
+    np.testing.assert_array_equal(got, ref)

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -164,12 +165,51 @@ def cmd_ppl(args):
     tok = Tokenizer(args.model)
     text = open(args.file).read()
     ids = np.asarray(tok.encode(text), np.int32)
+    if args.save_logits:
+        from vlut_tpu.eval.tasks import save_logits
+
+        save_logits(params, cfg, ids, args.save_logits, window=args.window)
+        print(f"saved base logits to {args.save_logits}")
+        return
+    if args.kl_base:
+        from vlut_tpu.eval.tasks import kl_vs_saved
+
+        out = kl_vs_saved(params, cfg, args.kl_base)
+        print(json.dumps(out, indent=2))
+        return
     out = perplexity(params, cfg, ids, window=args.window)
     print(f"ppl = {out['ppl']:.4f} over {out['tokens']} tokens")
     if args.check_lossless:
         cmp = logits_compare(params, cfg, ids)
         print(f"quantized-vs-dequant: KL mean {cmp['kl_mean']:.3e}, "
               f"top1 {cmp['top1_agreement']*100:.2f}%")
+
+
+def cmd_eval(args):
+    from vlut_tpu.eval import tasks as T
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model)
+    tok = Tokenizer(args.model)
+    fn = {
+        "hellaswag": T.hellaswag_eval,
+        "winogrande": T.winogrande_eval,
+        "mc": T.multiple_choice_eval,
+    }[args.task]
+    out = fn(params, cfg, tok, args.file, limit=args.limit)
+    print(json.dumps(out, indent=2))
+
+
+def cmd_bench_sweep(args):
+    from vlut_tpu.bench.e2e import main as e2e_main
+
+    e2e_main(["sweep"] + args.rest)
+
+
+def cmd_batched_bench(args):
+    from vlut_tpu.bench.e2e import main as e2e_main
+
+    e2e_main(["batched"] + args.rest)
 
 
 def main(argv=None):
@@ -247,7 +287,27 @@ def main(argv=None):
     p.add_argument("-f", "--file", required=True)
     p.add_argument("--window", type=int, default=512)
     p.add_argument("--check-lossless", action="store_true")
+    p.add_argument("--save-logits", default=None,
+                   help="save fp16 base logits for later --kl-base runs")
+    p.add_argument("--kl-base", default=None,
+                   help="compare against logits saved via --save-logits")
     p.set_defaults(fn=cmd_ppl)
+
+    p = sub.add_parser("eval", help="accuracy tasks (perplexity.cpp analog)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--task", choices=("hellaswag", "winogrande", "mc"),
+                   required=True)
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench-sweep", help="llama-bench analog")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_bench_sweep)
+
+    p = sub.add_parser("batched-bench", help="batched-bench analog")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_batched_bench)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -129,3 +129,114 @@ def make_speculative_fn(
         return out[:, :max_new], cnt, accs, cache_t, cache_d
 
     return spec_generate
+
+
+def make_lookup_fn(
+    cfg: ModelConfig,
+    k_draft: int,
+    max_new: int,
+    ngram: int = 2,
+    hist_len: int = 512,
+    impl: str = "auto",
+) -> Callable:
+    """Prompt-lookup (n-gram) speculative decoding — no draft model.
+
+    The reference's lookup decoding (examples/lookup, common/ngram-cache.cpp)
+    drafts by matching the last n-gram against earlier context and copying
+    what followed it.  Device-side rewrite: the token history lives in a
+    fixed (B, hist_len) ring-free buffer; each round finds the most recent
+    earlier occurrence of the trailing n-gram with one vectorized compare,
+    proposes the k tokens that followed it, and the target verifies all k+1
+    positions in one forward (same acceptance rule as draft-model
+    speculation, so outputs equal plain greedy decoding).
+
+    Returns jitted f(params, cache, history, hist_cnt, last, lengths)
+    -> (out (B, max_new), n_generated (B,), accs, cache).
+    ``history`` holds prompt (+ any prior output) per row, ``hist_cnt`` its
+    valid length; ``last`` is the last decoded token (also in history).
+    """
+    n_rounds = max_new
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def lookup_generate(params, cache, history, hist_cnt, last, lengths):
+        b = history.shape[0]
+        h = history.shape[1]
+
+        def vocab_mask(logits):
+            v = logits.shape[-1]
+            if v != cfg.vocab_size:
+                logits = jnp.where(
+                    jnp.arange(v) < cfg.vocab_size, logits, -1e30
+                )
+            return logits
+
+        def propose(hist_row, cnt_row):
+            # trailing n-gram of the valid region
+            tail = jax.lax.dynamic_slice(
+                hist_row, (jnp.maximum(cnt_row - ngram, 0),), (ngram,)
+            )
+            # match[j] = hist[j:j+n] == tail, for j+n <= cnt - 1 (strictly
+            # earlier occurrence), j+n+k within buffer
+            idx = jnp.arange(h - ngram - k_draft)
+            win = jax.vmap(
+                lambda j: jax.lax.dynamic_slice(hist_row, (j,), (ngram,))
+            )(idx)
+            ok = (win == tail[None, :]).all(-1)
+            ok &= (idx + ngram) <= (cnt_row - 1)
+            any_match = ok.any()
+            j_best = jnp.where(any_match, jnp.argmax(
+                jnp.where(ok, idx, -1)
+            ), 0)
+            props = jax.lax.dynamic_slice(
+                hist_row, (j_best + ngram,), (k_draft,)
+            )
+            # no match: propose -1s (always rejected -> plain greedy round)
+            return jnp.where(any_match, props, -jnp.ones_like(props))
+
+        def round_step(carry, _):
+            last, lengths, cache, history, hist_cnt, out, cnt = carry
+            props = jax.vmap(propose)(history, hist_cnt)  # (B, K)
+
+            seq = jnp.concatenate([last[:, None], props], axis=1)
+            pos = lengths[:, None] + jnp.arange(k_draft + 1)[None, :]
+            lg, cache = forward(
+                params, cfg, jnp.maximum(seq, 0), pos.astype(jnp.int32),
+                cache, impl=impl,
+            )
+            tgt = jnp.argmax(
+                vocab_mask(lg.astype(jnp.float32)), -1
+            ).astype(jnp.int32)
+
+            match = tgt[:, :k_draft] == props
+            n_acc = jnp.argmin(
+                jnp.concatenate(
+                    [match, jnp.zeros((b, 1), bool)], axis=1
+                ).astype(jnp.int32),
+                axis=1,
+            )
+            emitted = tgt
+
+            def write_row(row, toks, off):
+                return jax.lax.dynamic_update_slice(row, toks, (off,))
+
+            out = jax.vmap(write_row)(out, emitted, cnt)
+            history = jax.vmap(write_row)(history, emitted, hist_cnt)
+            n_new = n_acc + 1
+            cnt = jnp.minimum(cnt + n_new, max_new)
+            hist_cnt = jnp.minimum(hist_cnt + n_new, h)
+            lengths = lengths + n_new
+            last = jnp.take_along_axis(emitted, n_acc[:, None], axis=1)[:, 0]
+            return (last, lengths, cache, history, hist_cnt, out, cnt), n_acc
+
+        out = jnp.zeros((b, max_new + k_draft + 1), jnp.int32)
+        cnt = jnp.zeros((b,), jnp.int32)
+        (last, lengths, cache, history, hist_cnt, out, cnt), accs = (
+            jax.lax.scan(
+                round_step,
+                (last, lengths, cache, history, hist_cnt, out, cnt),
+                None, length=n_rounds,
+            )
+        )
+        return out[:, :max_new], cnt, accs, cache
+
+    return lookup_generate
