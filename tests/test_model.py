@@ -106,3 +106,83 @@ def test_pallas_interpret_full_model():
     # model-level contract is quant-noise closeness + greedy invariance.
     np.testing.assert_allclose(a, bl, rtol=0.05, atol=0.05)
     assert (a.argmax(-1) == bl.argmax(-1)).all()
+
+
+def test_quantized_kv_cache_tracks_bf16():
+    """int8 KV (reference cache_type q8_0 analog): decode with a quantized
+    cache must track the fp cache closely and keep greedy agreement."""
+    cfg, params = _tiny()
+    b, t = 2, 12
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+
+    ref_cache = init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32)
+    ref, _ = forward(params, cfg, tokens, pos, ref_cache, impl="xla")
+
+    qcache = init_kv_cache(cfg, b, max_len=32, quantized=True)
+    assert qcache["k"].dtype == jnp.int8 and "k_scale" in qcache
+    got, qcache = forward(params, cfg, tokens, pos, qcache, impl="xla")
+    ra, ga = np.asarray(ref), np.asarray(got)
+    assert (ra.argmax(-1) == ga.argmax(-1)).mean() > 0.9
+    rel = np.abs(ga - ra).max() / (np.abs(ra).max() + 1e-9)
+    assert rel < 0.05
+
+    # incremental decode on the quantized cache stays finite + consistent
+    lg, qcache = forward(
+        params, cfg, tokens[:, :1], jnp.full((b, 1), t, jnp.int32), qcache,
+        impl="xla",
+    )
+    assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_quantized_kv_seq_ops_and_state():
+    from vlut_tpu.runtime import kv_cache as kvc
+    from vlut_tpu.runtime.state import load_slot_state, save_slot_state
+
+    cfg, params = _tiny()
+    qcache = init_kv_cache(cfg, 2, max_len=32, quantized=True)
+    tokens = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    view = {k: v[:, :1] for k, v in qcache.items()}
+    _, view = forward(params, cfg, tokens, pos, view, impl="xla")
+    qcache = {k: qcache[k].at[:, :1].set(view[k]) for k in qcache}
+
+    # seq_cp slot 0 -> 1 copies codes AND scales
+    c2 = kvc.seq_cp(
+        {k: v.copy() for k, v in qcache.items()},
+        jnp.int32(0), jnp.int32(1), jnp.int32(4),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c2["k"][:, 1, :4]), np.asarray(qcache["k"][:, 0, :4])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c2["k_scale"][:, 1, :4]),
+        np.asarray(qcache["k_scale"][:, 0, :4]),
+    )
+
+    # state save/restore round-trips all four arrays
+    blob = save_slot_state(qcache, 0, 4, [5, 6, 7, 8])
+    fresh = init_kv_cache(cfg, 2, max_len=32, quantized=True)
+    fresh, hist = load_slot_state(fresh, 0, blob)
+    assert hist == [5, 6, 7, 8]
+    np.testing.assert_array_equal(
+        np.asarray(fresh["k"][:, 0, :4]), np.asarray(qcache["k"][:, 0, :4])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fresh["v_scale"][:, 0, :4]),
+        np.asarray(qcache["v_scale"][:, 0, :4]),
+    )
+
+
+def test_engine_kv_quant_generates():
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg, params = _tiny()
+    eng = Engine(cfg, params, n_slots=2, max_len=64, impl="xla",
+                 kv_quant=True)
+    req = Request(prompt=[3, 5, 7], max_new_tokens=6,
+                  sampler=SamplerParams(temperature=0.0))
+    eng.run([req])
+    assert len(req.output) == 6

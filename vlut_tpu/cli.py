@@ -39,8 +39,14 @@ def cmd_generate(args):
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model)
+    if args.lora:
+        from vlut_tpu.runtime.lora import apply_lora, load_peft_adapter
+
+        adapter = load_peft_adapter(args.lora, cfg)
+        params = apply_lora(params, adapter, scale=args.lora_scale)
     tok = Tokenizer(args.model)
-    eng = Engine(cfg, params, n_slots=1, max_len=args.ctx)
+    eng = Engine(cfg, params, n_slots=1, max_len=args.ctx,
+                 kv_quant=(args.cache_type == "q8"))
     bias = []
     for spec in args.logit_bias or ():
         t, _, b = spec.partition(":")
@@ -256,6 +262,11 @@ def main(argv=None):
                    help="GBNF grammar constraining generation")
     p.add_argument("--json-schema", default=None,
                    help="JSON schema constraining generation (via GBNF)")
+    p.add_argument("--lora", default=None,
+                   help="HF PEFT LoRA adapter directory")
+    p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument("--cache-type", choices=("bf16", "q8"),
+                   default="bf16")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("batched")

@@ -306,12 +306,16 @@ def init_params(
 
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int | None = None,
-    dtype=jnp.bfloat16,
+    dtype=jnp.bfloat16, quantized: bool = False,
 ) -> dict[str, jax.Array]:
+    from vlut_tpu.runtime.kv_cache import new_cache
+
     plan = make_plan(cfg)
     s = max_len or cfg.max_seq_len
-    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, plan.hd_p)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    return new_cache(
+        cfg.n_layers, batch, s, cfg.n_kv_heads, plan.hd_p,
+        dtype=dtype, quantized=quantized,
+    )
 
 
 def _rms(x, weight, eps, n_logical, tp_axis=None, plus_one=False):
@@ -402,8 +406,7 @@ def forward(
         layer_window = jnp.zeros((cfg.n_layers,), jnp.int32)
 
     x, new_cache = run_layers(
-        params["layers"], x, positions, layer_window,
-        (kv_cache["k"], kv_cache["v"]) if kv_cache is not None else None,
+        params["layers"], x, positions, layer_window, kv_cache,
         cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
         ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
     )
@@ -441,7 +444,7 @@ def run_layers(
     x: jax.Array,  # (B, T, D)
     positions: jax.Array,  # (B, T) int32; -1 marks padding tokens
     layer_window: jax.Array,  # (L_local,) int32 per-layer SWA width (0=off)
-    kv: tuple[jax.Array, jax.Array] | None,  # stacked (L_local, B, S, H, hd)
+    kv: dict[str, jax.Array] | None,  # stacked (L_local, B, S, H, hd[, ...])
     *,
     cfg: ModelConfig,
     plan: DimPlan | None = None,
@@ -479,9 +482,10 @@ def run_layers(
     safe_pos = jnp.maximum(positions, 0)
 
     use_cache = kv is not None
+    quant_kv = use_cache and "k_scale" in kv
     write_start = None
     if use_cache:
-        s = kv[0].shape[2]
+        s = kv["k"].shape[2]
         k_pos_row = jnp.arange(s, dtype=jnp.int32)[None, :].repeat(b, axis=0)
         write_start = safe_pos[:, 0]
     elif sp_axis is not None:
@@ -500,13 +504,30 @@ def run_layers(
 
     p1 = cfg.norm_plus_one
 
+    def proj(h_, lp, name):
+        """Base matmul + optional LoRA delta (build_lora_mm analog,
+        src/llama-graph.cpp:668-692)."""
+        out = mm(h_, _layer_tensor(lp, name, specs[name]))
+        w = lp[name]
+        if isinstance(w, dict) and "lora_a" in w:
+            delta = jnp.dot(
+                jnp.dot(h_.astype(w["lora_a"].dtype), w["lora_a"]),
+                w["lora_b"],
+                preferred_element_type=jnp.float32,
+            )
+            out = out + (
+                delta.astype(jnp.float32) * w["lora_scale"]
+            ).astype(out.dtype)
+        return out
+
     def layer_step(x, xs):
-        lp, kc, vc, window = xs  # kc/vc: (B, S, Hkv_local, hd_p) or None
+        # kc/vc: (B, S, Hkv_local, hd_p) or None; ksc/vsc: int8-KV scales
+        lp, kc, vc, ksc, vsc, window = xs
 
         h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
-        q = mm(h, _layer_tensor(lp, "wq", specs["wq"]))
-        k = mm(h, _layer_tensor(lp, "wk", specs["wk"]))
-        v = mm(h, _layer_tensor(lp, "wv", specs["wv"]))
+        q = proj(h, lp, "wq")
+        k = proj(h, lp, "wk")
+        v = proj(h, lp, "wv")
         if cfg.qkv_bias:
             q = q + lp["bq"].astype(q.dtype)
             k = k + lp["bk"].astype(k.dtype)
@@ -522,13 +543,32 @@ def run_layers(
         k = apply_rope(k, safe_pos, cos, sin)
 
         if use_cache:
-            kc = jax.vmap(
+            upd3 = jax.vmap(
                 lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
-            )(kc, k.astype(kc.dtype), write_start)
-            vc = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
-            )(vc, v.astype(vc.dtype), write_start)
-            k_all, v_all = kc, vc
+            )
+            if quant_kv:
+                from vlut_tpu.runtime.kv_cache import (
+                    dequantize_kv,
+                    quantize_kv,
+                )
+
+                kq, ks_new = quantize_kv(k)
+                vq, vs_new = quantize_kv(v)
+                kc = upd3(kc, kq, write_start)
+                vc = upd3(vc, vq, write_start)
+                upd2 = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice(
+                        c, u, (p, 0)
+                    )
+                )
+                ksc = upd2(ksc, ks_new, write_start)
+                vsc = upd2(vsc, vs_new, write_start)
+                k_all = dequantize_kv(kc, ksc)
+                v_all = dequantize_kv(vc, vsc)
+            else:
+                kc = upd3(kc, k.astype(kc.dtype), write_start)
+                vc = upd3(vc, v.astype(vc.dtype), write_start)
+                k_all, v_all = kc, vc
         elif sp_axis is not None:
             # context parallel: gather K/V across sequence shards; Q stays
             # local so each shard computes its T/sp slice of the outputs
@@ -556,7 +596,7 @@ def run_layers(
                 att, lp["attn_sub_norm"], cfg.rms_eps,
                 cfg.n_heads * plan.hd, tp_axis,
             )
-        o = mm(att, _layer_tensor(lp, "wo", specs["wo"]))
+        o = proj(att, lp, "wo")
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         if cfg.post_norms:
@@ -652,27 +692,40 @@ def run_layers(
                 dn = jax.lax.psum(dn, ep_axis)
             dn = dn.astype(x.dtype)
         else:
-            dn = dense_ffn(
-                h,
-                _layer_tensor(lp, "w_gate", specs["w_gate"]),
-                _layer_tensor(lp, "w_up", specs["w_up"]),
-                _layer_tensor(lp, "w_down", specs["w_down"]),
-            )
+            gate = proj(h, lp, "w_gate")
+            up = proj(h, lp, "w_up")
+            a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+            a = a.astype(x.dtype)
+            if cfg.use_subnorms:
+                a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
+                         tp_axis)
+            dn = proj(a, lp, "w_down")
         if tp_axis is not None:
             dn = jax.lax.psum(dn, tp_axis)
         if cfg.post_norms:
             dn = _rms(dn, lp["post_ffn_norm"], cfg.rms_eps, cfg.d_model,
                       plus_one=p1)
         x = x + dn.astype(x.dtype)
-        return x, (kc, vc)
+        return x, (kc, vc, ksc, vsc)
 
     if use_cache:
-        xs = (layers, kv[0], kv[1], layer_window)
-        x, (new_k, new_v) = jax.lax.scan(layer_step, x, xs)
-        return x, {"k": new_k, "v": new_v}
+        if quant_kv:
+            xs = (layers, kv["k"], kv["v"], kv["k_scale"], kv["v_scale"],
+                  layer_window)
+        else:
+            l_local = layer_window.shape[0]
+            dummy = jnp.zeros((l_local,), jnp.int8)
+            xs = (layers, kv["k"], kv["v"], dummy, dummy, layer_window)
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(layer_step, x, xs)
+        out_cache = {"k": new_k, "v": new_v}
+        if quant_kv:
+            out_cache["k_scale"] = new_ks
+            out_cache["v_scale"] = new_vs
+        return x, out_cache
     x, _ = jax.lax.scan(
         lambda c, xs_: (
-            layer_step(c, (xs_[0], None, None, xs_[1]))[0], None
+            layer_step(c, (xs_[0], None, None, None, None, xs_[1]))[0],
+            None,
         ),
         x,
         (layers, layer_window),

@@ -110,6 +110,7 @@ class Engine:
         max_len: int | None = None,
         impl: str = "auto",
         cache_dtype=jnp.bfloat16,
+        kv_quant: bool = False,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
@@ -127,7 +128,7 @@ class Engine:
         self._vocab_p = plan.vocab_p
         self.cache = kvc.new_cache(
             cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
-            plan.hd_p, cache_dtype,
+            plan.hd_p, cache_dtype, quantized=kv_quant,
         )
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: list[Request] = []
@@ -152,22 +153,23 @@ class Engine:
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
         def prefill_fn(params, cache, tokens, positions, slot, n_valid):
             # tokens (1, T): run forward on the single slot's cache view.
-            sl_k = jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
-            sl_v = jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
+            view = {
+                k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
+                for k, v in cache.items()
+            }
             logits, new_sl = forward(
-                params, cfg, tokens, positions,
-                {"k": sl_k, "v": sl_v}, impl=impl,
+                params, cfg, tokens, positions, view, impl=impl,
                 logits_at=(n_valid - 1)[None],
             )
-            k = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], new_sl["k"], slot, axis=1
-            )
-            v = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], new_sl["v"], slot, axis=1
-            )
+            out = {
+                k: jax.lax.dynamic_update_slice_in_dim(
+                    cache[k], new_sl[k], slot, axis=1
+                )
+                for k in cache
+            }
             # logits of the last *valid* prompt token (selected pre-head)
             last = logits[0, 0]
-            return last, {"k": k, "v": v}
+            return last, out
 
         return prefill_fn
 

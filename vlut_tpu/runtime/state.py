@@ -25,16 +25,26 @@ def save_slot_state(
     length: int,
     history: list[int],
 ) -> bytes:
-    """Serialize one slot's valid KV rows + token history."""
-    k = np.asarray(cache["k"][:, slot, :length])
-    v = np.asarray(cache["v"][:, slot, :length])
+    """Serialize one slot's valid KV rows + token history.  Generic over
+    the cache's keys, so quantized caches (k/v int8 + *_scale) round-trip
+    losslessly in their stored precision."""
+    def store(a):
+        a = np.asarray(a)
+        # npz can't round-trip ml_dtypes bfloat16; ints (int8 codes) keep
+        # their dtype, floats store as f32 and re-cast on load
+        return a if np.issubdtype(a.dtype, np.integer) else a.astype(
+            np.float32
+        )
+
+    arrays = {
+        name: store(a[:, slot, :length]) for name, a in cache.items()
+    }
     buf = io.BytesIO()
     np.savez_compressed(
         buf,
         version=STATE_VERSION,
-        k=k.astype(np.float32),
-        v=v.astype(np.float32),
         tokens=np.asarray(history[:length], np.int64),
+        **{f"kv_{name}": a for name, a in arrays.items()},
     )
     return buf.getvalue()
 
@@ -48,8 +58,18 @@ def load_slot_state(
     with np.load(io.BytesIO(data)) as z:
         if int(z["version"]) != STATE_VERSION:
             raise ValueError("unsupported state version")
-        k, v, tokens = z["k"], z["v"], z["tokens"]
-    length = k.shape[1]
+        tokens = z["tokens"]
+        arrays = {
+            name[3:]: z[name] for name in z.files if name.startswith("kv_")
+        }
+        if not arrays:  # version-1 files from before quantized KV
+            arrays = {"k": z["k"], "v": z["v"]}
+    if set(arrays) != set(cache):
+        raise ValueError(
+            f"state keys {sorted(arrays)} don't match cache {sorted(cache)}"
+            " (saved with a different KV cache type?)"
+        )
+    length = arrays["k"].shape[1]
     if length > cache["k"].shape[2]:
         raise ValueError("state longer than cache capacity")
 
@@ -57,7 +77,7 @@ def load_slot_state(
         rows = jnp.asarray(rows, a.dtype)
         return a.at[:, slot, : rows.shape[1]].set(rows)
 
-    cache = {"k": put(cache["k"], k), "v": put(cache["v"], v)}
+    cache = {name: put(cache[name], arrays[name]) for name in cache}
     return cache, [int(t) for t in tokens]
 
 

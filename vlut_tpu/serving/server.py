@@ -733,13 +733,17 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=4096)
+    ap.add_argument("--cache-type", choices=("bf16", "q8"),
+                    default="bf16",
+                    help="KV cache storage (q8 = int8 + scales)")
     args = ap.parse_args(argv)
 
     import jax
 
     cfg, params, _ = load_checkpoint(args.model)
     params = jax.device_put(params)
-    engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx)
+    engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
+                    kv_quant=(args.cache_type == "q8"))
     tok = Tokenizer(args.model)
     httpd, _ = serve(engine, tok, args.host, args.port,
                      model_name=str(args.model))
