@@ -42,7 +42,11 @@ def main():
         init_params_fast,
     )
     from vlut_tpu.runtime.generate import make_generate_fn
-    from vlut_tpu.runtime.sampling import SamplerParams, stack_params
+    from vlut_tpu.runtime.sampling import (
+        SamplerParams,
+        features_of,
+        stack_params,
+    )
 
     preset = os.environ.get("VLUT_BENCH_PRESET", "llama3_8b_158")
     cfg = PRESETS[preset]
@@ -81,9 +85,9 @@ def main():
     print(f"# prefill pp{PROMPT_LEN} x{NP_SLOTS}: {prefill_s*1e3:.0f} ms "
           f"= {pp_toks:.0f} tok/s", flush=True)
 
-    sp = stack_params(
-        [SamplerParams(temperature=0.0)] * NP_SLOTS
-    )
+    samplers = [SamplerParams(temperature=0.0)] * NP_SLOTS
+    sp = stack_params(samplers)
+    feats = features_of(samplers)
     last = jnp.argmax(logits[:, 0, : cfg.vocab_size], axis=-1).astype(
         jnp.int32
     )
@@ -92,7 +96,7 @@ def main():
 
     ts = {}
     for n in (N_LO, N_HI):
-        gen = make_generate_fn(cfg, n_steps=n)
+        gen = make_generate_fn(cfg, n_steps=n, features=feats)
         _, cache2 = run_prefill()
         toks, _ = gen(params, cache2, last, lengths, sp, key)
         int(jnp.sum(toks))  # compile + warm

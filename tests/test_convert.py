@@ -390,3 +390,27 @@ def test_convert_qwen3_qk_norm(tmp_path):
     assert "q_norm" in params["layers"] and "k_norm" in params["layers"]
     _, logits = _fwd_ckpt(out)
     assert np.isfinite(logits).all()
+
+
+def test_requantize_i2_i1_exact(tmp_path):
+    """i2 -> i1 requantization is trit-exact: logits identical (both
+    formats store the same signs; only byte packing differs)."""
+    from vlut_tpu.convert.quantize import requantize
+
+    hf = tmp_path / "hf"
+    hf.mkdir()
+    _make_hf_dir(hf, ternary=True, seed=9)
+    a = tmp_path / "i2"
+    convert_hf(hf, a, fmt="i2")
+    b = tmp_path / "i1"
+    cfg_b = requantize(a, b, fmt="i1")
+    assert cfg_b.weight_fmt == "i1"
+
+    _, la = _fwd_ckpt(a)
+    cfg2, lb = _fwd_ckpt(b)
+    np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        requantize(b, tmp_path / "x", fmt="i1")

@@ -1,0 +1,122 @@
+"""Block-shape autotuner for the ternary Pallas GEMM.
+
+The reference tunes TABLE_ENTRY_SIZE / K-tiling per machine by rebuilding
+and re-benchmarking (evaluation/scripts/search-config.sh, SURVEY §2.1.5
+"tuning knobs"); here the same search runs as a data-driven sweep over
+Pallas block shapes (bm, bn, bk), no rebuild needed.  Results persist to a
+JSON table keyed by (fmt, M, Kp, Np) that the matmul front-end consults at
+trace time (ops/matmul.py); `vlut_tpu/bench/autotune_v5e.json` ships tuned
+values for the reference model shapes on TPU v5 lite.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pathlib
+from typing import Any
+
+DEFAULT_FILE = pathlib.Path(__file__).parent / "autotune_v5e.json"
+_cache: dict[str, list[int]] | None = None
+
+
+def _key(fmt: str, m: int, kp: int, np_: int) -> str:
+    return f"{fmt}:{m}:{kp}:{np_}"
+
+
+def load_table() -> dict[str, list[int]]:
+    global _cache
+    if _cache is None:
+        path = os.environ.get("VLUT_TPU_AUTOTUNE_FILE", str(DEFAULT_FILE))
+        try:
+            _cache = json.loads(pathlib.Path(path).read_text())
+        except (OSError, json.JSONDecodeError):
+            _cache = {}
+    return _cache
+
+
+def lookup(fmt: str, m: int, kp: int, np_: int) -> tuple[int, int, int] | None:
+    hit = load_table().get(_key(fmt, m, kp, np_))
+    return tuple(hit) if hit else None
+
+
+def candidates(mp: int, np_: int, kp: int, kb: int):
+    bks = []
+    base = math.lcm(kb, 128)
+    bk = base
+    while bk <= kp:
+        if kp % bk == 0:
+            bks.append(bk)
+        bk *= 2
+    bms = [b for b in (32, 64, 128, 256) if mp % b == 0 and b <= mp]
+    bns = [b for b in (128, 256, 512, 1024, 2048) if np_ % b == 0]
+    for bm in bms or [mp]:
+        for bn in bns or [np_]:
+            for bk in bks or [base]:
+                if bk * bn <= 2 ** 22:  # unpacked int8 tile VMEM guard
+                    yield bm, bn, bk
+
+
+def autotune(
+    fmt: str, m: int, k: int, n: int, out: dict[str, Any] | None = None
+) -> tuple[tuple[int, int, int], float]:
+    """Sweep block shapes for one GEMM; returns (best blocks, GB/s)."""
+    from vlut_tpu.bench.kernels import bench_gemm
+    from vlut_tpu.ops.packing import pack_ternary
+
+    import numpy as np
+
+    t = pack_ternary(
+        np.zeros((k, min(n, 256)), np.int8), np.float32(1.0), fmt
+    )
+    kp = t.k_padded
+    np_full = -(-n // 128) * 128
+    mp = max(32, -(-m // 32) * 32)
+    best, best_gbps = None, 0.0
+    for bm, bn, bk in candidates(mp, np_full, kp, t.kb):
+        try:
+            r = bench_gemm(fmt, m, k, n, block_shapes=(bm, bn, bk),
+                           n_lo=8, n_hi=64, repeats=2)
+        except Exception as e:  # noqa: BLE001 — OOM/unsupported tile
+            print(f"  ({bm},{bn},{bk}): skipped ({type(e).__name__})")
+            continue
+        print(f"  ({bm},{bn},{bk}): {r['gbps_packed']:.1f} GB/s")
+        if r["gbps_packed"] > best_gbps:
+            best, best_gbps = (bm, bn, bk), r["gbps_packed"]
+    if out is not None and best:
+        out[_key(fmt, mp, kp, np_full)] = list(best)
+    return best, best_gbps
+
+
+def main(argv=None):
+    import argparse
+
+    from vlut_tpu.bench.kernels import MODEL_SHAPES
+
+    ap = argparse.ArgumentParser(description="autotune ternary GEMM blocks")
+    ap.add_argument("-m", "--model", default="llama3_8b",
+                    choices=list(MODEL_SHAPES))
+    ap.add_argument("-ns", default="32",
+                    help="comma-separated token counts")
+    ap.add_argument("--fmt", default="i2,i1")
+    ap.add_argument("-o", "--output", default=str(DEFAULT_FILE))
+    args = ap.parse_args(argv)
+
+    table: dict[str, Any] = {}
+    p = pathlib.Path(args.output)
+    if p.exists():
+        table = json.loads(p.read_text())
+    d, ff = MODEL_SHAPES[args.model]
+    for fmt in args.fmt.split(","):
+        for (k, n, tag) in ((d, d, "dxd"), (d, ff, "dxff"), (ff, d, "ffxd")):
+            for m in (int(x) for x in args.ns.split(",")):
+                print(f"== {args.model} {tag} {fmt} M={m}")
+                best, gbps = autotune(fmt, m, k, n, out=table)
+                print(f"   best {best} @ {gbps:.1f} GB/s")
+    p.write_text(json.dumps(table, indent=1, sort_keys=True))
+    print(f"wrote {p}")
+
+
+if __name__ == "__main__":
+    main()

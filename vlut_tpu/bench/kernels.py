@@ -73,7 +73,11 @@ def bench_gemm(
     def loop(q, pl_stack, n_iter):
         def body(i, acc):
             out = gemm(acc, pl_stack[i % L_STACK], s, ws)
-            return acc ^ out[:, :kp].astype(jnp.int8)
+            fb = out.astype(jnp.int8)
+            if fb.shape[1] < kp:  # N narrower than padded K: tile out
+                reps = -(-kp // fb.shape[1])
+                fb = jnp.tile(fb, (1, reps))
+            return acc ^ fb[:, :kp]
 
         return jnp.sum(
             jax.lax.fori_loop(0, n_iter, body, q).astype(jnp.int32)

@@ -33,6 +33,13 @@ def cmd_convert(args):
     print(f"converted: {cfg}")
 
 
+def cmd_quantize(args):
+    from vlut_tpu.convert.quantize import requantize
+
+    cfg = requantize(args.src, args.dst, args.fmt)
+    print(f"requantized -> {args.dst} ({cfg.weight_fmt})")
+
+
 def cmd_generate(args):
     from vlut_tpu.runtime.engine import Engine, Request
     from vlut_tpu.runtime.sampling import SamplerParams
@@ -116,15 +123,19 @@ def cmd_batched(args):
         params, cfg, tokens, pos, cache,
         logits_at=jnp.full((b,), t - 1, jnp.int32),
     )
-    sp = stack_params([
+    from vlut_tpu.runtime.sampling import features_of
+
+    samplers = [
         SamplerParams(temperature=args.temp, seed=i,
                       repeat_penalty=args.repeat_penalty)
         for i in range(b)
-    ])
+    ]
+    sp = stack_params(samplers)
     last = jnp.argmax(
         logits[:, 0, : cfg.vocab_size], -1
     ).astype(jnp.int32)
-    gen = make_generate_fn(cfg, n_steps=args.n_predict)
+    gen = make_generate_fn(cfg, n_steps=args.n_predict,
+                           features=features_of(samplers))
     t0 = time.time()
     out, _ = gen(params, cache, last,
                  jnp.full((b,), t, jnp.int32), sp,
@@ -227,6 +238,13 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--fmt", choices=("i2", "i1"), default="i2")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("quantize",
+                       help="requantize native checkpoint (i2 <-> i1)")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--fmt", choices=("i2", "i1"), required=True)
+    p.set_defaults(fn=cmd_quantize)
 
     p = sub.add_parser("generate")
     p.add_argument("--model", required=True)

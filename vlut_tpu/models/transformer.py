@@ -136,6 +136,50 @@ def pack_weight(
     raise KeyError(name)
 
 
+def unpack_weight(
+    name: str,
+    t: TernaryTensor,
+    cfg: ModelConfig,
+    plan: DimPlan | None = None,
+) -> np.ndarray:
+    """Inverse of :func:`pack_weight`: packed tensor -> logical (K, N)
+    trits in HF orientation (drops the padding/permutation)."""
+    from vlut_tpu.models.dims import chunk_positions, head_positions
+    from vlut_tpu.ops.packing import unpack_ternary_np
+
+    plan = plan or make_plan(cfg)
+    hd, hd_p = plan.hd, plan.hd_p
+    w = unpack_ternary_np(t)  # (k_padded-layout logical k, n)
+
+    def gather_head_cols(w2, heads):
+        if hd == hd_p:
+            return w2
+        k = w2.shape[0]
+        return w2.reshape(k, heads, hd_p)[
+            :, :, head_positions(hd, hd_p)
+        ].reshape(k, heads * hd)
+
+    if name in ("wq", "wk", "wv"):
+        return gather_head_cols(
+            w, cfg.n_heads if name == "wq" else cfg.n_kv_heads
+        )
+    if name == "wo":
+        rows = chunk_positions(
+            cfg.n_heads * hd_p, plan.wo_chunk, plan.wo_chunk_p
+        )
+        w = w[rows]  # (n_heads*hd_p, d)
+        if hd != hd_p:
+            w = w.reshape(cfg.n_heads, hd_p, -1)[
+                :, head_positions(hd, hd_p)
+            ].reshape(cfg.n_heads * hd, -1)
+        return w
+    if name in ("w_gate", "w_up"):
+        return w[:, chunk_positions(cfg.d_ff, plan.ff_chunk, plan.ff_chunk_p)]
+    if name == "w_down":
+        return w[chunk_positions(cfg.d_ff, plan.ff_chunk, plan.ff_chunk_p)]
+    raise KeyError(name)
+
+
 _I2_CODE_LUT = np.array(
     [
         (c % 3) | ((c // 3 % 3) << 2) | ((c // 9 % 3) << 4) | ((c // 27 % 3) << 6)

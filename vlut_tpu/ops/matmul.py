@@ -114,6 +114,10 @@ def ternary_matmul_quantized(
 
     kp, np_ = t.k_padded, t.n_padded
     mp = _round_up(max(m, 32), 32)
+    if block_shapes is None:
+        from vlut_tpu.bench.autotune import lookup
+
+        block_shapes = lookup(t.fmt, mp, kp, np_)
     bm, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
         mp, np_, kp, t.kb
     )

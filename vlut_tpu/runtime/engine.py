@@ -33,6 +33,7 @@ from vlut_tpu.runtime import kv_cache as kvc
 from vlut_tpu.runtime.sampling import (
     NEG_INF,
     SamplerParams,
+    features_of,
     init_state as sampler_init_state,
     sample_ex,
     stack_params,
@@ -142,7 +143,10 @@ class Engine:
         self._sampler_state = sampler_init_state(n_slots)
 
         self._prefill_cache: dict[int, Callable] = {}
-        self._step_fn = self._build_step()
+        # decode step compiled per active sampler-feature set (disabled
+        # transforms are pruned at trace time — see sampling.features_of)
+        self._step_fns: dict[tuple[str, ...], Callable] = {}
+        self._features: tuple[str, ...] = ()
         self.perf = PerfCounters()
 
     # --- compiled programs -------------------------------------------------
@@ -173,7 +177,7 @@ class Engine:
 
         return prefill_fn
 
-    def _build_step(self):
+    def _build_step(self, features: tuple[str, ...]):
         cfg, impl = self.cfg, self.impl
 
         @functools.partial(jax.jit, donate_argnums=(1, 5, 6, 7))
@@ -195,7 +199,8 @@ class Engine:
                 slot_pos >= (ring_cnt - sp["penalty_last_n"])[:, None]
             )
             nxt, sstate = sample_ex(
-                logits, sp, key, sstate, ring, valid, allowed_mask=mask
+                logits, sp, key, sstate, ring, valid, allowed_mask=mask,
+                features=features,
             )
             ring = ring.at[
                 jnp.arange(ring.shape[0]), ring_cnt % pw
@@ -282,12 +287,12 @@ class Engine:
             self.ring = self.ring.at[i].set(jnp.asarray(ring))
             self.ring_cnt = self.ring_cnt.at[i].set(len(tail))
             # sample the first token from the prefill logits
-            self._sp = stack_params(
-                [
-                    (s.req.sampler if s.req else SamplerParams())
-                    for s in self.slots
-                ]
-            )
+            active_samplers = [
+                (s.req.sampler if s.req else SamplerParams(temperature=0.0))
+                for s in self.slots
+            ]
+            self._sp = stack_params(active_samplers)
+            self._features = features_of(active_samplers)
             self._key, sub = jax.random.split(self._key)
             pw = PENALTY_WINDOW
             slot_pos = jnp.arange(pw)[None, :]
@@ -315,6 +320,7 @@ class Engine:
                 self.ring[i : i + 1],
                 valid,
                 allowed_mask=row_mask,
+                features=features_of([req.sampler]),
             )
             self._sampler_state = {
                 k: self._sampler_state[k].at[i].set(row_state[k][0])
@@ -372,9 +378,11 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         t0 = time.perf_counter()
         mask = self._grammar_mask(active)
+        if self._features not in self._step_fns:
+            self._step_fns[self._features] = self._build_step(self._features)
         (
             nxt, self.cache, self.ring, self.ring_cnt, self._sampler_state,
-        ) = self._step_fn(
+        ) = self._step_fns[self._features](
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt,
             self._sampler_state, sub, mask,

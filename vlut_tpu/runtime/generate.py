@@ -23,14 +23,16 @@ from vlut_tpu.runtime.sampling import sample
 
 
 def make_generate_fn(
-    cfg: ModelConfig, n_steps: int, impl: str = "auto"
+    cfg: ModelConfig, n_steps: int, impl: str = "auto",
+    features: tuple[str, ...] | None = None,
 ) -> Callable:
     """Build a jitted f(params, cache, last_tokens, lengths, sp, key) ->
     ((B, n_steps) tokens, cache) generating exactly n_steps tokens per row.
 
     Assumes prompts already prefilled into `cache` at rows [0, lengths).
     No penalties in this path (the Engine handles penalty sampling; fixed-n
-    batch benchmarks don't need them device-side yet).
+    batch benchmarks don't need them device-side yet).  ``features`` (from
+    sampling.features_of) statically prunes disabled sampler transforms.
     """
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -49,7 +51,7 @@ def make_generate_fn(
                 logits = jnp.where(
                     jnp.arange(v) < cfg.vocab_size, logits, -1e30
                 )
-            nxt = sample(logits, sp, key_step)
+            nxt = sample(logits, sp, key_step, features=features)
             return (nxt, lens + 1, cache), nxt
 
         keys = jax.random.split(key, n_steps)

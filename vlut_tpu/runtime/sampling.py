@@ -363,13 +363,57 @@ def sample(
     recent_tokens: jax.Array | None = None,  # (B, P)
     recent_valid: jax.Array | None = None,
     allowed_mask: jax.Array | None = None,  # (B, V) bool from grammar
+    features: tuple[str, ...] | None = None,
 ) -> jax.Array:
     """Full chain, token only (compat wrapper over sample_ex)."""
     state = init_state(logits.shape[0])
     tok, _ = sample_ex(
-        logits, p, key, state, recent_tokens, recent_valid, allowed_mask
+        logits, p, key, state, recent_tokens, recent_valid, allowed_mask,
+        features=features,
     )
     return tok
+
+
+ALL_FEATURES = (
+    "logit_bias", "penalties", "dry", "top_n_sigma", "top_k", "typical",
+    "top_p", "min_p", "xtc", "sampling", "mirostat",
+)
+
+
+def features_of(params: list[SamplerParams]) -> tuple[str, ...]:
+    """Static feature set for a batch of sampler configs — the trace-time
+    chain shape.  Disabled transforms cost NOTHING (the reference gets this
+    for free by building its chain per request; under jit the transforms
+    would otherwise run with identity parameters — and the truncation
+    samplers each do a full-vocab sort, which dominates a decode step)."""
+    f: set[str] = set()
+    for s in params:
+        if s.logit_bias:
+            f.add("logit_bias")
+        if (s.repeat_penalty != 1.0 or s.presence_penalty
+                or s.frequency_penalty):
+            f.add("penalties")
+        if s.dry_multiplier > 0:
+            f.add("dry")
+        if s.top_n_sigma > 0:
+            f.add("top_n_sigma")
+        if s.top_k > 0:
+            f.add("top_k")
+        if s.typical_p < 1.0:
+            f.add("typical")
+        if s.top_p < 1.0:
+            f.add("top_p")
+        if s.min_p > 0:
+            f.add("min_p")
+        if s.xtc_p > 0:
+            f.add("xtc")
+        if s.temperature > 0:
+            f.add("sampling")
+        if s.mirostat_tau > 0:
+            f.add("mirostat")
+        if s.dynatemp_range > 0:
+            f.add("sampling")
+    return tuple(x for x in ALL_FEATURES if x in f)
 
 
 def sample_ex(
@@ -381,6 +425,7 @@ def sample_ex(
     recent_valid: jax.Array | None = None,
     allowed_mask: jax.Array | None = None,  # (B, V) bool from grammar
     dry_breakers: jax.Array | None = None,
+    features: tuple[str, ...] | None = None,  # static; None = everything
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Full chain with carried per-row state (mirostat mu).
 
@@ -388,50 +433,73 @@ def sample_ex(
     top_k -> typical -> top_p -> min_p -> xtc -> temp -> draw; rows with
     mirostat_tau > 0 instead use temp -> mirostat-v2 truncation -> draw and
     update mu.  temperature <= 0 selects greedy argmax for that row.
+
+    ``features`` (see features_of) statically prunes disabled transforms —
+    pass it in jitted decode steps so disabled samplers don't pay their
+    full-vocab sorts.
     """
-    logits = apply_logit_bias(logits, p)
+    on = (lambda name: features is None or name in features)
+    if on("logit_bias"):
+        logits = apply_logit_bias(logits, p)
     if allowed_mask is not None:
         logits = jnp.where(allowed_mask, logits, NEG_INF)
     if recent_tokens is not None:
-        logits = apply_penalties(logits, recent_tokens, recent_valid, p)
-        logits = apply_dry(
-            logits, recent_tokens, recent_valid, p, dry_breakers
-        )
+        if on("penalties"):
+            logits = apply_penalties(logits, recent_tokens, recent_valid, p)
+        if on("dry"):
+            logits = apply_dry(
+                logits, recent_tokens, recent_valid, p, dry_breakers
+            )
 
     greedy_tok = jnp.argmax(logits, axis=-1)
+    if not on("sampling") and not on("mirostat"):
+        return greedy_tok.astype(jnp.int32), state
+
     key_xtc, key_draw, key_miro = jax.random.split(key, 3)
 
     # --- standard truncation chain ---
-    t = apply_top_n_sigma(logits, p["top_n_sigma"])
-    t = apply_top_k(t, p["top_k"])
-    t = apply_typical(t, p["typical_p"])
-    t = apply_top_p(t, p["top_p"])
-    t = apply_min_p(t, p["min_p"])
-    t = apply_xtc(t, p["xtc_p"], p["xtc_t"], key_xtc)
+    t = logits
+    if on("top_n_sigma"):
+        t = apply_top_n_sigma(t, p["top_n_sigma"])
+    if on("top_k"):
+        t = apply_top_k(t, p["top_k"])
+    if on("typical"):
+        t = apply_typical(t, p["typical_p"])
+    if on("top_p"):
+        t = apply_top_p(t, p["top_p"])
+    if on("min_p"):
+        t = apply_min_p(t, p["min_p"])
+    if on("xtc"):
+        t = apply_xtc(t, p["xtc_p"], p["xtc_t"], key_xtc)
     t = apply_temperature(t, p)
     std_tok = _per_row_categorical(key_draw, t, p["seed"])
 
     # --- mirostat v2 path (llama_sampler_init_mirostat_v2) ---
-    tau = p["mirostat_tau"]
-    eta = p["mirostat_eta"]
-    mu = jnp.where(
-        (state["mu"] == 0.0) & (tau > 0), 2.0 * tau, state["mu"]
-    )
-    temp = p["temperature"]
-    safe_temp = jnp.where(temp > 0, temp, 1.0)
-    ml = logits / safe_temp[:, None]
-    mprob = jax.nn.softmax(ml, axis=-1)
-    surprise = -jnp.log2(jnp.maximum(mprob, 1e-30))
-    mkeep = surprise <= mu[:, None]
-    # always keep argmax so the set is non-empty
-    mkeep = mkeep | (ml >= ml.max(-1, keepdims=True))
-    mt = jnp.where(mkeep, ml, NEG_INF)
-    miro_tok = _per_row_categorical(key_miro, mt, p["seed"])
-    obs = jnp.take_along_axis(surprise, miro_tok[:, None], axis=-1)[:, 0]
-    new_mu = mu - eta * (obs - tau)
+    if on("mirostat"):
+        tau = p["mirostat_tau"]
+        eta = p["mirostat_eta"]
+        mu = jnp.where(
+            (state["mu"] == 0.0) & (tau > 0), 2.0 * tau, state["mu"]
+        )
+        temp = p["temperature"]
+        safe_temp = jnp.where(temp > 0, temp, 1.0)
+        ml = logits / safe_temp[:, None]
+        mprob = jax.nn.softmax(ml, axis=-1)
+        surprise = -jnp.log2(jnp.maximum(mprob, 1e-30))
+        mkeep = surprise <= mu[:, None]
+        # always keep argmax so the set is non-empty
+        mkeep = mkeep | (ml >= ml.max(-1, keepdims=True))
+        mt = jnp.where(mkeep, ml, NEG_INF)
+        miro_tok = _per_row_categorical(key_miro, mt, p["seed"])
+        obs = jnp.take_along_axis(
+            surprise, miro_tok[:, None], axis=-1
+        )[:, 0]
+        new_mu = mu - eta * (obs - tau)
+        use_miro = tau > 0
+        std_tok = jnp.where(use_miro, miro_tok, std_tok)
+        out_mu = jnp.where(use_miro, new_mu, state["mu"])
+        state = {"mu": out_mu}
 
-    use_miro = tau > 0
-    tok = jnp.where(use_miro, miro_tok, std_tok)
-    tok = jnp.where(temp > 0, tok, greedy_tok).astype(jnp.int32)
-    out_mu = jnp.where(use_miro, new_mu, state["mu"])
-    return tok, {"mu": out_mu}
+    temp = p["temperature"]
+    tok = jnp.where(temp > 0, std_tok, greedy_tok).astype(jnp.int32)
+    return tok, state

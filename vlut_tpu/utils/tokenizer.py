@@ -88,8 +88,13 @@ class Tokenizer:
 
     def make_grammar(self, gbnf: str):
         """Build a GrammarSampler bound to this vocab (EOS allowed at
-        grammar accept states)."""
-        from vlut_tpu.runtime.grammar import GrammarSampler
+        grammar accept states).  The vocab trie (~seconds to build for a
+        128k vocab) is cached and shared across grammars."""
+        from vlut_tpu.runtime.grammar import GrammarSampler, VocabTrie
 
+        if getattr(self, "_trie", None) is None:
+            self._trie = VocabTrie(self.pieces())
         eos = (self.eos_id,) if self.eos_id is not None else ()
-        return GrammarSampler(gbnf, self.pieces(), eos_ids=eos)
+        return GrammarSampler(
+            gbnf, self.pieces(), eos_ids=eos, trie=self._trie
+        )
