@@ -104,3 +104,39 @@ def test_engine_more_requests_than_slots(params):
     ]
     eng2.run(reqs2)
     assert reqs2[0].output == reqs[0].output
+
+
+def test_engine_context_shift_generates_past_capacity():
+    """A request longer than the KV capacity must keep generating via
+    context shift (reference server-context.cpp:1916) instead of stopping."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import init_params
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    eng = Engine(cfg, params, n_slots=1, max_len=24, impl="xla")
+    req = Request(prompt=[3, 5, 7, 9], max_new_tokens=48,
+                  sampler=SamplerParams(temperature=0.0))
+    eng.run([req])
+    assert len(req.output) == 48
+    assert eng.perf.n_shifted_tokens > 0
+
+
+def test_engine_no_context_shift_stops_at_capacity():
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import init_params
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    eng = Engine(cfg, params, n_slots=1, max_len=24, impl="xla",
+                 context_shift=False)
+    req = Request(prompt=[3, 5, 7, 9], max_new_tokens=48,
+                  sampler=SamplerParams(temperature=0.0))
+    eng.run([req])
+    assert len(req.output) < 48

@@ -47,8 +47,8 @@ def server():
     cfg = PRESETS["tiny"]
     params = init_params(cfg, seed=0)
     engine = Engine(cfg, params, n_slots=2, max_len=64, impl="xla")
-    httpd, state = serve(engine, StubTokenizer(), port=18432)
-    yield "127.0.0.1", 18432
+    httpd, state = serve(engine, StubTokenizer(), port=0)  # ephemeral
+    yield "127.0.0.1", httpd.server_address[1]
     state.running = False
     httpd.shutdown()
 
@@ -287,3 +287,50 @@ def test_unknown_route_404(server):
     assert status == 404
     status, _ = _req(server, "GET", "/nope")
     assert status == 404
+
+
+def test_completion_logprobs(server):
+    status, data = _req(
+        server, "POST", "/completion",
+        {"prompt": "lp", "n_predict": 3, "temperature": 0.0,
+         "ignore_eos": True, "n_probs": 4},
+    )
+    assert status == 200
+    out = json.loads(data)
+    cps = out["completion_probabilities"]
+    assert len(cps) == 3
+    for e in cps:
+        assert len(e["top_logprobs"]) == 4
+        assert e["logprob"] <= 0.0
+        # greedy choice must equal the argmax of the top list
+        best = max(e["top_logprobs"], key=lambda t: t["logprob"])
+        assert abs(e["logprob"] - best["logprob"]) < 1e-4
+
+
+def test_chat_logprobs(server):
+    status, data = _req(
+        server, "POST", "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "hi"}],
+         "max_tokens": 2, "temperature": 0.0, "ignore_eos": True,
+         "logprobs": True, "top_logprobs": 3},
+    )
+    assert status == 200
+    out = json.loads(data)
+    lp = out["choices"][0]["logprobs"]["content"]
+    assert len(lp) == 2 and len(lp[0]["top_logprobs"]) == 3
+
+
+def test_chat_n_choices(server):
+    status, data = _req(
+        server, "POST", "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "pick"}],
+         "max_tokens": 4, "temperature": 1.0, "ignore_eos": True, "n": 2},
+    )
+    assert status == 200
+    out = json.loads(data)
+    assert len(out["choices"]) == 2
+    assert out["choices"][0]["index"] == 0
+    assert out["choices"][1]["index"] == 1
+    # distinct seeds: overwhelmingly likely to differ on a random model
+    texts = {c["message"]["content"] for c in out["choices"]}
+    assert all(isinstance(t, str) for t in texts)

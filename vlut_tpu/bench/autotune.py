@@ -77,7 +77,7 @@ def autotune(
     for bm, bn, bk in candidates(mp, np_full, kp, t.kb):
         try:
             r = bench_gemm(fmt, m, k, n, block_shapes=(bm, bn, bk),
-                           n_lo=8, n_hi=64, repeats=2)
+                           n_lo=16, n_hi=192, repeats=2)
         except Exception as e:  # noqa: BLE001 — OOM/unsupported tile
             print(f"  ({bm},{bn},{bk}): skipped ({type(e).__name__})")
             continue

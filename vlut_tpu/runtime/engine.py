@@ -61,9 +61,14 @@ class Request:
     # optional GBNF constraint (vlut_tpu.runtime.grammar.GrammarSampler,
     # already bound to this engine's vocab pieces); reset on admit
     grammar: Any = None
+    # top-k logprobs to record per generated token (0 = off; reference
+    # n_probs, tools/server completion_probabilities)
+    n_probs: int = 0
     # filled by the engine:
     rid: int = -1
     output: list[int] = dataclasses.field(default_factory=list)
+    # per generated token: (token_ids (K,), logprobs (K,)) when n_probs > 0
+    logprobs: list[tuple[Any, Any]] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -76,6 +81,9 @@ class _Slot:
     # basis for prompt-cache prefix reuse (reference: longest-common-prefix
     # reuse in server update_slots, tools/server/server-context.cpp:2172)
     history: list[int] = dataclasses.field(default_factory=list)
+    # tokens whose KV rows are live for the ACTIVE request (diverges from
+    # prompt+output once a context shift splices rows out)
+    kv_hist: list[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -87,6 +95,7 @@ class PerfCounters:
     n_decode_tokens: int = 0
     t_decode_s: float = 0.0
     n_reused_tokens: int = 0
+    n_shifted_tokens: int = 0
 
     def summary(self) -> str:
         pp = self.n_prompt_tokens / self.t_prompt_s if self.t_prompt_s else 0
@@ -112,6 +121,8 @@ class Engine:
         impl: str = "auto",
         cache_dtype=jnp.bfloat16,
         kv_quant: bool = False,
+        context_shift: bool = True,
+        n_keep: int = 4,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
@@ -142,6 +153,9 @@ class Engine:
         self._sp = stack_params([SamplerParams()] * n_slots)
         self._sampler_state = sampler_init_state(n_slots)
 
+        self.context_shift = context_shift
+        self.n_keep = n_keep
+        self._rope_tables = None
         self._prefill_cache: dict[int, Callable] = {}
         # decode step compiled per active sampler-feature set (disabled
         # transforms are pruned at trace time — see sampling.features_of)
@@ -177,7 +191,7 @@ class Engine:
 
         return prefill_fn
 
-    def _build_step(self, features: tuple[str, ...]):
+    def _build_step(self, features: tuple[str, ...], k_probs: int = 0):
         cfg, impl = self.cfg, self.impl
 
         @functools.partial(jax.jit, donate_argnums=(1, 5, 6, 7))
@@ -206,7 +220,14 @@ class Engine:
                 jnp.arange(ring.shape[0]), ring_cnt % pw
             ].set(nxt)
             ring_cnt = ring_cnt + 1
-            return nxt, cache, ring, ring_cnt, sstate
+            if k_probs:
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                top_lp, top_id = jax.lax.top_k(lp, k_probs)
+                chosen = jnp.take_along_axis(lp, nxt[:, None], axis=-1)
+                probs = (top_id, top_lp, chosen[:, 0])
+            else:
+                probs = None
+            return nxt, cache, ring, ring_cnt, sstate, probs
 
         return step_fn
 
@@ -280,6 +301,7 @@ class Engine:
             slot.length = len(prompt)
             slot.generated = 0
             slot.history = list(prompt)
+            slot.kv_hist = list(prompt)
             # seed penalty ring with the prompt tail
             tail = prompt[-PENALTY_WINDOW:]
             ring = np.full((PENALTY_WINDOW,), -1, np.int32)
@@ -327,22 +349,84 @@ class Engine:
                 for k in self._sampler_state
             }
             first_tok = int(tok[0])
+            if req.n_probs:
+                lp = jax.nn.log_softmax(
+                    _mask_pad_vocab(
+                        last_logits[None].astype(jnp.float32),
+                        self.cfg.vocab_size,
+                    ),
+                    axis=-1,
+                )
+                top_lp, top_id = jax.lax.top_k(lp, req.n_probs)
+                req.logprobs.append((
+                    np.asarray(top_id[0]), np.asarray(top_lp[0]),
+                    float(lp[0, first_tok]),
+                ))
             if req.grammar is not None and first_tok not in req.stop_tokens:
                 req.grammar.accept(first_tok)
             self._push_token(i, first_tok)
 
+    def _maybe_context_shift(self, i: int):
+        """When slot i is one row from capacity, drop the middle half of its
+        context (keeping the first n_keep tokens) and rope-rebase the moved
+        keys — the reference's server context-shift (seq_rm + seq_add,
+        server-context.cpp:1916-1933)."""
+        from vlut_tpu.runtime import kv_cache as kvc_mod
+
+        slot = self.slots[i]
+        used = slot.length + slot.generated - 1  # rows currently in KV
+        if used < self.max_len - 1:
+            return
+        n_keep = min(self.n_keep, used - 1)
+        n_discard = max(1, (used - n_keep) // 2)
+        if self._rope_tables is None:
+            from vlut_tpu.models.dims import make_plan
+            from vlut_tpu.ops.rope import rope_table
+
+            plan = make_plan(self.cfg)
+            self._rope_tables = rope_table(
+                self.cfg.max_seq_len, plan.hd, self.cfg.rope_theta,
+                self.cfg.rope_scaling, pad_to=plan.hd_p,
+            )
+        cos, sin = self._rope_tables
+        self.cache = kvc_mod.seq_shift(
+            self.cache, jnp.int32(i), jnp.int32(n_keep + n_discard),
+            jnp.int32(n_discard), cos, sin,
+        )
+        # host bookkeeping: the slot now holds used - n_discard rows; fold
+        # the discarded span out of length/generated
+        if slot.generated - 1 >= n_discard:
+            slot.generated -= n_discard
+        else:
+            rem = n_discard - (slot.generated - 1)
+            slot.generated = 1
+            slot.length -= rem
+        slot.kv_hist = (
+            slot.kv_hist[:n_keep] + slot.kv_hist[n_keep + n_discard:]
+        )
+        self.perf.n_shifted_tokens += n_discard
+
     def _finish_if_done(self, i: int, tok: int):
         slot = self.slots[i]
         req = slot.req
+        # generated counts live KV rows (context shifts fold it back);
+        # the output-length limit is the request's, not the slot's
+        n_out = len(req.output)
+        at_capacity = slot.length + slot.generated >= self.max_len - 1
+        if at_capacity and self.context_shift and not (
+            tok in req.stop_tokens or n_out >= req.max_new_tokens
+        ):
+            self._maybe_context_shift(i)
+            return
         if (
             tok in req.stop_tokens
-            or slot.generated >= req.max_new_tokens
-            or slot.length + slot.generated >= self.max_len - 1
+            or n_out >= req.max_new_tokens
+            or at_capacity
         ):
             req.done = True
-            # KV holds prompt + all generated tokens except the last sampled
-            # one (never decoded) — that is the reusable cached prefix
-            slot.history = list(req.prompt) + req.output[:-1]
+            # KV holds exactly kv_hist's rows (prompt + decoded tokens,
+            # minus any context-shifted spans) — the reusable cached prefix
+            slot.history = list(slot.kv_hist)
             slot.req = None
             slot.length = 0
             slot.generated = 0
@@ -378,22 +462,39 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         t0 = time.perf_counter()
         mask = self._grammar_mask(active)
-        if self._features not in self._step_fns:
-            self._step_fns[self._features] = self._build_step(self._features)
+        k_probs = max(
+            (self.slots[i].req.n_probs for i in active), default=0
+        )
+        step_key = (self._features, k_probs)
+        if step_key not in self._step_fns:
+            self._step_fns[step_key] = self._build_step(
+                self._features, k_probs
+            )
         (
             nxt, self.cache, self.ring, self.ring_cnt, self._sampler_state,
-        ) = self._step_fns[self._features](
+            probs,
+        ) = self._step_fns[step_key](
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(lengths), self._sp, self.ring, self.ring_cnt,
             self._sampler_state, sub, mask,
         )
         nxt = np.asarray(nxt)
+        if probs is not None:
+            p_id, p_lp, p_chosen = (np.asarray(x) for x in probs)
         self.perf.t_decode_s += time.perf_counter() - t0
         self.perf.n_decode_tokens += len(active)
         for i in active:
             tok = int(nxt[i])
-            g = self.slots[i].req.grammar
-            if g is not None and tok not in self.slots[i].req.stop_tokens:
+            req = self.slots[i].req
+            # the token fed this step had its KV row written
+            self.slots[i].kv_hist.append(int(tokens[i]))
+            if probs is not None and req.n_probs:
+                req.logprobs.append(
+                    (p_id[i, : req.n_probs], p_lp[i, : req.n_probs],
+                     float(p_chosen[i]))
+                )
+            g = req.grammar
+            if g is not None and tok not in req.stop_tokens:
                 g.accept(tok)
             # ring was already updated in-device for every slot; host mirrors
             self._push_token_host_only(i, tok)
@@ -473,7 +574,7 @@ class Engine:
             if slot.req is not None and slot.req.rid == rid:
                 req = slot.req
                 req.done = True
-                slot.history = list(req.prompt) + req.output[:-1]
+                slot.history = list(slot.kv_hist)
                 slot.req = None
                 slot.length = 0
                 slot.generated = 0

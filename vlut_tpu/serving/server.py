@@ -422,6 +422,10 @@ def make_handler(state: ServerState):
                 "ignore_eos", False
             ):
                 stop_tok = (state.tok.eos_id,)
+            n_probs = int(body.get("n_probs", 0))
+            if body.get("logprobs"):
+                # OpenAI chat style: logprobs=true + top_logprobs=k
+                n_probs = max(n_probs, int(body.get("top_logprobs", 1)), 1)
             return Request(
                 prompt=prompt_ids,
                 max_new_tokens=int(
@@ -430,7 +434,28 @@ def make_handler(state: ServerState):
                 sampler=_sampler_from_body(body),
                 stop_tokens=stop_tok,
                 grammar=_grammar_from_body(body, state.tok),
+                n_probs=min(n_probs, 16),
             )
+
+        def _probs_payload(self, req: Request):
+            """llama.cpp-style completion_probabilities array."""
+            out = []
+            for tok, entry in zip(req.output, req.logprobs):
+                ids, lps, chosen = entry
+                out.append({
+                    "id": int(tok),
+                    "token": state.tok.decode([int(tok)]),
+                    "logprob": chosen,
+                    "top_logprobs": [
+                        {
+                            "id": int(i),
+                            "token": state.tok.decode([int(i)]),
+                            "logprob": float(l),
+                        }
+                        for i, l in zip(ids, lps)
+                    ],
+                })
+            return out
 
         def _stop_strings(self, body) -> list[str]:
             stop = body.get("stop", [])
@@ -439,10 +464,12 @@ def make_handler(state: ServerState):
             return [s for s in stop if s]
 
         def _run_collect(self, req: Request, stops: list[str],
-                         on_delta=None) -> tuple[str, str]:
+                         on_delta=None, ev=None) -> tuple[str, str]:
             """Drive req to completion; returns (text, finish_reason).
-            Calls on_delta(new_text) as tokens stream in."""
-            ev = state.submit(req)
+            Calls on_delta(new_text) as tokens stream in.  Pass ``ev`` when
+            the request was already submitted (concurrent fan-out)."""
+            if ev is None:
+                ev = state.submit(req)
             emitted = ""
             finish = "stop"
             stop_toks = set(req.stop_tokens)
@@ -515,13 +542,16 @@ def make_handler(state: ServerState):
                 self.wfile.write(b"data: [DONE]\n\n")
                 return
             text, finish = self._run_collect(req, stops)
-            self._json(200, {
+            resp = {
                 "content": text,
                 "tokens_predicted": len(req.output),
                 "tokens_evaluated": len(req.prompt),
                 "stop": True,
                 "stopped_limit": finish == "length",
-            })
+            }
+            if req.n_probs:
+                resp["completion_probabilities"] = self._probs_payload(req)
+            self._json(200, resp)
 
         def _chat(self, body):
             msgs = body.get("messages", [])
@@ -557,6 +587,53 @@ def make_handler(state: ServerState):
                 })
                 self.wfile.write(b"data: [DONE]\n\n")
                 return
+            n_choices = max(1, int(body.get("n", 1)))
+            if n_choices > 1 and not body.get("stream"):
+                # multi-sample fan-out: n sibling requests with distinct
+                # seeds run concurrently through the slot engine (the
+                # prompt prefix is shared via the engine's prefix cache;
+                # reference: parent->child slot copy, server-context.cpp
+                # :2604)
+                reqs = [req]
+                for j in range(1, n_choices):
+                    import dataclasses as _dc
+
+                    sib = self._make_request(ids, body)
+                    sib.sampler = _dc.replace(
+                        sib.sampler, seed=req.sampler.seed + j
+                    )
+                    reqs.append(sib)
+                evs = [state.submit(r) for r in reqs]
+                results = []
+                for r, e in zip(reqs, evs):
+                    txt, fin = self._run_collect(r, stops, ev=e)
+                    results.append((r, txt, fin))
+                self._json(200, {
+                    "id": cmpl_id,
+                    "object": "chat.completion",
+                    "created": created,
+                    "model": state.model_name,
+                    "choices": [
+                        {
+                            "index": j,
+                            "message": {
+                                "role": "assistant", "content": txt,
+                            },
+                            "finish_reason": fin,
+                        }
+                        for j, (_, txt, fin) in enumerate(results)
+                    ],
+                    "usage": {
+                        "prompt_tokens": len(req.prompt) * n_choices,
+                        "completion_tokens": sum(
+                            len(r.output) for r, _, _ in results
+                        ),
+                        "total_tokens": len(req.prompt) * n_choices + sum(
+                            len(r.output) for r, _, _ in results
+                        ),
+                    },
+                })
+                return
             text, finish = self._run_collect(req, stops)
             reasoning, text = _split_reasoning(text)
             calls, text = _parse_tool_calls(text) if tools else ([], text)
@@ -579,16 +656,32 @@ def make_handler(state: ServerState):
                 ]
                 message["content"] = text or None
                 finish = "tool_calls"
+            choice: dict[str, Any] = {
+                "index": 0,
+                "message": message,
+                "finish_reason": finish,
+            }
+            if req.n_probs:
+                choice["logprobs"] = {
+                    "content": [
+                        {
+                            "token": e["token"],
+                            "logprob": e["logprob"],
+                            "top_logprobs": [
+                                {"token": t["token"],
+                                 "logprob": t["logprob"]}
+                                for t in e["top_logprobs"]
+                            ],
+                        }
+                        for e in self._probs_payload(req)
+                    ]
+                }
             self._json(200, {
                 "id": cmpl_id,
                 "object": "chat.completion",
                 "created": created,
                 "model": state.model_name,
-                "choices": [{
-                    "index": 0,
-                    "message": message,
-                    "finish_reason": finish,
-                }],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(req.prompt),
                     "completion_tokens": len(req.output),
