@@ -186,3 +186,54 @@ def test_engine_kv_quant_generates():
                   sampler=SamplerParams(temperature=0.0))
     eng.run([req])
     assert len(req.output) == 6
+
+
+def test_chunked_attention_matches_dense():
+    """Online-softmax chunked attention must equal the dense path exactly
+    (same masks incl. padding/causality/window/softcap)."""
+    from vlut_tpu.models import transformer as tr
+
+    rng = np.random.default_rng(5)
+    b, t, h, hkv, hd, s = 2, 6, 4, 2, 16, 40
+    q = jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, hd)), jnp.float32)
+    q_pos = jnp.asarray([[10, 11, 12, 13, 14, 15]] * b, jnp.int32)
+    k_pos = jnp.tile(jnp.arange(s, dtype=jnp.int32)[None], (b, 1))
+    k_pos = k_pos.at[:, 35:].set(-1)  # padding rows
+
+    for softcap, window in ((0.0, None), (8.0, None),
+                            (0.0, jnp.int32(6)), (5.0, jnp.int32(4))):
+        dense = tr._attention(
+            q, k, v, q_pos, k_pos, hd, softcap=softcap, window=window
+        )
+        chunked = tr._attention_chunked(
+            q, k, v, q_pos, k_pos, hd, softcap=softcap, window=window,
+            chunk=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(dense), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_long_context_forward_uses_chunked():
+    """Forward with KV beyond the chunk threshold stays correct: decode at a
+    long position equals the dense computation on a model with a big cache."""
+    import dataclasses
+
+    from vlut_tpu.models import transformer as tr
+
+    cfg = dataclasses.replace(PRESETS["tiny"], max_seq_len=4096)
+    params = init_params(cfg, seed=0)
+    b, t = 1, 8
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    # cache bigger than ATTN_CHUNK forces the chunked path
+    cache = init_kv_cache(cfg, b, max_len=tr.ATTN_CHUNK + 64,
+                          dtype=jnp.float32)
+    got, _ = forward(params, cfg, tokens, pos, cache, impl="xla")
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

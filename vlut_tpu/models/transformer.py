@@ -376,11 +376,23 @@ def _rms(x, weight, eps, n_logical, tp_axis=None, plus_one=False):
     return out.astype(x.dtype)
 
 
+ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
+
+
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
                window=None):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
-    semantics); softcap: gemma2 tanh score capping."""
+    semantics); softcap: gemma2 tanh score capping.
+
+    Short KV uses one dense softmax; long KV streams chunks with an
+    online softmax (flash-attention recurrence) so the (T, S) score
+    matrix never materializes — the TPU replacement for the reference's
+    ggml_flash_attn_ext (ggml/include/ggml.h:2331)."""
+    if k.shape[1] > ATTN_CHUNK:
+        return _attention_chunked(
+            q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window
+        )
     b, t, h, hd = q.shape
     hkv = k.shape[2]
     g = h // hkv
@@ -400,6 +412,63 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
     return out.reshape(b, t, h, hd)
+
+
+def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
+                       softcap=0.0, window=None, chunk=ATTN_CHUNK):
+    """Online-softmax attention over KV chunks (same semantics as the dense
+    path; O(T * chunk) live scores instead of O(T * S))."""
+    b, t, h, hd = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+    s = k.shape[1]
+    nc = -(-s // chunk)
+    pad = nc * chunk - s
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k_pos = jnp.pad(k_pos, ((0, 0), (0, pad)), constant_values=-1)
+
+    qf = q.astype(jnp.float32) * (scale or 1.0 / np.sqrt(hd_logical))
+    qf = qf.reshape(b, t, hkv, g, hd)
+    qp = q_pos[:, None, None, :, None]  # (b,1,1,t,1)
+
+    def body(carry, ci):
+        m, l, acc = carry
+        off = ci * chunk
+        kc = jax.lax.dynamic_slice_in_dim(k, off, chunk, axis=1).astype(
+            jnp.float32
+        )
+        vc = jax.lax.dynamic_slice_in_dim(v, off, chunk, axis=1).astype(
+            jnp.float32
+        )
+        kpc = jax.lax.dynamic_slice_in_dim(k_pos, off, chunk, axis=1)
+        sc = jnp.einsum("bthgd,bshd->bhgts", qf, kc)
+        if softcap:
+            sc = softcap * jnp.tanh(sc / softcap)
+        kp_ = kpc[:, None, None, None, :]
+        mask = (kp_ <= qp) & (kp_ >= 0)
+        if window is not None:
+            mask &= jnp.where(window > 0, kp_ > qp - window, True)
+        sc = jnp.where(mask, sc, -1e30)
+        m_new = jnp.maximum(m, sc.max(-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new[..., None])
+        p = jnp.where(mask, p, 0.0)
+        l = l * corr + p.sum(-1)
+        pv = jnp.einsum("bhgts,bshd->bhgtd", p, vc)
+        acc = acc * corr[..., None] + pv
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, hkv, g, t), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    a0 = jnp.zeros((b, hkv, g, t, hd), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, a0), jnp.arange(nc, dtype=jnp.int32)
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (b,hkv,g,t,hd)
+    out = jnp.moveaxis(out, 3, 1).reshape(b, t, h, hd)
+    return out
 
 
 def forward(
