@@ -52,9 +52,11 @@ def main():
     cfg = PRESETS[preset]
     max_len = PROMPT_LEN + N_HI + 16
 
+    from vlut_tpu.models.transformer import fuse_projections
+
     t0 = time.time()
     params = init_params_fast(cfg, seed=0)
-    params = jax.device_put(params)
+    params = jax.device_put(fuse_projections(params, cfg))
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)

@@ -237,3 +237,31 @@ def test_long_context_forward_uses_chunked():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_projections_exact():
+    """Load-time qkv / gate-up fusion must be bit-equivalent to the
+    separate matmuls (same trits, scales broadcast per channel)."""
+    from vlut_tpu.models.transformer import fuse_projections
+
+    cfg, params = _tiny()
+    fused = fuse_projections(params, cfg)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    assert "w_gateup" in fused["layers"]
+    b, t = 2, 8
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    got, _ = forward(fused, cfg, tokens, pos, None, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_projections_moe_keeps_experts():
+    from vlut_tpu.models.transformer import fuse_projections
+
+    cfg = PRESETS["tiny_moe"]
+    params = init_params(cfg, seed=0)
+    fused = fuse_projections(params, cfg)
+    assert "wqkv" in fused["layers"]
+    assert "w_gate" in fused["layers"]  # expert stack untouched

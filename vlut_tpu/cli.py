@@ -33,6 +33,45 @@ def cmd_convert(args):
     print(f"converted: {cfg}")
 
 
+def cmd_inspect(args):
+    """Checkpoint directory inspector (gguf-hash / gguf_dump analog):
+    config, tensor directory with shapes/dtypes/bytes, optional xxhash-like
+    content digest per tensor."""
+    import hashlib
+    import json as _json
+    import pathlib
+
+    import numpy as np
+    from safetensors import safe_open
+
+    path = pathlib.Path(args.ckpt)
+    meta = _json.loads((path / "vlut_config.json").read_text())
+    print(_json.dumps(
+        {k: v for k, v in meta.items() if k != "model_config"}, indent=2
+    ))
+    print(_json.dumps(meta["model_config"], indent=2))
+    total = 0
+    with safe_open(str(path / "model.safetensors"), framework="numpy") as sf:
+        names = sorted(sf.keys())
+        print(f"{'tensor':44s} {'shape':>22s} {'dtype':>9s} {'MiB':>9s}"
+              + ("  sha256[:12]" if args.hash else ""))
+        full = hashlib.sha256()
+        for name in names:
+            t = sf.get_tensor(name)
+            nbytes = t.nbytes
+            total += nbytes
+            line = (f"{name:44s} {str(t.shape):>22s} {str(t.dtype):>9s} "
+                    f"{nbytes/2**20:9.2f}")
+            if args.hash:
+                h = hashlib.sha256(np.ascontiguousarray(t).tobytes())
+                full.update(h.digest())
+                line += f"  {h.hexdigest()[:12]}"
+            print(line)
+        print(f"{'TOTAL':44s} {'':>22s} {'':>9s} {total/2**20:9.2f}")
+        if args.hash:
+            print(f"model digest: {full.hexdigest()}")
+
+
 def cmd_quantize(args):
     from vlut_tpu.convert.quantize import requantize
 
@@ -46,6 +85,24 @@ def cmd_generate(args):
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model)
+    if type(cfg).__name__ == "MambaConfig":
+        # recurrent family: greedy device-side generation (slot-engine
+        # integration for recurrent state is queued work)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.ssm import make_generate_fn as mamba_gen
+
+        tok = Tokenizer(args.model)
+        ids = tok.encode(args.prompt)
+        gen = mamba_gen(cfg, n_steps=args.n_predict)
+        t0 = time.time()
+        out = np.asarray(gen(params, jnp.asarray([ids], jnp.int32)))[0]
+        dt = time.time() - t0
+        print(tok.decode([int(x) for x in out]))
+        print(f"\n[{len(out)} tokens, {len(out)/dt:.1f} tok/s | mamba "
+              f"greedy]", file=sys.stderr)
+        return
     if args.lora:
         from vlut_tpu.runtime.lora import apply_lora, load_peft_adapter
 
@@ -238,6 +295,11 @@ def main(argv=None):
     p.add_argument("out_dir")
     p.add_argument("--fmt", choices=("i2", "i1"), default="i2")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("inspect", help="checkpoint tensor directory + hash")
+    p.add_argument("ckpt")
+    p.add_argument("--hash", action="store_true")
+    p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser("quantize",
                        help="requantize native checkpoint (i2 <-> i1)")

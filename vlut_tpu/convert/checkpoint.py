@@ -85,8 +85,12 @@ def save_checkpoint(
     flat = _flatten(params)
     save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
               str(path / "model.safetensors"))
+    family = type(cfg).__name__  # ModelConfig | MambaConfig
     meta = {
         "format_version": FORMAT_VERSION,
+        "model_family": (
+            "mamba" if family == "MambaConfig" else "transformer"
+        ),
         "model_config": dataclasses.asdict(cfg),
         **(extra_meta or {}),
     }
@@ -108,7 +112,12 @@ def load_checkpoint(
     meta = json.loads((path / "vlut_config.json").read_text())
     if meta.get("format_version") != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version: {meta}")
-    cfg = ModelConfig(**meta["model_config"])
+    if meta.get("model_family") == "mamba":
+        from vlut_tpu.models.ssm import MambaConfig
+
+        cfg = MambaConfig(**meta["model_config"])
+    else:
+        cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))
     params = _unflatten(flat)
     return cfg, params, meta

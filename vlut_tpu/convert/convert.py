@@ -184,6 +184,133 @@ def _is_exact_ternary(w: np.ndarray) -> tuple[bool, float]:
     return ok, s
 
 
+def convert_mamba(
+    hf_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    dtype_hp: str = "bfloat16",
+):
+    """HF MambaForCausalLM -> packed ternary checkpoint (in/out projections
+    ternarized; SSM-specific small tensors kept float)."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.models.ssm import MambaConfig
+    from vlut_tpu.ops.packing import pack_ternary
+
+    hf_dir = pathlib.Path(hf_dir)
+    raw = json.loads((hf_dir / "config.json").read_text())
+    dt_rank = raw.get("time_step_rank")
+    cfg = MambaConfig(
+        vocab_size=raw["vocab_size"],
+        d_model=raw["hidden_size"],
+        n_layers=raw["num_hidden_layers"],
+        d_state=raw.get("state_size", 16),
+        d_conv=raw.get("conv_kernel", 4),
+        expand=raw.get("expand", 2),
+        dt_rank=dt_rank if isinstance(dt_rank, int) else None,
+        rms_eps=raw.get("layer_norm_epsilon", 1e-5),
+        tie_embeddings=raw.get("tie_word_embeddings", True),
+        max_seq_len=raw.get("max_position_embeddings", 2048),
+    )
+    hp = jnp.bfloat16 if dtype_hp == "bfloat16" else jnp.float32
+    L = cfg.n_layers
+    top: dict[str, Any] = {}
+    per: dict[str, dict[int, Any]] = {}
+    n_approx = 0
+
+    def tern_pack(wf: np.ndarray):
+        nonlocal n_approx
+        exact, s = _is_exact_ternary(wf)
+        if exact:
+            trits, scale = np.sign(wf).astype(np.int8), np.float32(
+                s if s > 0 else 1.0
+            )
+        else:
+            n_approx += 1
+            trits, scale = ternarize(wf)
+        t = pack_ternary(trits, scale, "i2")
+        return {"packed": np.asarray(t.packed),
+                "scale": np.asarray(t.scale).reshape(())}
+
+    lre = re.compile(r"backbone\.layers\.(\d+)\.(.+)$")
+    for name, w in _iter_hf_tensors(hf_dir):
+        w = np.asarray(w, np.float32)
+        if name == "backbone.embeddings.weight":
+            top["embed"] = np.asarray(jnp.asarray(w).astype(hp))
+            continue
+        if name == "backbone.norm_f.weight":
+            top["final_norm"] = w
+            continue
+        if name == "lm_head.weight":
+            top["lm_head"] = np.asarray(jnp.asarray(w.T).astype(hp))
+            continue
+        m = lre.match(name)
+        if not m:
+            log.warning("skipping unrecognized mamba tensor %s", name)
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        d = per.setdefault(sub, {})
+        if sub == "mixer.in_proj.weight":
+            d[li] = tern_pack(w.T)  # (d, 2*di)
+        elif sub == "mixer.out_proj.weight":
+            d[li] = tern_pack(w.T)  # (di, d)
+        elif sub == "norm.weight":
+            d[li] = w
+        elif sub == "mixer.conv1d.weight":
+            d[li] = w[:, 0, :].T  # (di, 1, dc) -> (dc, di)
+        elif sub == "mixer.conv1d.bias":
+            d[li] = w
+        elif sub == "mixer.x_proj.weight":
+            d[li] = w.T  # (di, dr+2ds)
+        elif sub == "mixer.dt_proj.weight":
+            d[li] = w.T  # (dr, di)
+        elif sub == "mixer.dt_proj.bias":
+            d[li] = w
+        elif sub == "mixer.A_log":
+            d[li] = w
+        elif sub == "mixer.D":
+            d[li] = w
+        else:
+            log.warning("skipping mamba layer tensor %s", name)
+
+    name_map = {
+        "mixer.in_proj.weight": "in_proj",
+        "mixer.out_proj.weight": "out_proj",
+        "norm.weight": "norm",
+        "mixer.conv1d.weight": "conv_w",
+        "mixer.conv1d.bias": "conv_b",
+        "mixer.x_proj.weight": "x_proj",
+        "mixer.dt_proj.weight": "dt_proj_w",
+        "mixer.dt_proj.bias": "dt_proj_b",
+        "mixer.A_log": "A_log",
+        "mixer.D": "D",
+    }
+    layers: dict[str, Any] = {}
+    for sub, by_layer in per.items():
+        pname = name_map.get(sub)
+        if pname is None:
+            continue
+        vals = [by_layer[i] for i in range(L)]
+        if isinstance(vals[0], dict):
+            layers[pname] = {
+                "packed": np.stack([v["packed"] for v in vals]),
+                "scale": np.stack([v["scale"] for v in vals]),
+            }
+        else:
+            layers[pname] = np.stack(vals)
+
+    if n_approx:
+        log.warning(
+            "%d mamba projections were NOT exactly ternary — absmean "
+            "ternarized (lossy).", n_approx,
+        )
+    save_checkpoint(
+        out_dir, cfg, {**top, "layers": layers}, tokenizer_src=hf_dir,
+        extra_meta={"source": str(hf_dir),
+                    "ternarized_tensors": n_approx},
+    )
+    return cfg
+
+
 def convert_hf(
     hf_dir: str | pathlib.Path,
     out_dir: str | pathlib.Path,
@@ -194,6 +321,9 @@ def convert_hf(
     import jax.numpy as jnp
 
     hf_dir = pathlib.Path(hf_dir)
+    raw0 = json.loads((hf_dir / "config.json").read_text())
+    if raw0.get("model_type") in ("mamba", "falcon_mamba"):
+        return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
     cfg0 = config_from_hf(hf_dir)
     cfg = ModelConfig(**{**cfg0.__dict__, "weight_fmt": fmt})
     L = cfg.n_layers

@@ -136,6 +136,48 @@ def pack_weight(
     raise KeyError(name)
 
 
+def fuse_projections(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]:
+    """Column-concatenate wq|wk|wv -> wqkv and w_gate|w_up -> w_gateup at
+    load time (single-chip serving; kernel-launch count per layer drops
+    7 -> 4).  Packed columns concatenate exactly (the packing layout is
+    row-major over K-slabs), and the per-tensor scales become one
+    per-channel scale vector, which the GEMM epilogue already supports.
+
+    Skipped for tp-sharded runs (a [q|k|v] concat does not column-shard
+    correctly) and MoE ffns keep their expert stacks.  No-op if already
+    fused or if qkv biases/lora are attached to the separate tensors."""
+    layers = params["layers"]
+    if "wqkv" in layers or cfg.qkv_bias:
+        return params
+    if any("lora_a" in layers.get(n, {}) for n in
+           ("wq", "wk", "wv", "w_gate", "w_up")):
+        return params
+    plan = make_plan(cfg)
+    out = dict(layers)
+
+    def fuse(names: list[str], widths: list[int], new: str):
+        packs = [np.asarray(out[n]["packed"]) for n in names]
+        scales = [np.asarray(out[n]["scale"], np.float32) for n in names]
+        fusedp = np.concatenate(packs, axis=-1)
+        l = fusedp.shape[0]
+        sc = np.concatenate(
+            [
+                np.broadcast_to(s.reshape(l, 1), (l, w)).astype(np.float32)
+                for s, w in zip(scales, widths)
+            ],
+            axis=-1,
+        )
+        out[new] = {"packed": jnp.asarray(fusedp), "scale": jnp.asarray(sc)}
+        for n in names:
+            del out[n]
+
+    fuse(["wq", "wk", "wv"],
+         [plan.q_dim_p, plan.kv_dim_p, plan.kv_dim_p], "wqkv")
+    if not cfg.n_experts:
+        fuse(["w_gate", "w_up"], [plan.ff_p, plan.ff_p], "w_gateup")
+    return {**params, "layers": out}
+
+
 def unpack_weight(
     name: str,
     t: TernaryTensor,
@@ -638,9 +680,19 @@ def run_layers(
         lp, kc, vc, ksc, vsc, window = xs
 
         h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
-        q = proj(h, lp, "wq")
-        k = proj(h, lp, "wk")
-        v = proj(h, lp, "wv")
+        if "wqkv" in lp:  # load-time fused projections (fuse_projections)
+            qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
+            spec_qkv = TernarySpec(
+                cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
+            )
+            qkv = mm(h, _layer_tensor(lp, "wqkv", spec_qkv))
+            q = qkv[..., :qd]
+            k = qkv[..., qd : qd + kvd]
+            v = qkv[..., qd + kvd :]
+        else:
+            q = proj(h, lp, "wq")
+            k = proj(h, lp, "wk")
+            v = proj(h, lp, "wv")
         if cfg.qkv_bias:
             q = q + lp["bq"].astype(q.dtype)
             k = k + lp["bk"].astype(k.dtype)
@@ -805,8 +857,17 @@ def run_layers(
                 dn = jax.lax.psum(dn, ep_axis)
             dn = dn.astype(x.dtype)
         else:
-            gate = proj(h, lp, "w_gate")
-            up = proj(h, lp, "w_up")
+            if "w_gateup" in lp:
+                ffl = plan.ff_p // tp_size
+                spec_gu = TernarySpec(
+                    cfg.d_model, 2 * ffl, cfg.weight_fmt,
+                    specs["w_down"].kb,
+                )
+                gu = mm(h, _layer_tensor(lp, "w_gateup", spec_gu))
+                gate, up = gu[..., :ffl], gu[..., ffl:]
+            else:
+                gate = proj(h, lp, "w_gate")
+                up = proj(h, lp, "w_up")
             a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
             a = a.astype(x.dtype)
             if cfg.use_subnorms:

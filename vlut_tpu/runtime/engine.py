@@ -123,9 +123,14 @@ class Engine:
         kv_quant: bool = False,
         context_shift: bool = True,
         n_keep: int = 4,
+        fuse: bool = True,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
+        if fuse:
+            from vlut_tpu.models.transformer import fuse_projections
+
+            params = fuse_projections(params, cfg)
         self.params = params
         self.n_slots = n_slots
         self.max_len = max_len or cfg.max_seq_len
