@@ -52,11 +52,13 @@ def main():
     cfg = PRESETS[preset]
     max_len = PROMPT_LEN + N_HI + 16
 
-    from vlut_tpu.models.transformer import fuse_projections
+    from vlut_tpu.models.transformer import fuse_projections, unstack_layers
 
     t0 = time.time()
     params = init_params_fast(cfg, seed=0)
-    params = jax.device_put(fuse_projections(params, cfg))
+    params = jax.device_put(
+        unstack_layers(fuse_projections(params, cfg), cfg)
+    )
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)

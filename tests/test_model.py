@@ -265,3 +265,33 @@ def test_fused_projections_moe_keeps_experts():
     fused = fuse_projections(params, cfg)
     assert "wqkv" in fused["layers"]
     assert "w_gate" in fused["layers"]  # expert stack untouched
+
+
+def test_unstacked_layers_matches_scan():
+    """Unrolled per-layer weights compute the same model as the scan.  Not
+    bit-identical — XLA fuses/reassociates f32 epilogues differently per
+    program shape and activations are bf16 — so: tight tolerance + full
+    greedy agreement, with and without a cache, composed with fusion."""
+    from vlut_tpu.models.transformer import fuse_projections, unstack_layers
+
+    cfg, params = _tiny()
+    b, t = 2, 8
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, ref_cache = forward(
+        params, cfg, tokens, pos,
+        init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32), impl="xla",
+    )
+    uns = unstack_layers(fuse_projections(params, cfg), cfg)
+    got, got_cache = forward(
+        uns, cfg, tokens, pos,
+        init_kv_cache(cfg, b, max_len=32, dtype=jnp.float32), impl="xla",
+    )
+    ra, ga = np.asarray(ref), np.asarray(got)
+    np.testing.assert_allclose(ga, ra, rtol=0.02, atol=0.02)
+    assert (ga.argmax(-1) == ra.argmax(-1)).mean() > 0.95
+    np.testing.assert_allclose(
+        np.asarray(got_cache["k"]), np.asarray(ref_cache["k"]),
+        rtol=0.02, atol=0.02,
+    )

@@ -334,3 +334,41 @@ def test_chat_n_choices(server):
     # distinct seeds: overwhelmingly likely to differ on a random model
     texts = {c["message"]["content"] for c in out["choices"]}
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_multi_model_router():
+    """Two engines behind one port, routed by the 'model' field
+    (server-models.cpp analog)."""
+    from vlut_tpu.serving.server import serve_multi
+
+    cfg = PRESETS["tiny"]
+    m_a = Engine(cfg, init_params(cfg, seed=1), n_slots=1, max_len=48,
+                 impl="xla")
+    m_b = Engine(cfg, init_params(cfg, seed=2), n_slots=1, max_len=48,
+                 impl="xla")
+    httpd, router = serve_multi(
+        {"alpha": (m_a, StubTokenizer()), "beta": (m_b, StubTokenizer())},
+        port=0, default="alpha",
+    )
+    hp = ("127.0.0.1", httpd.server_address[1])
+    try:
+        status, data = _req(hp, "GET", "/v1/models")
+        names = {m["id"] for m in json.loads(data)["data"]}
+        assert names == {"alpha", "beta"}
+        body = {"prompt": "route", "n_predict": 3, "temperature": 0.0,
+                "ignore_eos": True}
+        _, da = _req(hp, "POST", "/completion", {**body, "model": "alpha"})
+        _, db = _req(hp, "POST", "/completion", {**body, "model": "beta"})
+        # different weights -> (almost surely) different greedy outputs
+        assert json.loads(da)["content"] != json.loads(db)["content"]
+        status, _ = _req(hp, "POST", "/completion",
+                         {**body, "model": "nope"})
+        assert status == 404
+        # default model used when the field is absent
+        status, dd = _req(hp, "POST", "/completion", body)
+        assert status == 200 and json.loads(dd)["content"] == json.loads(
+            da)["content"]
+    finally:
+        for st in router.states.values():
+            st.running = False
+        httpd.shutdown()

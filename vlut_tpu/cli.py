@@ -16,12 +16,28 @@ import sys
 import time
 
 
-def _load(model_dir):
+def _load(model_dir, overrides=None):
+    import dataclasses
+
     import jax
 
     from vlut_tpu.convert.checkpoint import load_checkpoint
 
     cfg, params, meta = load_checkpoint(model_dir)
+    # --override key=value (the reference's --override-kv GGUF-metadata
+    # override, common/arg.cpp): retype from the dataclass field
+    for spec in overrides or ():
+        key, _, val = spec.partition("=")
+        if not hasattr(cfg, key):
+            raise SystemExit(f"--override: no config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            val = val.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(val)
+        elif isinstance(cur, float):
+            val = float(val)
+        cfg = dataclasses.replace(cfg, **{key: val})
     params = jax.device_put(params)
     return cfg, params, meta
 
@@ -84,7 +100,7 @@ def cmd_generate(args):
     from vlut_tpu.runtime.sampling import SamplerParams
     from vlut_tpu.utils.tokenizer import Tokenizer
 
-    cfg, params, _ = _load(args.model)
+    cfg, params, _ = _load(args.model, overrides=args.override)
     if type(cfg).__name__ == "MambaConfig":
         # recurrent family: greedy device-side generation (slot-engine
         # integration for recurrent state is queued work)
@@ -347,6 +363,9 @@ def main(argv=None):
     p.add_argument("--lora-scale", type=float, default=1.0)
     p.add_argument("--cache-type", choices=("bf16", "q8"),
                    default="bf16")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override a model config field (repeatable)")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("batched")

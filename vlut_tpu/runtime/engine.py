@@ -124,6 +124,7 @@ class Engine:
         context_shift: bool = True,
         n_keep: int = 4,
         fuse: bool = True,
+        unroll: bool = True,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
@@ -131,6 +132,10 @@ class Engine:
             from vlut_tpu.models.transformer import fuse_projections
 
             params = fuse_projections(params, cfg)
+        if unroll:
+            from vlut_tpu.models.transformer import unstack_layers
+
+            params = unstack_layers(params, cfg)
         self.params = params
         self.n_slots = n_slots
         self.max_len = max_len or cfg.max_seq_len

@@ -281,9 +281,43 @@ def _split_reasoning(text: str):
     return None, text
 
 
-def make_handler(state: ServerState):
+class Router:
+    """Multi-model routing (reference: server-models.cpp model router):
+    requests pick an engine by their "model" field; unknown names 404."""
+
+    def __init__(self):
+        self.states: dict[str, ServerState] = {}
+        self.default_name: str | None = None
+
+    def add(self, name: str, state: ServerState, default: bool = False):
+        self.states[name] = state
+        if default or self.default_name is None:
+            self.default_name = name
+
+    def resolve(self, name: str | None) -> ServerState:
+        if not name or name not in self.states:
+            if name and name not in self.states and len(self.states) > 1:
+                raise KeyError(name)
+            name = self.default_name
+        return self.states[name]
+
+
+def make_handler(router: Router):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+
+        def _resolve(self, body=None) -> bool:
+            name = body.get("model") if isinstance(body, dict) else None
+            try:
+                self._st = router.resolve(name)
+                return True
+            except KeyError:
+                self._json(404, {"error": f"unknown model {name!r}"})
+                return False
+
+        @property
+        def st(self):
+            return self._st
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -311,20 +345,22 @@ def make_handler(state: ServerState):
 
         def do_GET(self):
             path = urlparse(self.path).path
+            if not self._resolve():
+                return
             if path == "/health":
                 self._json(200, {"status": "ok"})
             elif path == "/metrics":
                 lines = []
-                for k, v in state.metrics.items():
+                for k, v in self.st.metrics.items():
                     lines.append(f"# TYPE vlut_{k} counter")
                     lines.append(f"vlut_{k} {v}")
                 busy = sum(
-                    1 for s in state.engine.slots if s.req is not None
+                    1 for s in self.st.engine.slots if s.req is not None
                 )
                 lines.append("# TYPE vlut_slots_busy gauge")
                 lines.append(f"vlut_slots_busy {busy}")
                 lines.append("# TYPE vlut_slots_total gauge")
-                lines.append(f"vlut_slots_total {state.engine.n_slots}")
+                lines.append(f"vlut_slots_total {self.st.engine.n_slots}")
                 data = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")
@@ -340,29 +376,32 @@ def make_handler(state: ServerState):
                         "generated": s.generated,
                         "cached_tokens": len(s.history),
                     }
-                    for i, s in enumerate(state.engine.slots)
+                    for i, s in enumerate(self.st.engine.slots)
                 ]
                 self._json(200, slots)
             elif path == "/props":
-                cfg = state.engine.cfg
+                cfg = self.st.engine.cfg
                 self._json(200, {
-                    "model": state.model_name,
-                    "n_ctx": state.engine.max_len,
-                    "n_slots": state.engine.n_slots,
+                    "model": self.st.model_name,
+                    "n_ctx": self.st.engine.max_len,
+                    "n_slots": self.st.engine.n_slots,
                     "arch": cfg.arch,
                     "weight_fmt": cfg.weight_fmt,
                     "vocab_size": cfg.vocab_size,
-                    "bos_token_id": state.tok.bos_id,
-                    "eos_token_id": state.tok.eos_id,
+                    "bos_token_id": self.st.tok.bos_id,
+                    "eos_token_id": self.st.tok.eos_id,
                 })
             elif path == "/v1/models":
                 self._json(200, {
                     "object": "list",
-                    "data": [{
-                        "id": state.model_name,
-                        "object": "model",
-                        "owned_by": "vlut-tpu",
-                    }],
+                    "data": [
+                        {
+                            "id": name,
+                            "object": "model",
+                            "owned_by": "vlut-tpu",
+                        }
+                        for name in router.states
+                    ],
                 })
             else:
                 self._json(404, {"error": "not found"})
@@ -375,6 +414,8 @@ def make_handler(state: ServerState):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 self._json(400, {"error": "bad json"})
+                return
+            if not self._resolve(body):
                 return
             parsed = urlparse(self.path)
             path = parsed.path
@@ -390,20 +431,20 @@ def make_handler(state: ServerState):
                 elif path in ("/rerank", "/reranking", "/v1/rerank"):
                     self._rerank(body)
                 elif path == "/tokenize":
-                    ids = state.tok.encode(
+                    ids = self.st.tok.encode(
                         body.get("content", ""),
                         add_bos=bool(body.get("add_special", False)),
                     )
                     self._json(200, {"tokens": ids})
                 elif path == "/detokenize":
                     self._json(200, {
-                        "content": state.tok.decode(body.get("tokens", []))
+                        "content": self.st.tok.decode(body.get("tokens", []))
                     })
                 elif path == "/apply-template":
-                    ids = state.tok.apply_chat_template(
+                    ids = self.st.tok.apply_chat_template(
                         body.get("messages", [])
                     )
-                    self._json(200, {"prompt": state.tok.decode(ids)})
+                    self._json(200, {"prompt": self.st.tok.decode(ids)})
                 elif path.startswith("/slots/"):
                     self._slot_action(path, parsed.query, body)
                 else:
@@ -411,17 +452,17 @@ def make_handler(state: ServerState):
             except BrokenPipeError:
                 pass
             except Exception as e:  # noqa: BLE001
-                state.metrics["requests_errors_total"] += 1
+                self.st.metrics["requests_errors_total"] += 1
                 self._json(500, {"error": str(e)})
 
         # --- core run loop with stop strings + optional streaming ---------
 
         def _make_request(self, prompt_ids, body):
             stop_tok = ()
-            if state.tok.eos_id is not None and not body.get(
+            if self.st.tok.eos_id is not None and not body.get(
                 "ignore_eos", False
             ):
-                stop_tok = (state.tok.eos_id,)
+                stop_tok = (self.st.tok.eos_id,)
             n_probs = int(body.get("n_probs", 0))
             if body.get("logprobs"):
                 # OpenAI chat style: logprobs=true + top_logprobs=k
@@ -433,7 +474,7 @@ def make_handler(state: ServerState):
                 ),
                 sampler=_sampler_from_body(body),
                 stop_tokens=stop_tok,
-                grammar=_grammar_from_body(body, state.tok),
+                grammar=_grammar_from_body(body, self.st.tok),
                 n_probs=min(n_probs, 16),
             )
 
@@ -444,12 +485,12 @@ def make_handler(state: ServerState):
                 ids, lps, chosen = entry
                 out.append({
                     "id": int(tok),
-                    "token": state.tok.decode([int(tok)]),
+                    "token": self.st.tok.decode([int(tok)]),
                     "logprob": chosen,
                     "top_logprobs": [
                         {
                             "id": int(i),
-                            "token": state.tok.decode([int(i)]),
+                            "token": self.st.tok.decode([int(i)]),
                             "logprob": float(l),
                         }
                         for i, l in zip(ids, lps)
@@ -469,17 +510,17 @@ def make_handler(state: ServerState):
             Calls on_delta(new_text) as tokens stream in.  Pass ``ev`` when
             the request was already submitted (concurrent fan-out)."""
             if ev is None:
-                ev = state.submit(req)
+                ev = self.st.submit(req)
             emitted = ""
             finish = "stop"
             stop_toks = set(req.stop_tokens)
             try:
                 while True:
                     done = ev.wait(0.02)
-                    with state.lock:
+                    with self.st.lock:
                         out = list(req.output)
                     vis = [t for t in out if t not in stop_toks]
-                    text = state.tok.decode(vis)
+                    text = self.st.tok.decode(vis)
                     # hold back a partial stop-string suffix
                     cut = len(text)
                     hit = None
@@ -489,7 +530,7 @@ def make_handler(state: ServerState):
                             hit = j
                     if hit is not None:
                         text = text[:hit]
-                        state.cancel(req)
+                        self.st.cancel(req)
                         finish = "stop"
                         if on_delta and len(text) > len(emitted):
                             on_delta(text[len(emitted):])
@@ -514,7 +555,7 @@ def make_handler(state: ServerState):
                             finish = "length"
                         break
             finally:
-                state.finish(req)
+                self.st.finish(req)
             return emitted, finish
 
         # --- endpoints -----------------------------------------------------
@@ -524,7 +565,7 @@ def make_handler(state: ServerState):
             ids = (
                 prompt
                 if isinstance(prompt, list)
-                else state.tok.encode(prompt)
+                else self.st.tok.encode(prompt)
             )
             req = self._make_request(ids, body)
             stops = self._stop_strings(body)
@@ -557,9 +598,9 @@ def make_handler(state: ServerState):
             msgs = body.get("messages", [])
             tools = body.get("tools")
             try:
-                ids = state.tok.apply_chat_template(msgs, tools=tools)
+                ids = self.st.tok.apply_chat_template(msgs, tools=tools)
             except TypeError:
-                ids = state.tok.apply_chat_template(msgs)
+                ids = self.st.tok.apply_chat_template(msgs)
             req = self._make_request(ids, body)
             stops = self._stop_strings(body)
             created = int(time.time())
@@ -569,7 +610,7 @@ def make_handler(state: ServerState):
                 def emit(delta):
                     self._sse({
                         "id": cmpl_id, "object": "chat.completion.chunk",
-                        "created": created, "model": state.model_name,
+                        "created": created, "model": self.st.model_name,
                         "choices": [{
                             "index": 0,
                             "delta": {"content": delta},
@@ -579,7 +620,7 @@ def make_handler(state: ServerState):
                 text, finish = self._run_collect(req, stops, emit)
                 self._sse({
                     "id": cmpl_id, "object": "chat.completion.chunk",
-                    "created": created, "model": state.model_name,
+                    "created": created, "model": self.st.model_name,
                     "choices": [{
                         "index": 0, "delta": {},
                         "finish_reason": finish,
@@ -603,7 +644,7 @@ def make_handler(state: ServerState):
                         sib.sampler, seed=req.sampler.seed + j
                     )
                     reqs.append(sib)
-                evs = [state.submit(r) for r in reqs]
+                evs = [self.st.submit(r) for r in reqs]
                 results = []
                 for r, e in zip(reqs, evs):
                     txt, fin = self._run_collect(r, stops, ev=e)
@@ -612,7 +653,7 @@ def make_handler(state: ServerState):
                     "id": cmpl_id,
                     "object": "chat.completion",
                     "created": created,
-                    "model": state.model_name,
+                    "model": self.st.model_name,
                     "choices": [
                         {
                             "index": j,
@@ -680,7 +721,7 @@ def make_handler(state: ServerState):
                 "id": cmpl_id,
                 "object": "chat.completion",
                 "created": created,
-                "model": state.model_name,
+                "model": self.st.model_name,
                 "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(req.prompt),
@@ -695,18 +736,18 @@ def make_handler(state: ServerState):
             special tokens when present, else plain concatenation)."""
             prefix = body.get("input_prefix", "")
             suffix = body.get("input_suffix", "")
-            tk = state.tok.tk
+            tk = self.st.tok.tk
             fim_pre = getattr(tk, "fim_prefix_token_id", None)
             fim_suf = getattr(tk, "fim_suffix_token_id", None)
             fim_mid = getattr(tk, "fim_middle_token_id", None)
             if None not in (fim_pre, fim_suf, fim_mid):
                 ids = (
-                    [fim_pre] + state.tok.encode(prefix, add_bos=False)
-                    + [fim_suf] + state.tok.encode(suffix, add_bos=False)
+                    [fim_pre] + self.st.tok.encode(prefix, add_bos=False)
+                    + [fim_suf] + self.st.tok.encode(suffix, add_bos=False)
                     + [fim_mid]
                 )
             else:
-                ids = state.tok.encode(prefix, add_bos=True)
+                ids = self.st.tok.encode(prefix, add_bos=True)
             req = self._make_request(ids, body)
             text, finish = self._run_collect(req, self._stop_strings(body))
             self._json(200, {
@@ -720,11 +761,11 @@ def make_handler(state: ServerState):
             if isinstance(inp, str):
                 inp = [inp]
             ids_list = [
-                x if isinstance(x, list) else state.tok.encode(x)
+                x if isinstance(x, list) else self.st.tok.encode(x)
                 for x in inp
             ]
             pooling = body.get("pooling", "mean")
-            vecs = state.embed(ids_list, pooling=pooling)
+            vecs = self.st.embed(ids_list, pooling=pooling)
             self._json(200, {
                 "object": "list",
                 "data": [
@@ -735,7 +776,7 @@ def make_handler(state: ServerState):
                     }
                     for i, v in enumerate(vecs)
                 ],
-                "model": state.model_name,
+                "model": self.st.model_name,
                 "usage": {
                     "prompt_tokens": sum(len(x) for x in ids_list),
                     "total_tokens": sum(len(x) for x in ids_list),
@@ -745,15 +786,15 @@ def make_handler(state: ServerState):
         def _rerank(self, body):
             query = body.get("query", "")
             docs = body.get("documents", [])
-            q_ids = state.tok.encode(query)
-            d_ids = [state.tok.encode(d, add_bos=False) for d in docs]
-            scores = state.rerank(q_ids, d_ids)
+            q_ids = self.st.tok.encode(query)
+            d_ids = [self.st.tok.encode(d, add_bos=False) for d in docs]
+            scores = self.st.rerank(q_ids, d_ids)
             order = sorted(
                 range(len(scores)), key=lambda i: -scores[i]
             )
             top_n = int(body.get("top_n", len(docs)))
             self._json(200, {
-                "model": state.model_name,
+                "model": self.st.model_name,
                 "results": [
                     {"index": i, "relevance_score": scores[i]}
                     for i in order[:top_n]
@@ -767,25 +808,25 @@ def make_handler(state: ServerState):
                 self._json(400, {"error": "bad slot id"})
                 return
             action = (parse_qs(query).get("action") or [""])[0]
-            eng = state.engine
+            eng = self.st.engine
             if not 0 <= slot_id < eng.n_slots:
                 self._json(400, {"error": "slot id out of range"})
                 return
             name = body.get("filename", f"slot{slot_id}")
-            with state.lock:
+            with self.st.lock:
                 if action == "save":
                     data = eng.save_slot(slot_id)
-                    state.slot_files[name] = data
+                    self.st.slot_files[name] = data
                     self._json(200, {
                         "id_slot": slot_id, "filename": name,
                         "n_saved": len(eng.slots[slot_id].history),
                         "n_bytes": len(data),
                     })
                 elif action == "restore":
-                    if name not in state.slot_files:
+                    if name not in self.st.slot_files:
                         self._json(404, {"error": f"no saved state {name}"})
                         return
-                    eng.restore_slot(slot_id, state.slot_files[name])
+                    eng.restore_slot(slot_id, self.st.slot_files[name])
                     self._json(200, {
                         "id_slot": slot_id,
                         "n_restored": len(eng.slots[slot_id].history),
@@ -809,10 +850,31 @@ def serve(
     """Start engine loop + HTTP server (returns without blocking)."""
     state = ServerState(engine, tokenizer, model_name=model_name)
     state.start()
-    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    router = Router()
+    router.add(model_name, state, default=True)
+    httpd = ThreadingHTTPServer((host, port), make_handler(router))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, state
+
+
+def serve_multi(
+    models: dict[str, tuple[Engine, Tokenizer]],
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    default: str | None = None,
+) -> tuple[ThreadingHTTPServer, Router]:
+    """Multi-model server: one engine loop per model, routed by the
+    request's "model" field (server-models.cpp analog)."""
+    router = Router()
+    for name, (engine, tok) in models.items():
+        st = ServerState(engine, tok, model_name=name)
+        st.start()
+        router.add(name, st, default=(name == default))
+    httpd = ThreadingHTTPServer((host, port), make_handler(router))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, router
 
 
 def main(argv=None):
@@ -821,7 +883,9 @@ def main(argv=None):
     from vlut_tpu.convert.checkpoint import load_checkpoint
 
     ap = argparse.ArgumentParser(description="vlut_tpu server")
-    ap.add_argument("--model", required=True, help="checkpoint dir")
+    ap.add_argument("--model", required=True, action="append",
+                    help="checkpoint dir, or NAME=DIR (repeatable for "
+                         "multi-model routing)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
@@ -833,14 +897,21 @@ def main(argv=None):
 
     import jax
 
-    cfg, params, _ = load_checkpoint(args.model)
-    params = jax.device_put(params)
-    engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
-                    kv_quant=(args.cache_type == "q8"))
-    tok = Tokenizer(args.model)
-    httpd, _ = serve(engine, tok, args.host, args.port,
-                     model_name=str(args.model))
-    print(f"listening on http://{args.host}:{args.port}")
+    models: dict[str, tuple[Engine, Tokenizer]] = {}
+    for spec in args.model:
+        name, _, path = spec.rpartition("=")
+        if not name:
+            name, path = path, path
+        cfg, params, _ = load_checkpoint(path)
+        params = jax.device_put(params)
+        engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
+                        kv_quant=(args.cache_type == "q8"))
+        models[name] = (engine, Tokenizer(path))
+    httpd, _ = serve_multi(
+        models, args.host, args.port, default=next(iter(models))
+    )
+    print(f"listening on http://{args.host}:{args.port} "
+          f"({len(models)} model(s))")
     try:
         while True:
             time.sleep(3600)
