@@ -110,3 +110,40 @@ def test_quantize_activations_semantics():
     assert q[0, 1] == -127
     np.testing.assert_allclose(s[0, 0], 3.0 / 127.0, rtol=1e-6)
     assert (q[1] == 0).all() and s[1, 0] == 0.0
+
+
+def test_fused_quant_gemm_matches_two_step():
+    """In-kernel activation quant must be bit-identical to
+    quantize_activations + ternary_gemm (same max-abs scale, same rounding,
+    same int32 accumulation)."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.ops.matmul import ternary_matmul_quantized
+    from vlut_tpu.ops.packing import pack_ternary
+    from vlut_tpu.ops.pallas_gemm import (
+        default_block_shapes,
+        ternary_gemm_fused_quant,
+    )
+    from vlut_tpu.ops.quant import quantize_activations
+
+    rng = np.random.default_rng(0)
+    for fmt in ("i2", "i1"):
+        k, n, m = 192, 256, 32
+        trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+        t = pack_ternary(trits, np.float32(0.07), fmt)
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+
+        xq, xs = quantize_activations(x)
+        ref = ternary_matmul_quantized(xq, xs, t, impl="xla")
+
+        kp, np_ = t.k_padded, t.n_padded
+        _, bn, bk = default_block_shapes(m, np_, kp, t.kb)
+        xp = jnp.pad(x, ((0, 0), (0, kp - k)))
+        ws = jnp.full((np_,), np.float32(0.07), jnp.float32)
+        got = ternary_gemm_fused_quant(
+            xp, jnp.asarray(t.packed), ws,
+            fmt=fmt, kb=t.kb, k=k, bn=bn, bk=bk, interpret=True,
+        )[:m, :n]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )

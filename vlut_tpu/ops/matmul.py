@@ -75,6 +75,36 @@ def ternary_matmul(
             preferred_element_type=jnp.float32,
         )
         return out.astype(out_dtype).reshape(*batch, t.n)
+    resolved = _default_impl() if impl == "auto" else impl
+    if (
+        resolved == "pallas"
+        and m <= 64
+        and os.environ.get("VLUT_TPU_FUSED_QUANT", "1") == "1"
+    ):
+        # decode path: activation quant fused into the kernel prologue —
+        # x stays VMEM-resident across the grid; saves the per-GEMM
+        # reduce-max/scale/round launches (bit-identical to the 2-step)
+        kp, np_ = t.k_padded, t.n_padded
+        mp = _round_up(max(m, 32), 32)
+        if block_shapes is None:
+            from vlut_tpu.bench.autotune import lookup
+
+            block_shapes = lookup(t.fmt, mp, kp, np_)
+        _, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
+            mp, np_, kp, t.kb
+        )
+        xp = jnp.pad(x.reshape(m, k), ((0, mp - m), (0, kp - k)))
+        w_scale = jnp.asarray(t.scale, jnp.float32)
+        if w_scale.ndim == 0:
+            w_scale = jnp.full((np_,), w_scale, jnp.float32)
+        else:
+            w_scale = jnp.pad(w_scale, (0, np_ - t.n))
+        out = pallas_gemm.ternary_gemm_fused_quant(
+            xp, jnp.asarray(t.packed), w_scale,
+            fmt=t.fmt, kb=t.kb, k=t.k, bn=bn, bk=bk,
+            out_dtype=jnp.float32,
+        )
+        return out[:m, : t.n].astype(out_dtype).reshape(*batch, t.n)
     x_q, x_scale = quantize_activations(x.reshape(m, k))
     out = ternary_matmul_quantized(
         x_q, x_scale, t, impl=impl, out_dtype=out_dtype,

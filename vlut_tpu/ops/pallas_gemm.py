@@ -160,6 +160,112 @@ def ternary_gemm_pallas(
     )(x_q, packed, x_scale, w_scale.reshape(1, np_))
 
 
+def _fused_gemm_kernel(
+    x_ref,  # (M, Kp) float — FULL x resident in VMEM (decode-sized M)
+    p_ref,  # (BK // r, BN) uint8
+    ws_ref,  # (1, BN) f32
+    out_ref,  # (M, BN)
+    xq_ref,  # (M, Kp) int8 scratch
+    xs_ref,  # (M, 1) f32 scratch
+    acc_ref,  # (M, BN) int32 scratch
+    *,
+    fmt: str,
+    kb: int,
+    bk: int,
+    bn: int,
+    n_k: int,
+    out_dtype,
+):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _quantize():
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = amax / 127.0
+        inv = jnp.where(amax > 0, 127.0 / jnp.maximum(amax, 1e-30), 0.0)
+        xs_ref[:] = scale
+        xq_ref[:] = jnp.clip(
+            jnp.round(xf * inv), -127, 127
+        ).astype(jnp.int8)
+
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
+    xq = xq_ref[:, pl.dslice(kk * bk, bk)]
+    acc_ref[:] += jax.lax.dot_general(
+        xq, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _epilogue():
+        out = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+        out_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "kb", "k", "bn", "bk", "out_dtype", "interpret"),
+)
+def ternary_gemm_fused_quant(
+    x: jax.Array,  # (M, Kp) bf16/f32, zero-padded K, M <= ~64
+    packed: jax.Array,  # (Kp // r, Np) uint8
+    w_scale: jax.Array,  # (Np,) f32
+    *,
+    fmt: str,
+    kb: int,
+    k: int,
+    bn: int,
+    bk: int,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode-path GEMM with the int8 activation quantization fused into the
+    kernel prologue: x stays resident in VMEM across the whole grid, is
+    quantized once, and the per-GEMM reduce-max/scale/round XLA ops (and
+    their kernel launches) disappear — significant at small M where launch
+    overhead rivals compute."""
+    m, kp = x.shape
+    r = TRITS_PER_BYTE[fmt]
+    np_ = packed.shape[1]
+    assert np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
+    n_k = kp // bk
+    grid = (np_ // bn, n_k)
+    kernel = functools.partial(
+        _fused_gemm_kernel,
+        fmt=fmt, kb=kb, bk=bk, bn=bn, n_k=n_k, out_dtype=out_dtype,
+    )
+    flops = 2 * m * np_ * kp
+    bytes_accessed = m * kp * 2 + kp * np_ // r + m * np_ * 4
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, kp), lambda j, kk: (0, 0)),
+            pl.BlockSpec((bk // r, bn), lambda j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, kp), jnp.int8),
+            pltpu.VMEM((m, 1), jnp.float32),
+            pltpu.VMEM((m, bn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, packed, w_scale.reshape(1, np_))
+
+
 def default_block_shapes(
     m: int, np_: int, kp: int, kb: int
 ) -> tuple[int, int, int]:
