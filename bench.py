@@ -52,10 +52,17 @@ def main():
     cfg = PRESETS[preset]
     max_len = PROMPT_LEN + N_HI + 16
 
-    from vlut_tpu.models.transformer import fuse_projections, unstack_layers
+    from vlut_tpu.models.transformer import (
+        fuse_projections,
+        quantize_head,
+        unstack_layers,
+    )
 
     t0 = time.time()
     params = init_params_fast(cfg, seed=0)
+    # int8 output head: the reference's own default quantizes output.weight
+    # to Q6_K (6.5 bpw, src/llama-quant.cpp:211) — int8 is higher fidelity
+    params = quantize_head(params)
     params = jax.device_put(
         unstack_layers(fuse_projections(params, cfg), cfg)
     )

@@ -295,3 +295,25 @@ def test_unstacked_layers_matches_scan():
         np.asarray(got_cache["k"]), np.asarray(ref_cache["k"]),
         rtol=0.02, atol=0.02,
     )
+
+
+def test_int8_head_tracks_bf16():
+    from vlut_tpu.models.transformer import quantize_head
+
+    cfg, params = _tiny()
+    b, t = 2, 8
+    rng = np.random.default_rng(12)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    ref, _ = forward(params, cfg, tokens, pos, None, impl="xla")
+    qp = quantize_head(params)
+    assert isinstance(qp["lm_head"], dict)
+    got, _ = forward(qp, cfg, tokens, pos, None, impl="xla")
+    ra, ga = np.asarray(ref), np.asarray(got)
+    # double (activation+weight) int8 quantization flips near-ties on a
+    # flat random model; real checkpoints have peaked logits
+    assert (ra.argmax(-1) == ga.argmax(-1)).mean() > 0.85
+    rel = np.abs(ga - ra).max() / (np.abs(ra).max() + 1e-9)
+    assert rel < 0.05
+    # idempotent
+    assert quantize_head(qp)["lm_head"] is qp["lm_head"]

@@ -372,3 +372,35 @@ def test_multi_model_router():
         for st in router.states.values():
             st.running = False
         httpd.shutdown()
+
+
+def test_concurrent_request_burst(server):
+    """test-thread-safety analog: a burst of concurrent requests through
+    the HTTP layer must all complete with consistent outputs (slot engine
+    multiplexing + queueing beyond n_slots)."""
+    import threading
+
+    results = [None] * 6
+    def worker(i):
+        status, data = _req(
+            server, "POST", "/completion",
+            {"prompt": f"burst {i}", "n_predict": 3, "temperature": 0.0,
+             "ignore_eos": True},
+        )
+        results[i] = (status, json.loads(data))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, r in enumerate(results):
+        assert r is not None, f"request {i} hung"
+        status, out = r
+        assert status == 200
+        assert out["tokens_predicted"] == 3
+    # determinism: same prompt twice agrees (greedy, independent of timing)
+    _, a = _req(server, "POST", "/completion",
+                {"prompt": "burst 0", "n_predict": 3, "temperature": 0.0,
+                 "ignore_eos": True})
+    assert json.loads(a)["content"] == results[0][1]["content"]

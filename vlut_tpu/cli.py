@@ -126,7 +126,8 @@ def cmd_generate(args):
         params = apply_lora(params, adapter, scale=args.lora_scale)
     tok = Tokenizer(args.model)
     eng = Engine(cfg, params, n_slots=1, max_len=args.ctx,
-                 kv_quant=(args.cache_type == "q8"))
+                 kv_quant=(args.cache_type == "q8"),
+                 head_quant=(args.head_type == "q8"))
     bias = []
     for spec in args.logit_bias or ():
         t, _, b = spec.partition(":")
@@ -363,6 +364,8 @@ def main(argv=None):
     p.add_argument("--lora-scale", type=float, default=1.0)
     p.add_argument("--cache-type", choices=("bf16", "q8"),
                    default="bf16")
+    p.add_argument("--head-type", choices=("bf16", "q8"), default="bf16",
+                   help="output head precision (q8 halves head bandwidth)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")

@@ -136,6 +136,26 @@ def pack_weight(
     raise KeyError(name)
 
 
+def quantize_head(params: dict[str, Any]) -> dict[str, Any]:
+    """bf16 lm_head -> int8 + per-channel absmax scales (Q6_K-output
+    analog, higher fidelity; halves decode head bandwidth)."""
+    head = params.get("lm_head")
+    if head is None or isinstance(head, dict):
+        return params
+    w = np.asarray(head, np.float32)
+    amax = np.abs(w).max(axis=0)
+    scale = amax / 127.0
+    inv = np.where(amax > 0, 127.0 / np.maximum(amax, 1e-30), 0.0)
+    q = np.clip(np.round(w * inv[None, :]), -127, 127).astype(np.int8)
+    return {
+        **params,
+        "lm_head": {
+            "q": jnp.asarray(q),
+            "scale": jnp.asarray(scale, jnp.float32),
+        },
+    }
+
+
 def unstack_layers(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]:
     """Split the stacked (L, ...) layer tree into a tuple of per-layer
     trees so forward unrolls the layer loop (see run_layers: scan over
@@ -596,13 +616,33 @@ def forward(
     elif logits_last_only:
         x = x[:, -1:]
     head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    logits = jnp.dot(
-        x.astype(jnp.float32),
-        head.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(head, dict):
+        # int8-quantized output head (reference quantizes output.weight to
+        # Q6_K by default, src/llama-quant.cpp:211; int8+per-channel scale
+        # is higher fidelity and halves the per-step head read)
+        from vlut_tpu.ops.quant import quantize_activations
+
+        bq, tq = x.shape[0], x.shape[1]
+        xq, xs = quantize_activations(
+            x.reshape(bq * tq, x.shape[-1])
+        )
+        acc = jax.lax.dot_general(
+            xq, head["q"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        logits = (
+            acc.astype(jnp.float32) * xs
+            * head["scale"].astype(jnp.float32)[None, :]
+        ).reshape(bq, tq, -1)
+    else:
+        if head is None:
+            head = params["embed"].T
+        logits = jnp.dot(
+            x.astype(jnp.float32),
+            head.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     if cfg.final_logit_softcap:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)

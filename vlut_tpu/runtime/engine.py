@@ -125,9 +125,14 @@ class Engine:
         n_keep: int = 4,
         fuse: bool = True,
         unroll: bool = True,
+        head_quant: bool = False,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
+        if head_quant:
+            from vlut_tpu.models.transformer import quantize_head
+
+            params = quantize_head(params)
         if fuse:
             from vlut_tpu.models.transformer import fuse_projections
 
