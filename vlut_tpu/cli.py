@@ -174,6 +174,71 @@ def cmd_generate(args):
     )
 
 
+def cmd_describe(args):
+    """llava-style image+prompt completion (reference: tools/mtmd CLI):
+    encode the image, splice its projected embeddings between the prompt
+    halves (split on <image>, or prepended), prefill with injected
+    embeddings, then greedy-decode normally."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlut_tpu.convert.checkpoint import load_vision
+    from vlut_tpu.models.transformer import forward, init_kv_cache
+    from vlut_tpu.models.vision import (
+        build_multimodal_embeds,
+        encode_image,
+        preprocess_image,
+    )
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model)
+    vcfg, vparams = load_vision(args.model)
+    if vcfg is None:
+        raise SystemExit("checkpoint has no vision tower (convert a "
+                         "llava-style model)")
+    tok = Tokenizer(args.model)
+    img = preprocess_image(args.image, vcfg.image_size)
+    img_embeds = encode_image(
+        vparams, vcfg, jnp.asarray(img)[None]
+    )[0]
+
+    prompt = args.prompt
+    pre_txt, _, post_txt = prompt.partition("<image>")
+    prefix = tok.encode(pre_txt) if pre_txt else tok.encode("")
+    suffix = tok.encode(post_txt, add_bos=False) if post_txt else []
+    embeds = build_multimodal_embeds(params, img_embeds, prefix, suffix)
+    t = embeds.shape[0]
+
+    cache = init_kv_cache(cfg, 1, max_len=t + args.n_predict + 8)
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    logits, cache = forward(
+        params, cfg, jnp.zeros((1, t), jnp.int32), pos, cache,
+        token_embeds=embeds[None],
+        logits_at=jnp.asarray([t - 1], jnp.int32),
+    )
+    last = jnp.argmax(logits[0, 0, : cfg.vocab_size]).astype(jnp.int32)
+
+    out = [int(last)]
+    ln = t
+    eos = tok.eos_id
+    t0 = time.time()
+    for _ in range(args.n_predict - 1):
+        lg, cache = forward(
+            params, cfg, jnp.asarray([[out[-1]]], jnp.int32),
+            jnp.asarray([[ln]], jnp.int32), cache,
+        )
+        nxt = int(jnp.argmax(lg[0, 0, : cfg.vocab_size]))
+        out.append(nxt)
+        ln += 1
+        if eos is not None and nxt == eos:
+            break
+    dt = time.time() - t0
+    print(tok.decode(out))
+    print(f"\n[{len(out)} tokens, {len(out)/max(dt,1e-9):.1f} tok/s | "
+          f"{img_embeds.shape[0]} image tokens]", file=sys.stderr)
+
+
 def cmd_batched(args):
     """Shared-prompt fan-out: one prompt, np parallel continuations
     (reference examples/batched/batched.cpp demo config)."""
@@ -370,6 +435,13 @@ def main(argv=None):
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("describe", help="image+prompt (llava-style mtmd)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("-p", "--prompt", default="<image>Describe this image.")
+    p.add_argument("-n", "--n-predict", type=int, default=64)
+    p.set_defaults(fn=cmd_describe)
 
     p = sub.add_parser("batched")
     p.add_argument("--model", required=True)

@@ -121,3 +121,30 @@ def load_checkpoint(
     flat = load_file(str(path / "model.safetensors"))
     params = _unflatten(flat)
     return cfg, params, meta
+
+
+def load_vision(path: str | pathlib.Path):
+    """Load the optional vision tower (llava-style checkpoints).  Returns
+    (VisionConfig, params) or (None, None) when the checkpoint is
+    text-only."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    vcfg = meta.get("vision_config")
+    if not vcfg or not (path / "vision.safetensors").exists():
+        return None, None
+    from vlut_tpu.models.vision import VisionConfig
+
+    flat = load_file(str(path / "vision.safetensors"))
+    layers: dict[str, Any] = {}
+    params: dict[str, Any] = {"layers": layers}
+    for k, v in flat.items():
+        if k.startswith("layers."):
+            layers[k[len("layers."):]] = jnp.asarray(v, jnp.bfloat16)
+        else:
+            params[k] = jnp.asarray(v, jnp.bfloat16)
+    # norms stay f32 for stable statistics
+    for nm in ("ln1_w", "ln1_b", "ln2_w", "ln2_b"):
+        layers[nm] = layers[nm].astype(jnp.float32)
+    for nm in ("pre_ln_w", "pre_ln_b"):
+        params[nm] = params[nm].astype(jnp.float32)
+    return VisionConfig(**vcfg), params

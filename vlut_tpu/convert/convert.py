@@ -88,6 +88,9 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
     src/models/*.cpp): llama/mistral, bitnet, qwen2(+moe), qwen3(+moe),
     gemma/gemma2/gemma3, mixtral, phi3, falcon3/trilm (LLAMA-arch)."""
     raw = json.loads((hf_dir / "config.json").read_text())
+    if "text_config" in raw:  # llava-style composite config
+        raw = {**raw["text_config"],
+               "model_type": raw["text_config"].get("model_type", "llama")}
     archs = raw.get("architectures", [])
     mt = raw.get("model_type", "")
     is_bitnet = any("bitnet" in a.lower() for a in archs) or (
@@ -362,10 +365,16 @@ def convert_hf(
         note_layer(pname, li, pack_weight(pname, trits, scale, cfg), expert)
 
     layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)$")
+    vision_raw: dict[str, np.ndarray] = {}
 
     for name, w in _iter_hf_tensors(hf_dir):
         if name.endswith("weight_scale"):
             continue
+        if name.startswith(("vision_tower.", "multi_modal_projector.")):
+            vision_raw[name] = np.asarray(w)
+            continue
+        if name.startswith("language_model."):
+            name = name[len("language_model."):]
         if name == "model.embed_tokens.weight":
             top["embed"] = np.asarray(jnp.asarray(
                 _maybe_unpack_2bit(name, w, side_scales), jnp.float32
@@ -493,14 +502,95 @@ def convert_hf(
     if cfg.tie_embeddings and "lm_head" not in params:
         pass  # forward() falls back to embed.T
 
-    save_checkpoint(
-        out_dir, cfg, params, tokenizer_src=hf_dir,
-        extra_meta={
-            "source": str(hf_dir),
-            "ternarized_tensors": n_approx,
-        },
-    )
+    extra_meta: dict[str, Any] = {
+        "source": str(hf_dir),
+        "ternarized_tensors": n_approx,
+    }
+    if vision_raw:
+        vcfg = _convert_vision_tower(
+            vision_raw, hf_dir, pathlib.Path(out_dir)
+        )
+        extra_meta["vision_config"] = vcfg
+    save_checkpoint(out_dir, cfg, params, tokenizer_src=hf_dir,
+                    extra_meta=extra_meta)
     return cfg
+
+
+def _convert_vision_tower(
+    raw: dict[str, np.ndarray], hf_dir: pathlib.Path, out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """CLIP vision tower + llava projector -> vision.safetensors
+    (models/vision.py layout).  Returns the VisionConfig field dict."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    cfgd = json.loads((hf_dir / "config.json").read_text())
+    v = cfgd.get("vision_config", {})
+    d = v.get("hidden_size", 1024)
+    L = v.get("num_hidden_layers", 24)
+    feature_layer = cfgd.get("vision_feature_layer", -2)
+    vcfg = {
+        "image_size": v.get("image_size", 336),
+        "patch_size": v.get("patch_size", 14),
+        "d_model": d,
+        "n_layers": L,
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 4096),
+        "layer_norm_eps": v.get("layer_norm_eps", 1e-5),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 4096),
+        "feature_layer": feature_layer,
+        "select_feature": (
+            "patch"
+            if cfgd.get("vision_feature_select_strategy", "default")
+            == "default" else "cls_patch"
+        ),
+    }
+    p = "vision_tower.vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}embeddings.patch_embedding.weight")  # (d, 3, ps, ps)
+    # conv weight -> unfold matmul: (d,3,ps,ps) -> (ps*ps*3, d) matching
+    # patchify's (p, p, C) ordering
+    pw = pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0])
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw,
+        "cls": g(f"{p}embeddings.class_embedding").reshape(1, -1),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "pre_ln_w": g(f"{p}pre_layrnorm.weight"),
+        "pre_ln_b": g(f"{p}pre_layrnorm.bias"),
+        "proj_w1": g("multi_modal_projector.linear_1.weight").T,
+        "proj_b1": g("multi_modal_projector.linear_1.bias"),
+        "proj_w2": g("multi_modal_projector.linear_2.weight").T,
+        "proj_b2": g("multi_modal_projector.linear_2.bias"),
+    }
+    name_map = {
+        "layer_norm1.weight": "ln1_w", "layer_norm1.bias": "ln1_b",
+        "layer_norm2.weight": "ln2_w", "layer_norm2.bias": "ln2_b",
+        "self_attn.q_proj.weight": "wq", "self_attn.q_proj.bias": "bq",
+        "self_attn.k_proj.weight": "wk", "self_attn.k_proj.bias": "bk",
+        "self_attn.v_proj.weight": "wv", "self_attn.v_proj.bias": "bv",
+        "self_attn.out_proj.weight": "wo", "self_attn.out_proj.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}encoder\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):  # weights: HF (out, in) -> ours (in, out)
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack([x for x in vals if x is not None])
+    save_file(out, str(out_dir / "vision.safetensors"))
+    return vcfg
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -564,6 +564,7 @@ def forward(
     ep_size: int = 1,
     sp_axis: str | None = None,
     output: str = "logits",  # "logits" | "hidden" (post-final-norm states)
+    token_embeds: jax.Array | None = None,  # (B, T, D) replaces embed lookup
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -578,7 +579,12 @@ def forward(
     b, t = tokens.shape
     plan = make_plan(cfg)
 
-    x = params["embed"][tokens]  # (B, T, D)
+    if token_embeds is not None:
+        # multimodal injection (reference: mtmd image tokens): the caller
+        # supplies mixed text+image embeddings; `tokens` only sizes shapes
+        x = token_embeds.astype(params["embed"].dtype)
+    else:
+        x = params["embed"][tokens]  # (B, T, D)
     if cfg.embed_scale:
         # gemma scales embeddings by sqrt(d_model) (src/models/gemma*.cpp)
         x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
