@@ -140,3 +140,31 @@ def test_engine_no_context_shift_stops_at_capacity():
                   sampler=SamplerParams(temperature=0.0))
     eng.run([req])
     assert len(req.output) < 48
+
+
+def test_batched_prefill_admits_group():
+    """Several queued requests with same-bucket prompts must prefill in one
+    grouped batch and produce per-request deterministic outputs equal to
+    sequential admission."""
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import init_params
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+
+    def run(n_slots):
+        eng = Engine(cfg, params, n_slots=n_slots, max_len=64, impl="xla")
+        reqs = [
+            Request(prompt=[3 + j, 5, 7, 9 + j], max_new_tokens=5,
+                    sampler=SamplerParams(temperature=0.0))
+            for j in range(4)
+        ]
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    grouped = run(n_slots=4)   # all 4 admitted in one group
+    serial = run(n_slots=1)    # forced one-at-a-time
+    assert grouped == serial
+    assert all(len(o) == 5 for o in grouped)

@@ -93,6 +93,28 @@ PRESETS: dict[str, ModelConfig] = {
         n_heads=24, n_kv_heads=24, d_ff=9216, rms_eps=1e-5,
         rope_theta=10000.0, weight_fmt="i1",
     ),
+    # microsoft/bitnet-b1.58-2B-4T — the current flagship open ternary model
+    "bitnet_2b_4t": ModelConfig(
+        arch="bitnet", vocab_size=128256, d_model=2560, n_layers=30,
+        n_heads=20, n_kv_heads=5, d_ff=6912, rms_eps=1e-5,
+        rope_theta=500000.0, use_subnorms=True,
+    ),
+    # Qwen/Qwen3-4B shapes (qk-norm family; for synthetic benches)
+    "qwen3_4b": ModelConfig(
+        arch="llama", vocab_size=151936, d_model=2560, n_layers=36,
+        n_heads=32, n_kv_heads=8, d_ff=9728, head_dim=128,
+        rms_eps=1e-6, rope_theta=1000000.0, qk_norm=True,
+    ),
+    # google/gemma-2-2b shapes (sandwich norms + softcaps + SWA)
+    "gemma2_2b": ModelConfig(
+        arch="llama", vocab_size=256000, d_model=2304, n_layers=26,
+        n_heads=8, n_kv_heads=4, d_ff=9216, head_dim=256,
+        rms_eps=1e-6, rope_theta=10000.0, act_fn="gelu",
+        embed_scale=2304 ** 0.5, norm_plus_one=True, post_norms=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        sliding_window=4096, sliding_window_pattern=2,
+        attn_scale=256 ** -0.5, tie_embeddings=True,
+    ),
     # tiny configs for tests
     "tiny": ModelConfig(
         arch="llama", vocab_size=256, d_model=128, n_layers=2,

@@ -180,29 +180,27 @@ class Engine:
 
     # --- compiled programs -------------------------------------------------
 
-    def _build_prefill(self, t_bucket: int):
+    def _build_prefill(self, t_bucket: int, m: int = 1):
+        """Batched prefill: m requests (same T bucket) in ONE forward —
+        the reference packs prompt chunks into one mixed batch
+        (update_slots); here the batch gathers the target slots' cache
+        rows, runs forward, and scatters them back."""
         cfg, impl = self.cfg, self.impl
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
-        def prefill_fn(params, cache, tokens, positions, slot, n_valid):
-            # tokens (1, T): run forward on the single slot's cache view.
-            view = {
-                k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
-                for k, v in cache.items()
-            }
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_fn(params, cache, tokens, positions, slots, n_valid):
+            # tokens (m, T); slots (m,) int32 target slot per row (duplicate
+            # slot ids are benign only when rows are identical — the host
+            # pads partial groups by repeating row 0).
+            view = {k: v[:, slots] for k, v in cache.items()}
             logits, new_sl = forward(
                 params, cfg, tokens, positions, view, impl=impl,
-                logits_at=(n_valid - 1)[None],
+                logits_at=jnp.maximum(n_valid - 1, 0),
             )
             out = {
-                k: jax.lax.dynamic_update_slice_in_dim(
-                    cache[k], new_sl[k], slot, axis=1
-                )
-                for k in cache
+                k: cache[k].at[:, slots].set(new_sl[k]) for k in cache
             }
-            # logits of the last *valid* prompt token (selected pre-head)
-            last = logits[0, 0]
-            return last, out
+            return logits[:, 0], out  # (m, V) last-valid-token logits
 
         return prefill_fn
 
@@ -272,114 +270,149 @@ class Engine:
             n += 1
         return n
 
+    @staticmethod
+    def _pow2_at_most(n: int, cap: int) -> int:
+        p = 1
+        while p * 2 <= min(n, cap):
+            p *= 2
+        return p
+
     def _admit(self):
+        # stage 1: assign queued requests to free slots (prefix-cache slot
+        # choice, server-context.cpp:2172)
+        staged: list[tuple[int, Request, int, list[int]]] = []
         while self.queue:
             free = [i for i, s in enumerate(self.slots) if s.req is None]
             if not free:
-                return
+                break
             req = self.queue.pop(0)
             prompt = req.prompt
             if not prompt:
                 req.done = True
                 continue
-            # pick the free slot whose cached history shares the longest
-            # prefix (prompt-cache reuse, server-context.cpp:2172)
             i = max(
                 free,
                 key=lambda s: self._common_prefix(
                     self.slots[s].history, prompt
                 ),
             )
-            slot = self.slots[i]
             reuse = min(
-                self._common_prefix(slot.history, prompt), len(prompt) - 1
+                self._common_prefix(self.slots[i].history, prompt),
+                len(prompt) - 1,
             )
-            new = prompt[reuse:]
-            t0 = time.perf_counter()
-            tb = self._bucket(len(new))
-            if tb not in self._prefill_cache:
-                self._prefill_cache[tb] = self._build_prefill(tb)
-            toks = np.zeros((1, tb), np.int32)
-            toks[0, : len(new)] = new
-            # padding tokens sit at positions above the valid region; mask
-            # j<=q_pos keeps them invisible and later writes overwrite them
-            pos = (reuse + np.arange(tb, dtype=np.int32))[None]
-
-            last_logits, self.cache = self._prefill_cache[tb](
-                self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.int32(i), jnp.int32(len(new)),
-            )
-            self.perf.n_prompt_tokens += len(new)
-            self.perf.n_reused_tokens += reuse
-            self.perf.t_prompt_s += time.perf_counter() - t0
+            slot = self.slots[i]
             slot.req = req
             slot.length = len(prompt)
             slot.generated = 0
             slot.history = list(prompt)
             slot.kv_hist = list(prompt)
-            # seed penalty ring with the prompt tail
-            tail = prompt[-PENALTY_WINDOW:]
-            ring = np.full((PENALTY_WINDOW,), -1, np.int32)
-            ring[: len(tail)] = tail
-            self.ring = self.ring.at[i].set(jnp.asarray(ring))
-            self.ring_cnt = self.ring_cnt.at[i].set(len(tail))
-            # sample the first token from the prefill logits
-            active_samplers = [
-                (s.req.sampler if s.req else SamplerParams(temperature=0.0))
-                for s in self.slots
+            staged.append((i, req, reuse, prompt[reuse:]))
+        if not staged:
+            return
+
+        # stage 2: group by prefill bucket and run each group as ONE
+        # batched forward (the reference packs prompt chunks into one
+        # mixed batch in update_slots)
+        by_bucket: dict[int, list[tuple[int, Request, int, list[int]]]] = {}
+        for item in staged:
+            by_bucket.setdefault(self._bucket(len(item[3])), []).append(item)
+
+        for tb, group in sorted(by_bucket.items()):
+            g = 0
+            while g < len(group):
+                m = self._pow2_at_most(len(group) - g, self.n_slots)
+                chunk = group[g : g + m]
+                g += m
+                t0 = time.perf_counter()
+                key = (tb, m)
+                if key not in self._prefill_cache:
+                    self._prefill_cache[key] = self._build_prefill(tb, m)
+                toks = np.zeros((m, tb), np.int32)
+                pos = np.zeros((m, tb), np.int32)
+                slots_arr = np.zeros((m,), np.int32)
+                nv = np.zeros((m,), np.int32)
+                for r, (i, req, reuse, new) in enumerate(chunk):
+                    toks[r, : len(new)] = new
+                    pos[r] = reuse + np.arange(tb, dtype=np.int32)
+                    slots_arr[r] = i
+                    nv[r] = len(new)
+                last_logits, self.cache = self._prefill_cache[key](
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.asarray(pos), jnp.asarray(slots_arr),
+                    jnp.asarray(nv),
+                )
+                self.perf.n_prompt_tokens += int(nv.sum())
+                self.perf.n_reused_tokens += sum(c[2] for c in chunk)
+                self.perf.t_prompt_s += time.perf_counter() - t0
+                for r, (i, req, reuse, new) in enumerate(chunk):
+                    self._first_token(i, req, last_logits[r])
+
+        active_samplers = [
+            (s.req.sampler if s.req else SamplerParams(temperature=0.0))
+            for s in self.slots
+        ]
+        self._sp = stack_params(active_samplers)
+        self._features = features_of(active_samplers)
+
+    def _first_token(self, i: int, req: Request, last_logits):
+        """Seed slot i's sampler state and sample the first token from its
+        prefill logits."""
+        prompt = req.prompt
+        tail = prompt[-PENALTY_WINDOW:]
+        ring = np.full((PENALTY_WINDOW,), -1, np.int32)
+        ring[: len(tail)] = tail
+        self.ring = self.ring.at[i].set(jnp.asarray(ring))
+        self.ring_cnt = self.ring_cnt.at[i].set(len(tail))
+        sp_row = stack_params([req.sampler])
+        self._key, sub = jax.random.split(self._key)
+        pw = PENALTY_WINDOW
+        slot_pos = jnp.arange(pw)[None, :]
+        valid = slot_pos < self.ring_cnt[i : i + 1, None]
+        # new request: reset carried sampler state (mirostat mu)
+        self._sampler_state = jax.tree.map(
+            lambda a: a.at[i].set(0), self._sampler_state
+        )
+        row_mask = None
+        if req.grammar is not None:
+            req.grammar.reset()
+            m = np.ones((1, self._vocab_p), bool)
+            m[0, : self.cfg.vocab_size] = req.grammar.mask()[
+                : self.cfg.vocab_size
             ]
-            self._sp = stack_params(active_samplers)
-            self._features = features_of(active_samplers)
-            self._key, sub = jax.random.split(self._key)
-            pw = PENALTY_WINDOW
-            slot_pos = jnp.arange(pw)[None, :]
-            valid = slot_pos < self.ring_cnt[i : i + 1, None]
-            # new request: reset carried sampler state (mirostat mu)
-            self._sampler_state = jax.tree.map(
-                lambda a: a.at[i].set(0), self._sampler_state
-            )
-            row_mask = None
-            if req.grammar is not None:
-                req.grammar.reset()
-                m = np.ones((1, self._vocab_p), bool)
-                m[0, : self.cfg.vocab_size] = req.grammar.mask()[
-                    : self.cfg.vocab_size
-                ]
-                row_mask = jnp.asarray(m)
-            tok, row_state = sample_ex(
+            row_mask = jnp.asarray(m)
+        tok, row_state = sample_ex(
+            _mask_pad_vocab(
+                last_logits[None].astype(jnp.float32), self.cfg.vocab_size
+            ),
+            sp_row,
+            sub,
+            {k: v[i : i + 1] for k, v in self._sampler_state.items()},
+            self.ring[i : i + 1],
+            valid,
+            allowed_mask=row_mask,
+            features=features_of([req.sampler]),
+        )
+        self._sampler_state = {
+            k: self._sampler_state[k].at[i].set(row_state[k][0])
+            for k in self._sampler_state
+        }
+        first_tok = int(tok[0])
+        if req.n_probs:
+            lp = jax.nn.log_softmax(
                 _mask_pad_vocab(
                     last_logits[None].astype(jnp.float32),
                     self.cfg.vocab_size,
                 ),
-                {k: v[i : i + 1] for k, v in self._sp.items()},
-                sub,
-                {k: v[i : i + 1] for k, v in self._sampler_state.items()},
-                self.ring[i : i + 1],
-                valid,
-                allowed_mask=row_mask,
-                features=features_of([req.sampler]),
+                axis=-1,
             )
-            self._sampler_state = {
-                k: self._sampler_state[k].at[i].set(row_state[k][0])
-                for k in self._sampler_state
-            }
-            first_tok = int(tok[0])
-            if req.n_probs:
-                lp = jax.nn.log_softmax(
-                    _mask_pad_vocab(
-                        last_logits[None].astype(jnp.float32),
-                        self.cfg.vocab_size,
-                    ),
-                    axis=-1,
-                )
-                top_lp, top_id = jax.lax.top_k(lp, req.n_probs)
-                req.logprobs.append((
-                    np.asarray(top_id[0]), np.asarray(top_lp[0]),
-                    float(lp[0, first_tok]),
-                ))
-            if req.grammar is not None and first_tok not in req.stop_tokens:
-                req.grammar.accept(first_tok)
-            self._push_token(i, first_tok)
+            top_lp, top_id = jax.lax.top_k(lp, req.n_probs)
+            req.logprobs.append((
+                np.asarray(top_id[0]), np.asarray(top_lp[0]),
+                float(lp[0, first_tok]),
+            ))
+        if req.grammar is not None and first_tok not in req.stop_tokens:
+            req.grammar.accept(first_tok)
+        self._push_token(i, first_tok)
 
     def _maybe_context_shift(self, i: int):
         """When slot i is one row from capacity, drop the middle half of its
