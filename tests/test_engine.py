@@ -168,3 +168,38 @@ def test_batched_prefill_admits_group():
     serial = run(n_slots=1)    # forced one-at-a-time
     assert grouped == serial
     assert all(len(o) == 5 for o in grouped)
+
+
+def test_engine_speculative_matches_plain_greedy():
+    """Engine with a per-slot draft model (server-context.cpp:760 analog)
+    must emit exactly the plain-greedy outputs, for a good draft (same
+    model) and a bad draft (different weights)."""
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import init_params
+    from vlut_tpu.runtime.engine import Engine, Request
+    from vlut_tpu.runtime.sampling import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+
+    def run(draft_params):
+        eng = Engine(
+            cfg, params, n_slots=2, max_len=64, impl="xla",
+            draft=(cfg, draft_params) if draft_params is not None else None,
+            k_draft=3,
+        )
+        reqs = [
+            Request(prompt=[3, 5, 7, 9], max_new_tokens=10,
+                    sampler=SamplerParams(temperature=0.0)),
+            Request(prompt=[2, 4, 6], max_new_tokens=10,
+                    sampler=SamplerParams(temperature=0.0)),
+        ]
+        eng.run(reqs)
+        return [r.output for r in reqs], eng.perf
+
+    ref, _ = run(None)
+    good, perf_good = run(params)  # draft == target: high acceptance
+    assert good == ref
+    assert perf_good.n_spec_accepted > 0
+    bad, _ = run(init_params(cfg, seed=9))  # bad draft: still exact
+    assert bad == ref

@@ -125,9 +125,14 @@ def cmd_generate(args):
         adapter = load_peft_adapter(args.lora, cfg)
         params = apply_lora(params, adapter, scale=args.lora_scale)
     tok = Tokenizer(args.model)
+    draft = None
+    if args.draft_model:
+        d_cfg, d_params, _ = _load(args.draft_model)
+        draft = (d_cfg, d_params)
     eng = Engine(cfg, params, n_slots=1, max_len=args.ctx,
                  kv_quant=(args.cache_type == "q8"),
-                 head_quant=(args.head_type == "q8"))
+                 head_quant=(args.head_type == "q8"),
+                 draft=draft, k_draft=args.draft_k)
     bias = []
     for spec in args.logit_bias or ():
         t, _, b = spec.partition(":")
@@ -431,6 +436,9 @@ def main(argv=None):
                    default="bf16")
     p.add_argument("--head-type", choices=("bf16", "q8"), default="bf16",
                    help="output head precision (q8 halves head bandwidth)")
+    p.add_argument("--draft-model", default=None,
+                   help="draft checkpoint for speculative decoding")
+    p.add_argument("--draft-k", type=int, default=4)
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")

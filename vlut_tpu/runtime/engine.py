@@ -96,6 +96,8 @@ class PerfCounters:
     t_decode_s: float = 0.0
     n_reused_tokens: int = 0
     n_shifted_tokens: int = 0
+    n_spec_drafted: int = 0
+    n_spec_accepted: int = 0
 
     def summary(self) -> str:
         pp = self.n_prompt_tokens / self.t_prompt_s if self.t_prompt_s else 0
@@ -126,6 +128,8 @@ class Engine:
         fuse: bool = True,
         unroll: bool = True,
         head_quant: bool = False,
+        draft: tuple[Any, Any] | None = None,  # (draft_cfg, draft_params)
+        k_draft: int = 4,
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
@@ -176,16 +180,33 @@ class Engine:
         # transforms are pruned at trace time — see sampling.features_of)
         self._step_fns: dict[tuple[str, ...], Callable] = {}
         self._features: tuple[str, ...] = ()
+        # per-slot draft-model speculation (reference: server-context.cpp
+        # :760-775 per-slot spec state).  Greedy-only: rounds verify K
+        # drafts in one target forward; output equals plain greedy decode.
+        self._spec = None
+        if draft is not None:
+            d_cfg, d_params = draft
+            self._spec = {
+                "cfg": d_cfg,
+                "params": d_params,
+                "k": k_draft,
+                "cache": kvc.new_cache(
+                    d_cfg.n_layers, n_slots, self.max_len,
+                    d_cfg.n_kv_heads, make_plan(d_cfg).hd_p, cache_dtype,
+                ),
+                "prefill": {},
+                "step": None,
+            }
         self.perf = PerfCounters()
 
     # --- compiled programs -------------------------------------------------
 
-    def _build_prefill(self, t_bucket: int, m: int = 1):
+    def _build_prefill(self, t_bucket: int, m: int = 1, cfg=None):
         """Batched prefill: m requests (same T bucket) in ONE forward —
         the reference packs prompt chunks into one mixed batch
         (update_slots); here the batch gathers the target slots' cache
         rows, runs forward, and scatters them back."""
-        cfg, impl = self.cfg, self.impl
+        cfg, impl = cfg or self.cfg, self.impl
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_fn(params, cache, tokens, positions, slots, n_valid):
@@ -244,6 +265,109 @@ class Engine:
 
         return step_fn
 
+    def _build_spec_step(self):
+        cfg_t, impl = self.cfg, self.impl
+        cfg_d, k = self._spec["cfg"], self._spec["k"]
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def spec_step(params_t, params_d, cache_t, cache_d, last, lengths):
+            b = last.shape[0]
+
+            def vmask(logits, cfg):
+                v = logits.shape[-1]
+                if v != cfg.vocab_size:
+                    logits = jnp.where(
+                        jnp.arange(v) < cfg.vocab_size, logits, -1e30
+                    )
+                return logits
+
+            def draft_step(c, _):
+                tok, lens, cache_d = c
+                lg, cache_d = forward(
+                    params_d, cfg_d, tok[:, None], lens[:, None], cache_d,
+                    impl=impl, logits_at=jnp.zeros((b,), jnp.int32),
+                )
+                nxt = jnp.argmax(vmask(lg[:, 0], cfg_d), -1).astype(
+                    jnp.int32
+                )
+                return (nxt, lens + 1, cache_d), nxt
+
+            # k+1 draft decodes so an all-accept round leaves no cache hole
+            (_, _, cache_d), props_all = jax.lax.scan(
+                draft_step, (last, lengths, cache_d), None, length=k + 1
+            )
+            props = props_all.T[:, :k]
+            seq = jnp.concatenate([last[:, None], props], axis=1)
+            pos = (lengths[:, None] + jnp.arange(k + 1)[None, :]).astype(
+                jnp.int32
+            )
+            lg, cache_t = forward(
+                params_t, cfg_t, seq, pos, cache_t, impl=impl
+            )
+            tgt = jnp.argmax(
+                vmask(lg.astype(jnp.float32), cfg_t), -1
+            ).astype(jnp.int32)
+            match = tgt[:, :k] == props
+            n_acc = jnp.argmin(
+                jnp.concatenate(
+                    [match, jnp.zeros((b, 1), bool)], axis=1
+                ).astype(jnp.int32),
+                axis=1,
+            )
+            return tgt, n_acc, cache_t, cache_d
+
+        return spec_step
+
+    def _can_spec(self, active: list[int]) -> bool:
+        """Speculation covers the greedy featureless path (the standalone
+        verify rule guarantees exact greedy equality); anything needing the
+        sampler chain / grammar / logprobs uses the normal step."""
+        if self._spec is None or self._features:
+            return False
+        k = self._spec["k"]
+        for i in active:
+            req = self.slots[i].req
+            if req.grammar is not None or req.n_probs:
+                return False
+            used = self.slots[i].length + self.slots[i].generated - 1
+            if used + k + 2 >= self.max_len - 1:
+                return False
+        return True
+
+    def _step_speculative(self, active: list[int]) -> bool:
+        spec = self._spec
+        if spec["step"] is None:
+            spec["step"] = self._build_spec_step()
+        tokens = np.zeros((self.n_slots,), np.int32)
+        lengths = np.zeros((self.n_slots,), np.int32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                tokens[i] = s.req.output[-1]
+                lengths[i] = s.length + s.generated - 1
+        t0 = time.perf_counter()
+        emitted, n_acc, self.cache, spec["cache"] = spec["step"](
+            self.params, spec["params"], self.cache, spec["cache"],
+            jnp.asarray(tokens), jnp.asarray(lengths),
+        )
+        emitted = np.asarray(emitted)
+        n_acc = np.asarray(n_acc)
+        self.perf.t_decode_s += time.perf_counter() - t0
+        for i in active:
+            slot = self.slots[i]
+            n = int(n_acc[i]) + 1
+            row = [int(x) for x in emitted[i, :n]]
+            # KV rows written this round that stay valid: the fed token +
+            # the accepted drafts
+            slot.kv_hist.extend([int(tokens[i])] + row[:-1])
+            self.perf.n_decode_tokens += n
+            self.perf.n_spec_drafted += spec["k"]
+            self.perf.n_spec_accepted += n - 1
+            for tok in row:
+                self._push_token_host_only(i, tok)
+                if slot.req is None:  # finished mid-row
+                    break
+        return True
+
     # --- host API ------------------------------------------------------------
 
     def submit(self, req: Request) -> int:
@@ -300,6 +424,10 @@ class Engine:
                 self._common_prefix(self.slots[i].history, prompt),
                 len(prompt) - 1,
             )
+            if self._spec is not None:
+                # the draft cache holds no tracked prefix; both models must
+                # see the full prompt
+                reuse = 0
             slot = self.slots[i]
             slot.req = req
             slot.length = len(prompt)
@@ -341,6 +469,17 @@ class Engine:
                     jnp.asarray(pos), jnp.asarray(slots_arr),
                     jnp.asarray(nv),
                 )
+                if self._spec is not None:
+                    spec = self._spec
+                    if key not in spec["prefill"]:
+                        spec["prefill"][key] = self._build_prefill(
+                            tb, m, cfg=spec["cfg"]
+                        )
+                    _, spec["cache"] = spec["prefill"][key](
+                        spec["params"], spec["cache"], jnp.asarray(toks),
+                        jnp.asarray(pos), jnp.asarray(slots_arr),
+                        jnp.asarray(nv),
+                    )
                 self.perf.n_prompt_tokens += int(nv.sum())
                 self.perf.n_reused_tokens += sum(c[2] for c in chunk)
                 self.perf.t_prompt_s += time.perf_counter() - t0
@@ -498,6 +637,8 @@ class Engine:
         active = [i for i, s in enumerate(self.slots) if s.req is not None]
         if not active:
             return bool(self.queue)
+        if self._can_spec(active):
+            return self._step_speculative(active)
 
         tokens = np.zeros((self.n_slots,), np.int32)
         lengths = np.zeros((self.n_slots,), np.int32)

@@ -893,10 +893,17 @@ def main(argv=None):
     ap.add_argument("--cache-type", choices=("bf16", "q8"),
                     default="bf16",
                     help="KV cache storage (q8 = int8 + scales)")
+    ap.add_argument("--draft-model", default=None,
+                    help="draft checkpoint for per-slot speculative decode")
+    ap.add_argument("--draft-k", type=int, default=4)
     args = ap.parse_args(argv)
 
     import jax
 
+    draft = None
+    if args.draft_model:
+        d_cfg, d_params, _ = load_checkpoint(args.draft_model)
+        draft = (d_cfg, jax.device_put(d_params))
     models: dict[str, tuple[Engine, Tokenizer]] = {}
     for spec in args.model:
         name, _, path = spec.rpartition("=")
@@ -905,7 +912,8 @@ def main(argv=None):
         cfg, params, _ = load_checkpoint(path)
         params = jax.device_put(params)
         engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
-                        kv_quant=(args.cache_type == "q8"))
+                        kv_quant=(args.cache_type == "q8"),
+                        draft=draft, k_draft=args.draft_k)
         models[name] = (engine, Tokenizer(path))
     httpd, _ = serve_multi(
         models, args.host, args.port, default=next(iter(models))
