@@ -137,3 +137,44 @@ def test_load_peft_adapter(tmp_path):
     params = init_params(CFG, seed=0)
     out = _fwd(apply_lora(params, adapter, scale=0.1))
     assert np.isfinite(out).all()
+
+
+def test_cvector_steering():
+    """Control vector shifts the residual stream: zero vector is identity,
+    nonzero changes logits, works on unrolled layer buffers too."""
+    import numpy as np
+
+    from vlut_tpu.models.transformer import unstack_layers
+    from vlut_tpu.runtime.lora import apply_cvector
+
+    params = init_params(CFG, seed=0)
+    base = _fwd(params, seed=3)
+    zero = apply_cvector(params, np.zeros(CFG.d_model, np.float32))
+    np.testing.assert_allclose(_fwd(zero, seed=3), base, rtol=1e-5,
+                               atol=1e-5)
+    vec = np.random.default_rng(0).standard_normal(
+        (CFG.n_layers, CFG.d_model)).astype(np.float32) * 0.1
+    steered = apply_cvector(params, vec, scale=1.0)
+    out = _fwd(steered, seed=3)
+    assert np.abs(out - base).max() > 1e-3
+    # unrolled path
+    uns = apply_cvector(unstack_layers(params, CFG), vec)
+    out_u = _fwd(uns, seed=3)
+    np.testing.assert_allclose(out_u, out, rtol=0.02, atol=0.02)
+
+
+def test_load_cvector_file(tmp_path):
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from vlut_tpu.runtime.lora import load_cvector_file
+
+    rows = {
+        f"direction.{li}": np.full(CFG.d_model, li + 1, np.float32)
+        for li in range(CFG.n_layers)
+    }
+    f = tmp_path / "cv.safetensors"
+    save_file(rows, str(f))
+    out = load_cvector_file(str(f), CFG)
+    assert out.shape == (CFG.n_layers, CFG.d_model)
+    assert out[1, 0] == 2.0

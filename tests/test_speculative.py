@@ -107,3 +107,41 @@ def test_lookup_matches_greedy():
         [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_lookup_jacobi_fallback_matches_greedy():
+    """With a NON-repetitive prompt (no n-gram matches) the Jacobi fallback
+    must still reproduce exact greedy output — and accept >0 drafts where
+    the model's own predictions are self-consistent."""
+    from vlut_tpu.runtime.speculative import make_lookup_fn
+
+    params = init_params(CFG, seed=0)
+    b, n_new, k = 2, 12, 3
+    prompts = jnp.asarray([[3, 17, 42, 91, 7, 55], [88, 2, 61, 30, 5, 44]],
+                          jnp.int32)
+    t = prompts.shape[1]
+    ref = _greedy(params, prompts, n_new)
+
+    cache = init_kv_cache(CFG, b, max_len=64)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    lg, cache = forward(params, CFG, prompts, pos, cache, impl="xla",
+                        logits_at=jnp.full((b,), t - 1, jnp.int32))
+    last = jnp.argmax(lg[:, 0, : CFG.vocab_size], -1).astype(jnp.int32)
+    first = np.asarray(last)
+
+    hist = np.zeros((b, 64), np.int32)
+    hist[:, :t] = np.asarray(prompts)
+    hist[np.arange(b), t] = first
+    fn = make_lookup_fn(CFG, k_draft=k, max_new=n_new - 1, ngram=2,
+                        hist_len=64, impl="xla", jacobi_fallback=True)
+    out, cnt, accs, _ = fn(
+        params, cache, jnp.asarray(hist), jnp.full((b,), t + 1, jnp.int32),
+        last, jnp.full((b,), t, jnp.int32),
+    )
+    got = np.concatenate(
+        [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
+    )
+    np.testing.assert_array_equal(got, ref)
+    # greedy models are Jacobi-consistent: after the first round the carry
+    # equals the true continuation, so acceptances must appear
+    assert np.asarray(accs).sum() > 0

@@ -124,6 +124,13 @@ def cmd_generate(args):
 
         adapter = load_peft_adapter(args.lora, cfg)
         params = apply_lora(params, adapter, scale=args.lora_scale)
+    if args.control_vector:
+        from vlut_tpu.runtime.lora import apply_cvector, load_cvector_file
+
+        params = apply_cvector(
+            params, load_cvector_file(args.control_vector, cfg),
+            scale=args.control_vector_scale,
+        )
     tok = Tokenizer(args.model)
     draft = None
     if args.draft_model:
@@ -432,6 +439,9 @@ def main(argv=None):
     p.add_argument("--lora", default=None,
                    help="HF PEFT LoRA adapter directory")
     p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument("--control-vector", default=None,
+                   help="control-vector file (.safetensors/.npz)")
+    p.add_argument("--control-vector-scale", type=float, default=1.0)
     p.add_argument("--cache-type", choices=("bf16", "q8"),
                    default="bf16")
     p.add_argument("--head-type", choices=("bf16", "q8"), default="bf16",

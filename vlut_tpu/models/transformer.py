@@ -941,6 +941,9 @@ def run_layers(
             dn = _rms(dn, lp["post_ffn_norm"], cfg.rms_eps, cfg.d_model,
                       plus_one=p1)
         x = x + dn.astype(x.dtype)
+        if "cvector" in lp:
+            # control-vector steering (llama-adapter.cpp cvector)
+            x = x + lp["cvector"].astype(x.dtype)
         return x, (kc, vc, ksc, vsc)
 
     if isinstance(layers, (list, tuple)):

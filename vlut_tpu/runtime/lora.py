@@ -130,6 +130,57 @@ def load_peft_adapter(
     return {"layers": layers, "alpha": alpha, "r": r}
 
 
+def apply_cvector(
+    params: dict[str, Any],
+    directions: np.ndarray,  # (L, d_model) or (d_model,) broadcast
+    scale: float = 1.0,
+) -> dict[str, Any]:
+    """Control-vector steering (reference: llama-adapter.cpp cvector — a
+    per-layer direction added to the residual stream after each layer)."""
+    layers = params["layers"]
+    n_layers = (
+        len(layers) if isinstance(layers, (list, tuple))
+        else layers["attn_norm"].shape[0]
+    )
+    d = np.asarray(directions, np.float32)
+    if d.ndim == 1:
+        d = np.broadcast_to(d, (n_layers, d.shape[0]))
+    cv = jnp.asarray(d * scale, jnp.float32)
+    if isinstance(layers, (list, tuple)):  # unrolled layer buffers
+        new = tuple(
+            {**lp, "cvector": cv[i]} for i, lp in enumerate(layers)
+        )
+        return {**params, "layers": new}
+    return {**params, "layers": {**layers, "cvector": cv}}
+
+
+def load_cvector_file(path: str, cfg) -> np.ndarray:
+    """Load a control vector from .safetensors ('direction.<l>' or a single
+    (L, d) 'directions' tensor) or .npz."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.suffix == ".npz":
+        with np.load(p) as z:
+            return np.asarray(z[z.files[0]], np.float32)
+    from safetensors import safe_open
+
+    with safe_open(str(p), framework="numpy") as sf:
+        keys = list(sf.keys())
+        if "directions" in keys:
+            return np.asarray(sf.get_tensor("directions"), np.float32)
+        rows = {}
+        for k in keys:
+            tail = k.rsplit(".", 1)[-1]
+            if tail.isdigit():
+                rows[int(tail)] = np.asarray(sf.get_tensor(k), np.float32)
+        out = np.zeros((cfg.n_layers, cfg.d_model), np.float32)
+        for li, v in rows.items():
+            if 0 <= li < cfg.n_layers:
+                out[li, : v.shape[0]] = v
+        return out
+
+
 def apply_lora(
     params: dict[str, Any], adapter: dict[str, Any], scale: float = 1.0
 ) -> dict[str, Any]:

@@ -138,6 +138,7 @@ def make_lookup_fn(
     ngram: int = 2,
     hist_len: int = 512,
     impl: str = "auto",
+    jacobi_fallback: bool = True,
 ) -> Callable:
     """Prompt-lookup (n-gram) speculative decoding — no draft model.
 
@@ -154,6 +155,11 @@ def make_lookup_fn(
     -> (out (B, max_new), n_generated (B,), accs, cache).
     ``history`` holds prompt (+ any prior output) per row, ``hist_cnt`` its
     valid length; ``last`` is the last decoded token (also in history).
+
+    ``jacobi_fallback``: rows with no n-gram match propose the previous
+    round's target continuation instead of wasting the round — the
+    Jacobi-iteration core of lookahead decoding (examples/lookahead) with
+    the n-gram pool role played by the prompt-lookup matcher.
     """
     n_rounds = max_new
 
@@ -190,12 +196,19 @@ def make_lookup_fn(
             props = jax.lax.dynamic_slice(
                 hist_row, (j_best + ngram,), (k_draft,)
             )
-            # no match: propose -1s (always rejected -> plain greedy round)
-            return jnp.where(any_match, props, -jnp.ones_like(props))
+            # no match: -1 proposals (rejected); the round_step may swap in
+            # the Jacobi carry below
+            return (
+                jnp.where(any_match, props, -jnp.ones_like(props)),
+                any_match,
+            )
 
         def round_step(carry, _):
-            last, lengths, cache, history, hist_cnt, out, cnt = carry
-            props = jax.vmap(propose)(history, hist_cnt)  # (B, K)
+            (last, lengths, cache, history, hist_cnt, out, cnt,
+             jac_carry) = carry
+            props, matched = jax.vmap(propose)(history, hist_cnt)  # (B, K)
+            if jacobi_fallback:
+                props = jnp.where(matched[:, None], props, jac_carry)
 
             seq = jnp.concatenate([last[:, None], props], axis=1)
             pos = lengths[:, None] + jnp.arange(k_draft + 1)[None, :]
@@ -226,14 +239,26 @@ def make_lookup_fn(
             hist_cnt = jnp.minimum(hist_cnt + n_new, h)
             lengths = lengths + n_new
             last = jnp.take_along_axis(emitted, n_acc[:, None], axis=1)[:, 0]
-            return (last, lengths, cache, history, hist_cnt, out, cnt), n_acc
+            # Jacobi carry: tgt[j] predicts position (start + j + 1); next
+            # round verifies positions following the new `last`, so its
+            # guesses are tgt[n_acc+1 : n_acc+1+k] (tail-padded)
+            tgt_pad = jnp.concatenate(
+                [tgt, jnp.tile(tgt[:, -1:], (1, k_draft))], axis=1
+            )
+            jac_next = jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(row, (s,), (k_draft,))
+            )(tgt_pad, n_acc + 1)
+            return (
+                last, lengths, cache, history, hist_cnt, out, cnt, jac_next,
+            ), n_acc
 
         out = jnp.zeros((b, max_new + k_draft + 1), jnp.int32)
         cnt = jnp.zeros((b,), jnp.int32)
-        (last, lengths, cache, history, hist_cnt, out, cnt), accs = (
+        jac0 = -jnp.ones((b, k_draft), jnp.int32)
+        (last, lengths, cache, history, hist_cnt, out, cnt, _), accs = (
             jax.lax.scan(
                 round_step,
-                (last, lengths, cache, history, hist_cnt, out, cnt),
+                (last, lengths, cache, history, hist_cnt, out, cnt, jac0),
                 None, length=n_rounds,
             )
         )
