@@ -7,10 +7,11 @@ tools/batched-bench — the two entry points evaluation/ drives, SURVEY §6).
                     prompts, reports per-phase and total throughput.
 
 Measurement protocol mirrors test-vlut-gemm's (SURVEY §2.4): jit warmup
-excluded, then best-of-R timed runs fetched via block_until_ready; decode
-loops run as one lax.scan so host dispatch doesn't pollute tok/s (the TPU
-tunnel costs ~25 ms per sync).  Output formats: md | csv | json
-(llama-bench.cpp:214).
+excluded, then best-of-R timed runs fetched via a SCALAR READBACK (this
+container's tunneled TPU returns from block_until_ready before execution
+completes — only a value fetch is a reliable fence); decode loops run as
+one lax.scan so host dispatch doesn't pollute tok/s.  Output formats:
+md | csv | json (llama-bench.cpp:214).
 """
 
 from __future__ import annotations
@@ -39,16 +40,24 @@ def _load_model(model: str | None, preset: str | None, fmt: str):
 
     from vlut_tpu.config import PRESETS
 
+    from vlut_tpu.models.transformer import (
+        fuse_projections,
+        unstack_layers,
+    )
+
     if model:
         from vlut_tpu.convert.checkpoint import load_checkpoint
 
         cfg, params, _ = load_checkpoint(model)
-        return cfg, jax.device_put(params)
-    from vlut_tpu.models.transformer import init_params_fast
+    else:
+        from vlut_tpu.models.transformer import init_params_fast
 
-    cfg = PRESETS[preset or "llama3_8b_158"]
-    cfg = dataclasses.replace(cfg, weight_fmt=fmt)
-    return cfg, jax.device_put(init_params_fast(cfg, seed=0))
+        cfg = PRESETS[preset or "llama3_8b_158"]
+        cfg = dataclasses.replace(cfg, weight_fmt=fmt)
+        params = init_params_fast(cfg, seed=0)
+    # lossless load-time transforms (what the engine serves with)
+    params = unstack_layers(fuse_projections(params, cfg), cfg)
+    return cfg, jax.device_put(params)
 
 
 def bench_sweep(
@@ -79,14 +88,13 @@ def bench_sweep(
                         params, cfg, tokens, pos, None, impl=impl,
                         logits_last_only=True,
                     )
-                    return lg
+                    return jnp.sum(lg)
 
                 toks = jnp.zeros((b, pp), jnp.int32)
                 pos = jnp.tile(jnp.arange(pp, dtype=jnp.int32), (b, 1))
-                prefill(params, toks, pos).block_until_ready()  # compile
+                float(prefill(params, toks, pos))  # compile + fence
                 dt = _timeit(
-                    lambda: prefill(params, toks, pos).block_until_ready(),
-                    repeats,
+                    lambda: float(prefill(params, toks, pos)), repeats
                 )
                 rows.append({
                     "model": name, "test": f"pp{pp}", "batch": b,
@@ -112,19 +120,14 @@ def bench_sweep(
                 (cache, tok, _), toks = jax.lax.scan(
                     step, (cache, last, start), None, length=tg
                 )
-                return toks, cache
+                return jnp.sum(toks)
 
             cache = init_kv_cache(cfg, b, max_len=max_len)
             last = jnp.zeros((b,), jnp.int32)
             start = jnp.zeros((b,), jnp.int32)
-            out, _ = decode_n(params, cache, last, start)
-            out.block_until_ready()  # compile
-            cache = init_kv_cache(cfg, b, max_len=max_len)
+            int(decode_n(params, cache, last, start))  # compile + fence
             dt = _timeit(
-                lambda: decode_n(params, cache, last, start)[
-                    0
-                ].block_until_ready(),
-                repeats=1,  # cache donation: fresh cache per timed run
+                lambda: int(decode_n(params, cache, last, start)), repeats
             )
             rows.append({
                 "model": name, "test": f"tg{tg}", "batch": b,
@@ -177,15 +180,14 @@ def batched_bench(
                         step, (cache, last, jnp.full((b,), pp, jnp.int32)),
                         None, length=tg,
                     )
-                    return out
+                    return jnp.sum(out)
 
                 toks = jnp.zeros((b, pp), jnp.int32)
                 pos = jnp.tile(jnp.arange(pp, dtype=jnp.int32), (b, 1))
                 cache = init_kv_cache(cfg, b, max_len=max_len)
-                run(params, cache, toks, pos).block_until_ready()
-                cache = init_kv_cache(cfg, b, max_len=max_len)
+                int(run(params, cache, toks, pos))  # compile + fence
                 t0 = time.perf_counter()
-                run(params, cache, toks, pos).block_until_ready()
+                int(run(params, cache, toks, pos))
                 dt = time.perf_counter() - t0
                 total = b * (pp + tg)
                 rows.append({
