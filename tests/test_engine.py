@@ -203,3 +203,60 @@ def test_engine_speculative_matches_plain_greedy():
     assert perf_good.n_spec_accepted > 0
     bad, _ = run(init_params(cfg, seed=9))  # bad draft: still exact
     assert bad == ref
+
+
+def test_idle_slot_steps_do_not_corrupt_cached_prefix(params):
+    """While one slot decodes, idle slots still run through the fused step
+    (static shape).  Their dummy KV write must land on the scratch tail row,
+    never row 0 — row 0 belongs to the cached prefix _admit reuses
+    (ADVICE r1 finding)."""
+    eng = Engine(CFG, params, n_slots=2, max_len=32, impl="xla")
+    b = Request(prompt=[9, 9, 3], max_new_tokens=2,
+                sampler=SamplerParams(temperature=0.0))
+    eng.run([b])  # lands in slot 0, leaves history there
+    assert eng.slots[0].history
+    eng.fork_slot(0, 1)  # slot 1 now idle WITH a cached prefix
+    before = np.asarray(eng.cache["k"][:, 1, :8]).copy()
+
+    a = Request(prompt=[5, 17, 42], max_new_tokens=10,
+                sampler=SamplerParams(temperature=0.0))
+    eng.run([a])  # ties resolve to slot 0; slot 1 sits idle for 10 steps
+    after = np.asarray(eng.cache["k"][:, 1, :8])
+    np.testing.assert_array_equal(before, after)
+
+
+def test_wedged_grammar_forces_eos_not_crash(params):
+    """A grammar with no admissible vocab token must terminate the request
+    via EOS (reference forces EOG), not raise out of Engine.step and kill
+    the serving loop (ADVICE r1 finding)."""
+    from vlut_tpu.runtime.grammar import GrammarSampler
+
+    # all-lowercase single-char pieces, no empty pieces
+    pieces = [chr(97 + i % 26) for i in range(CFG.vocab_size)]
+    eos = 0
+
+    # wedged at the root: requires a char no piece provides
+    gs = GrammarSampler('root ::= "Z"', pieces, eos_ids=(eos,))
+    eng = Engine(CFG, params, n_slots=2, max_len=64, impl="xla")
+    req = Request(prompt=[5, 6, 7], max_new_tokens=8,
+                  sampler=SamplerParams(temperature=0.0),
+                  stop_tokens=(eos,), grammar=gs)
+    eng.run([req])
+    assert req.done
+    assert req.output == [eos]
+
+    # wedged mid-generation: "a" then an impossible char
+    gs2 = GrammarSampler('root ::= "a" "Z"', pieces, eos_ids=(eos,))
+    req2 = Request(prompt=[5, 6, 7], max_new_tokens=8,
+                   sampler=SamplerParams(temperature=0.0),
+                   stop_tokens=(eos,), grammar=gs2)
+    eng.run([req2])
+    assert req2.done
+    assert len(req2.output) == 2 and req2.output[-1] == eos
+    assert pieces[req2.output[0]] == "a"
+
+    # the engine must remain fully serviceable afterwards
+    req3 = Request(prompt=[1, 2], max_new_tokens=3,
+                   sampler=SamplerParams(temperature=0.0))
+    eng.run([req3])
+    assert req3.done and len(req3.output) == 3

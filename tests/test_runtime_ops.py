@@ -117,3 +117,46 @@ def test_fork_slot(params):
     eng.run(reqs)
     assert reqs[0].output == reqs[1].output
     assert eng.perf.n_reused_tokens >= len(base)
+
+
+def test_seq_shift_yarn_mscale_not_double_applied():
+    """With yarn scaling, stored keys already carry the attention-factor
+    mscale; the rebase rotation must use UNIT tables (rope.with_mscale=False)
+    or shifted rows come out inflated by ~mscale (ADVICE r1 finding)."""
+    rng = np.random.default_rng(1)
+    L, B, S, H, D = 1, 1, 16, 1, 64
+    scaling = {
+        "rope_type": "yarn", "factor": 8.0,
+        "original_max_position_embeddings": 8,
+    }
+    cos_m, sin_m = rope_table(S, D, scaling=scaling)  # mscale-scaled
+    cos_u, sin_u = rope_table(S, D, scaling=scaling, with_mscale=False)
+    mscale = float(np.sqrt(np.asarray(cos_m)[0, 0] ** 2))  # cos(0)*m = m
+    assert mscale > 1.05  # the scaling config must actually exercise mscale
+
+    k_raw = rng.standard_normal((L, B, S, H, D)).astype(np.float32)
+
+    def roped(pos_of_row):  # what the model writes: rotation WITH mscale
+        c = np.asarray(cos_m)[pos_of_row][None, None, :, None, :]
+        s = np.asarray(sin_m)[pos_of_row][None, None, :, None, :]
+        x1, x2 = k_raw[..., : D // 2], k_raw[..., D // 2 :]
+        return np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+
+    cache = {
+        "k": jnp.asarray(roped(np.arange(S)), jnp.float32),
+        "v": jnp.asarray(k_raw, jnp.float32),
+    }
+    start, count = 5, 3
+    out = kvc.seq_shift(
+        cache, jnp.int32(0), jnp.int32(start), jnp.int32(count),
+        jnp.asarray(cos_u), jnp.asarray(sin_u),
+    )
+    # moved row j must equal the raw key roped (with mscale, once) at j
+    new_pos = np.arange(start - count, S - count)
+    c = np.asarray(cos_m)[new_pos][None, :, None, :]
+    s = np.asarray(sin_m)[new_pos][None, :, None, :]
+    moved_raw = k_raw[:, 0, start:S]
+    x1, x2 = moved_raw[..., : D // 2], moved_raw[..., D // 2 :]
+    expect = np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+    got = np.asarray(out["k"])[:, 0, start - count : S - count]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)

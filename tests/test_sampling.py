@@ -263,14 +263,19 @@ def test_logit_bias():
     np.testing.assert_allclose(out[1], np.zeros(6))
 
 
-def test_per_row_seeds_reproducible():
+def test_per_row_seeds_reproducible_and_decorrelated():
     row = np.random.RandomState(0).randn(16)
-    logits = jnp.asarray(np.stack([row, row]))
-    p = stack_params([SamplerParams(seed=7), SamplerParams(seed=7)])
+    logits = jnp.asarray(np.stack([row] * 8))
+    p = stack_params([SamplerParams(seed=7)] * 8)
     key = jax.random.PRNGKey(42)
     t1 = np.asarray(sample(logits, p, key))
-    # identical seeds + identical rows -> identical draws
-    assert t1[0] == t1[1]
+    t2 = np.asarray(sample(logits, p, key))
+    # same call twice -> bitwise reproducible
+    np.testing.assert_array_equal(t1, t2)
+    # but concurrent rows sharing a seed must NOT receive identical Gumbel
+    # noise (two identical requests would stream identical "random" text);
+    # the row index is folded into the key, so 8 equal rows should diverge
+    assert len(set(t1.tolist())) > 1
 
 
 def test_allowed_mask_constrains():

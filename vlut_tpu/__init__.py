@@ -12,6 +12,16 @@ new design, not a port — layouts, kernels and runtime are TPU-idiomatic.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("VLUT_PLATFORM"):
+    # Some containers pin JAX_PLATFORMS via sitecustomize before user env
+    # vars are consulted; the config API still wins as long as no backend
+    # has initialized, so honor an explicit VLUT_PLATFORM=cpu/tpu here.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VLUT_PLATFORM"])
+
 from vlut_tpu.ops.packing import (  # noqa: F401
     TernaryTensor,
     pack_ternary,

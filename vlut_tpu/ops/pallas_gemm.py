@@ -176,7 +176,12 @@ def _fused_gemm_kernel(
     n_k: int,
     out_dtype,
 ):
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    # Quantize at EVERY j's first K step, not only at j==0: grid dim 0 is
+    # "parallel", so on Megacore parts (v4/v5p) Mosaic may split j across
+    # cores with per-core scratch — a j>0 block cannot rely on j==0 having
+    # initialized xq/xs.  Redundant work is <1% of the j-block's GEMM cost
+    # (x is already VMEM-resident).
+    @pl.when(pl.program_id(1) == 0)
     def _quantize():
         xf = x_ref[:].astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)

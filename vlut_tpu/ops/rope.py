@@ -94,14 +94,22 @@ def rope_table(
     theta: float = 10000.0,
     scaling: dict[str, Any] | None = None,
     pad_to: int | None = None,
+    with_mscale: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Precompute (cos, sin) tables of shape (max_len, head_dim // 2).
 
     ``pad_to`` pads the frequency axis to pad_to//2 with identity rotations
     (cos=1, sin=0) for the padded-head-dim layout (models/dims.py) — the
     padded components are zero, so any rotation is a no-op there.
+
+    ``with_mscale=False`` yields unit-magnitude rotations (no yarn/longrope
+    attention-temperature factor).  Required for KV-cache re-rotation
+    (kv_cache.seq_shift): stored keys already carry mscale, so rebasing with
+    a scaled table would apply it twice.
     """
     inv, mscale = _inv_freq(head_dim, theta, scaling)
+    if not with_mscale:
+        mscale = 1.0
     pos = jnp.arange(max_len, dtype=jnp.float32)
     ang = pos[:, None] * inv[None, :]
     cos, sin = jnp.cos(ang) * mscale, jnp.sin(ang) * mscale

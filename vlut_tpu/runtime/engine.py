@@ -339,7 +339,10 @@ class Engine:
         if spec["step"] is None:
             spec["step"] = self._build_spec_step()
         tokens = np.zeros((self.n_slots,), np.int32)
-        lengths = np.zeros((self.n_slots,), np.int32)
+        # idle slots write at the tail rows, not row 0 (see step()); in spec
+        # mode prefix reuse is disabled at admit anyway, but keep the caches
+        # consistent
+        lengths = np.full((self.n_slots,), self.max_len - 1, np.int32)
         for i, s in enumerate(self.slots):
             if s.req is not None:
                 tokens[i] = s.req.output[-1]
@@ -514,10 +517,24 @@ class Engine:
         row_mask = None
         if req.grammar is not None:
             req.grammar.reset()
+            v = self.cfg.vocab_size
+            row = req.grammar.mask()[:v]
+            if not row.any():  # wedged at the root: force EOG (see
+                # _grammar_mask for rationale)
+                outs = [
+                    t
+                    for t in set(getattr(req.grammar, "eos_ids", ()))
+                    | set(req.stop_tokens)
+                    if 0 <= t < v
+                ]
+                row = np.zeros((v,), bool)
+                if outs:
+                    row[outs] = True
+                else:
+                    row[:] = True
+                    req.max_new_tokens = 1
             m = np.ones((1, self._vocab_p), bool)
-            m[0, : self.cfg.vocab_size] = req.grammar.mask()[
-                : self.cfg.vocab_size
-            ]
+            m[0, :v] = row
             row_mask = jnp.asarray(m)
         tok, row_state = sample_ex(
             _mask_pad_vocab(
@@ -550,7 +567,10 @@ class Engine:
                 float(lp[0, first_tok]),
             ))
         if req.grammar is not None and first_tok not in req.stop_tokens:
-            req.grammar.accept(first_tok)
+            try:
+                req.grammar.accept(first_tok)
+            except Exception:
+                req.max_new_tokens = min(req.max_new_tokens, 1)
         self._push_token(i, first_tok)
 
     def _maybe_context_shift(self, i: int):
@@ -571,9 +591,11 @@ class Engine:
             from vlut_tpu.ops.rope import rope_table
 
             plan = make_plan(self.cfg)
+            # unit-magnitude table: stored keys already carry the yarn /
+            # longrope mscale, so the rebase rotation must not re-apply it
             self._rope_tables = rope_table(
                 self.cfg.max_seq_len, plan.hd, self.cfg.rope_theta,
-                self.cfg.rope_scaling, pad_to=plan.hd_p,
+                self.cfg.rope_scaling, pad_to=plan.hd_p, with_mscale=False,
             )
         cos, sin = self._rope_tables
         self.cache = kvc_mod.seq_shift(
@@ -641,12 +663,16 @@ class Engine:
             return self._step_speculative(active)
 
         tokens = np.zeros((self.n_slots,), np.int32)
-        lengths = np.zeros((self.n_slots,), np.int32)
+        # idle slots still run (static shape) and their KV write must land
+        # somewhere harmless: row max_len-1 is never part of a reusable
+        # prefix (generation caps at max_len-1 rows), whereas row 0 IS — a
+        # row-0 write would corrupt the cached prefix _admit reuses via
+        # common_prefix(history, prompt).
+        lengths = np.full((self.n_slots,), self.max_len - 1, np.int32)
         for i, s in enumerate(self.slots):
             if s.req is not None:
                 tokens[i] = s.req.output[-1]
                 lengths[i] = s.length + s.generated - 1
-            # inactive slots decode garbage at row 0; harmless & static-shape
 
         self._key, sub = jax.random.split(self._key)
         t0 = time.perf_counter()
@@ -684,7 +710,15 @@ class Engine:
                 )
             g = req.grammar
             if g is not None and tok not in req.stop_tokens:
-                g.accept(tok)
+                try:
+                    g.accept(tok)
+                except Exception:
+                    # a grammar bug must fail THIS request, not the engine
+                    # loop every other request depends on — terminate after
+                    # this token
+                    req.max_new_tokens = min(
+                        req.max_new_tokens, len(req.output) + 1
+                    )
             # ring was already updated in-device for every slot; host mirrors
             self._push_token_host_only(i, tok)
         return True
@@ -704,7 +738,31 @@ class Engine:
         # _mask_pad_vocab, True here keeps it so
         mask = np.ones((self.n_slots, self._vocab_p), bool)
         for i, g in grams:
-            mask[i, :v] = g.mask()[:v]
+            row = g.mask()[:v]
+            if not row.any():
+                # Wedged grammar: no vocab token admissible.  The reference
+                # forces EOG here (llama-sampling grammar: "no candidate is
+                # viable").  Allow only EOS/stop tokens so the request
+                # terminates this step; an all-False row would drive every
+                # logit to NEG_INF and make argmax emit token 0, which
+                # accept() would then reject.
+                req = self.slots[i].req
+                outs = [
+                    t
+                    for t in set(getattr(g, "eos_ids", ())) | set(req.stop_tokens)
+                    if 0 <= t < v
+                ]
+                row = np.zeros((v,), bool)
+                if outs:
+                    row[outs] = True
+                else:
+                    # no EOS known: let anything through but cap the request
+                    # so the next pushed token finishes it
+                    row[:] = True
+                    req.max_new_tokens = min(
+                        req.max_new_tokens, len(req.output) + 1
+                    )
+            mask[i, :v] = row
         return jnp.asarray(mask)
 
     def _push_token_host_only(self, i: int, tok: int):

@@ -346,9 +346,15 @@ def apply_temperature(
 def _per_row_categorical(
     key: jax.Array, logits: jax.Array, seeds: jax.Array
 ) -> jax.Array:
-    """Seeded per-row draw: fold each row's seed into the step key and use the
-    Gumbel-max trick (jax.random.categorical doesn't take batched keys)."""
-    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
+    """Seeded per-row draw: fold each row's seed AND row index into the step
+    key and use the Gumbel-max trick (jax.random.categorical doesn't take
+    batched keys).  Folding the row index decorrelates concurrent slots that
+    share a seed (e.g. two requests with the default seed would otherwise
+    receive identical Gumbel noise every step)."""
+    rows = jnp.arange(seeds.shape[0], dtype=seeds.dtype)
+    keys = jax.vmap(
+        lambda s, r: jax.random.fold_in(jax.random.fold_in(key, s), r)
+    )(seeds, rows)
     g = jax.vmap(
         lambda k, sh=logits.shape[-1]: jax.random.gumbel(k, (sh,))
     )(keys)

@@ -30,6 +30,7 @@ json_schema / response_format, stream, ignore_eos.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -69,7 +70,23 @@ class ServerState:
     def _loop(self):
         while self.running:
             with self.lock:
-                busy = self.engine.step()
+                try:
+                    busy = self.engine.step()
+                except Exception:  # noqa: BLE001
+                    # One bad request (grammar bug, OOM on a pathological
+                    # shape, ...) must not kill the engine thread — every
+                    # in-flight AND future request would then hang forever.
+                    # Fail everything currently in flight and keep serving.
+                    import traceback
+
+                    traceback.print_exc()
+                    self.metrics["requests_errors_total"] += 1
+                    for r in list(self.engine.queue):
+                        self.engine.cancel(r.rid)
+                    for s in self.engine.slots:
+                        if s.req is not None:
+                            self.engine.cancel(s.req.rid)
+                    busy = False
                 done = [
                     rid for rid, ev in self.events.items()
                     if self._find_done(rid)
@@ -514,11 +531,25 @@ def make_handler(router: Router):
             emitted = ""
             finish = "stop"
             stop_toks = set(req.stop_tokens)
+            # safety timeout: if the engine stops making progress on this
+            # request (engine thread died, wedged state), fail it instead of
+            # parking the client thread forever.  Progress-based, not
+            # absolute — first-compile of a large model legitimately takes
+            # minutes before the first token.
+            stall_s = float(os.environ.get("VLUT_REQUEST_STALL_S", "600"))
+            last_n, last_progress = -1, time.monotonic()
             try:
                 while True:
                     done = ev.wait(0.02)
+                    now = time.monotonic()
                     with self.st.lock:
                         out = list(req.output)
+                    if len(out) != last_n:
+                        last_n, last_progress = len(out), now
+                    if not done and now - last_progress > stall_s:
+                        self.st.cancel(req)
+                        finish = "timeout"
+                        break
                     vis = [t for t in out if t not in stop_toks]
                     text = self.st.tok.decode(vis)
                     # hold back a partial stop-string suffix
