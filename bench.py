@@ -82,7 +82,9 @@ def main():
     )
 
     def run_prefill():
-        cache = init_kv_cache(cfg, NP_SLOTS, max_len=max_len)
+        # layered cache layout: unrolled decode updates per-layer buffers
+        # in place (kv_cache.py layout notes)
+        cache = init_kv_cache(cfg, NP_SLOTS, max_len=max_len, layout="layers")
         logits, cache = prefill(params, cache, tokens, positions)
         return logits, cache
 

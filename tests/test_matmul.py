@@ -147,3 +147,46 @@ def test_fused_quant_gemm_matches_two_step():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+@pytest.mark.parametrize("mode,sub_norm", [
+    ("plain", False), ("norm", False), ("silu_mul", False),
+    ("silu_mul", True),
+])
+def test_fused_decode_kernel_matches_composed(fmt, mode, sub_norm):
+    """ternary_matmul_fused: the one-kernel decode path (interpret mode)
+    must match the composed XLA fallback bit-for-bit — both round through
+    bf16 at the same points."""
+    import jax
+
+    from vlut_tpu.ops.matmul import ternary_matmul_fused
+
+    rng = np.random.default_rng(7)
+    m, k, n = 4, 640, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    x2 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((k,)).astype(np.float32) * 0.1 + 1.0)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    t = pack_ternary(trits, scale=np.float32(0.05), fmt=fmt)
+
+    kw = dict(mode=mode, sub_norm=sub_norm, norm_n=k, eps=1e-5,
+              out_dtype=jnp.bfloat16)
+    if mode == "silu_mul":
+        kw["x2"] = x2
+    if mode == "norm" or sub_norm:
+        kw["norm_g"] = g
+    want = ternary_matmul_fused(x, t, impl="xla", residual=res, **kw)
+    got = ternary_matmul_fused(
+        x, t, impl="pallas_interpret", residual=res, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    # and without residual
+    want2 = ternary_matmul_fused(x, t, impl="xla", **kw)
+    got2 = ternary_matmul_fused(x, t, impl="pallas_interpret", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(got2, np.float32), np.asarray(want2, np.float32)
+    )

@@ -26,6 +26,7 @@ models/dims.py so shards stay tile-aligned.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -44,6 +45,13 @@ from vlut_tpu.models.dims import (
 from vlut_tpu.ops.matmul import ternary_matmul
 from vlut_tpu.ops.packing import TernaryTensor, pack_ternary
 from vlut_tpu.ops.rope import apply_rope, rope_table
+
+
+def _ABLATE() -> set[str]:
+    """Perf-ablation switches, read at TRACE time (bench tooling only):
+    VLUT_ABLATE=no_kv_write,no_attn isolates cache-write / attention cost
+    in bench/ablate.py.  Never set in production or tests."""
+    return set(filter(None, os.environ.get("VLUT_ABLATE", "").split(",")))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -427,7 +435,7 @@ def init_params(
 
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int | None = None,
-    dtype=jnp.bfloat16, quantized: bool = False,
+    dtype=jnp.bfloat16, quantized: bool = False, layout: str = "stacked",
 ) -> dict[str, jax.Array]:
     from vlut_tpu.runtime.kv_cache import new_cache
 
@@ -435,7 +443,7 @@ def init_kv_cache(
     s = max_len or cfg.max_seq_len
     return new_cache(
         cfg.n_layers, batch, s, cfg.n_kv_heads, plan.hd_p,
-        dtype=dtype, quantized=quantized,
+        dtype=dtype, quantized=quantized, layout=layout,
     )
 
 
@@ -701,7 +709,9 @@ def run_layers(
     quant_kv = use_cache and "k_scale" in kv
     write_start = None
     if use_cache:
-        s = kv["k"].shape[2]
+        from vlut_tpu.runtime.kv_cache import max_len_of
+
+        s = max_len_of(kv)
         k_pos_row = jnp.arange(s, dtype=jnp.int32)[None, :].repeat(b, axis=0)
         write_start = safe_pos[:, 0]
     elif sp_axis is not None:
@@ -736,12 +746,141 @@ def run_layers(
             ).astype(out.dtype)
         return out
 
-    def layer_step(x, xs):
-        # kc/vc: (B, S, Hkv_local, hd_p) or None; ksc/vsc: int8-KV scales
-        lp, kc, vc, ksc, vsc, window = xs
+    class _LayerKV:
+        """Scan-path cache IO: per-layer (B, S, H, hd) arrays carried
+        through the scan; update returns the full K/V views to attend."""
 
-        h = _rms(x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
-        if "wqkv" in lp:  # load-time fused projections (fuse_projections)
+        def __init__(self, kc, vc, ksc, vsc):
+            self.kc, self.vc, self.ksc, self.vsc = kc, vc, ksc, vsc
+
+        def peek(self):
+            if quant_kv:
+                from vlut_tpu.runtime.kv_cache import dequantize_kv
+
+                return (
+                    dequantize_kv(self.kc, self.ksc),
+                    dequantize_kv(self.vc, self.vsc),
+                )
+            return self.kc, self.vc
+
+        def update(self, k, v, start):
+            upd3 = jax.vmap(
+                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
+            )
+            if quant_kv:
+                from vlut_tpu.runtime.kv_cache import (
+                    dequantize_kv,
+                    quantize_kv,
+                )
+
+                kq, ks_new = quantize_kv(k)
+                vq, vs_new = quantize_kv(v)
+                self.kc = upd3(self.kc, kq, start)
+                self.vc = upd3(self.vc, vq, start)
+                upd2 = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0))
+                )
+                self.ksc = upd2(self.ksc, ks_new, start)
+                self.vsc = upd2(self.vsc, vs_new, start)
+                return (
+                    dequantize_kv(self.kc, self.ksc),
+                    dequantize_kv(self.vc, self.vsc),
+                )
+            self.kc = upd3(self.kc, k.astype(self.kc.dtype), start)
+            self.vc = upd3(self.vc, v.astype(self.vc.dtype), start)
+            return self.kc, self.vc
+
+    class _SlotKV:
+        """Unrolled-path cache IO over a dict of PER-LAYER array tuples
+        ({"k": (arr_0 ... arr_{L-1}), ...}): each layer's buffers update
+        in place (donation-friendly, no cross-layer aliasing) and nothing
+        is ever restacked — a stacked (L, ...) cache forces either a
+        full-cache restack per step or a 5-D scatter, both of which copy
+        hundreds of MB per decode step (measured 16.5 -> 94.6 ms/step for
+        the scatter form on v5e)."""
+
+        def __init__(self, state: dict, i: int):
+            self.state, self.i = state, i
+
+        def peek(self):
+            st, i = self.state, self.i
+            if quant_kv:
+                from vlut_tpu.runtime.kv_cache import dequantize_kv
+
+                return (
+                    dequantize_kv(st["k"][i], st["k_scale"][i]),
+                    dequantize_kv(st["v"][i], st["v_scale"][i]),
+                )
+            return st["k"][i], st["v"][i]
+
+        def _put(self, name, u, start):
+            i = self.i
+            nd = u.ndim - 1  # per-row update rank (T,H,D) or (T,H)
+            upd = lambda c, w, p: jax.lax.dynamic_update_slice(  # noqa: E731
+                c, w, (p,) + (0,) * (nd - 1)
+            )
+            arrs = list(self.state[name])
+            arrs[i] = jax.vmap(upd)(arrs[i], u, start)
+            self.state[name] = tuple(arrs)
+
+        def update(self, k, v, start):
+            st, i = self.state, self.i
+            if quant_kv:
+                from vlut_tpu.runtime.kv_cache import (
+                    dequantize_kv,
+                    quantize_kv,
+                )
+
+                kq, ks_new = quantize_kv(k)
+                vq, vs_new = quantize_kv(v)
+                self._put("k", kq, start)
+                self._put("v", vq, start)
+                self._put("k_scale", ks_new, start)
+                self._put("v_scale", vs_new, start)
+                return (
+                    dequantize_kv(st["k"][i], st["k_scale"][i]),
+                    dequantize_kv(st["v"][i], st["v_scale"][i]),
+                )
+            self._put("k", k.astype(st["k"][i].dtype), start)
+            self._put("v", v.astype(st["v"][i].dtype), start)
+            return st["k"][i], st["v"][i]
+
+    def can_fuse(lp, name):
+        """Projection eligible for the fused decode GEMM: packed ternary,
+        no LoRA delta, no dense float twin."""
+        w = lp.get(name)
+        return (
+            isinstance(w, dict) and "packed" in w and "lora_a" not in w
+            and "dense" not in w
+        )
+
+    def norm_gain(w):
+        return (1.0 + w.astype(jnp.float32)) if p1 else w
+
+    def layer_step(x, xs):
+        # kvio: _LayerKV/_StackedKV or None (cache-less)
+        lp, kvio, window = xs
+
+        if "wqkv" in lp and can_fuse(lp, "wqkv"):
+            # attn_norm + activation-quant + qkv GEMM in one kernel
+            qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
+            spec_qkv = TernarySpec(
+                cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
+            )
+            from vlut_tpu.ops.matmul import ternary_matmul_fused
+
+            qkv = ternary_matmul_fused(
+                x, _layer_tensor(lp, "wqkv", spec_qkv),
+                mode="norm", norm_g=norm_gain(lp["attn_norm"]),
+                norm_n=cfg.d_model, eps=cfg.rms_eps, impl=impl,
+            )
+            q = qkv[..., :qd]
+            k = qkv[..., qd : qd + kvd]
+            v = qkv[..., qd + kvd :]
+        elif "wqkv" in lp:
+            h = _rms(
+                x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1
+            )
             qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
             spec_qkv = TernarySpec(
                 cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
@@ -751,6 +890,9 @@ def run_layers(
             k = qkv[..., qd : qd + kvd]
             v = qkv[..., qd + kvd :]
         else:
+            h = _rms(
+                x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1
+            )
             q = proj(h, lp, "wq")
             k = proj(h, lp, "wk")
             v = proj(h, lp, "wv")
@@ -769,32 +911,10 @@ def run_layers(
         k = apply_rope(k, safe_pos, cos, sin)
 
         if use_cache:
-            upd3 = jax.vmap(
-                lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
-            )
-            if quant_kv:
-                from vlut_tpu.runtime.kv_cache import (
-                    dequantize_kv,
-                    quantize_kv,
-                )
-
-                kq, ks_new = quantize_kv(k)
-                vq, vs_new = quantize_kv(v)
-                kc = upd3(kc, kq, write_start)
-                vc = upd3(vc, vq, write_start)
-                upd2 = jax.vmap(
-                    lambda c, u, p: jax.lax.dynamic_update_slice(
-                        c, u, (p, 0)
-                    )
-                )
-                ksc = upd2(ksc, ks_new, write_start)
-                vsc = upd2(vsc, vs_new, write_start)
-                k_all = dequantize_kv(kc, ksc)
-                v_all = dequantize_kv(vc, vsc)
+            if "no_kv_write" in _ABLATE():
+                k_all, v_all = kvio.peek()
             else:
-                kc = upd3(kc, k.astype(kc.dtype), write_start)
-                vc = upd3(vc, v.astype(vc.dtype), write_start)
-                k_all, v_all = kc, vc
+                k_all, v_all = kvio.update(k, v, write_start)
         elif sp_axis is not None:
             # context parallel: gather K/V across sequence shards; Q stays
             # local so each shard computes its T/sp slice of the outputs
@@ -803,11 +923,16 @@ def run_layers(
         else:
             k_all, v_all = k, v
 
-        att = _attention(
-            q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
-            scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-            window=window,
-        )
+        if "no_attn" in _ABLATE():
+            # perf-ablation only (VLUT_ABLATE): bypass attention to isolate
+            # its share of the step; output shape/dtype match _attention
+            att = q.astype(jnp.float32)
+        else:
+            att = _attention(
+                q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
+                scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
+                window=window,
+            )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size
         att = att.reshape(b, t, chunks_l, plan.wo_chunk)
@@ -817,18 +942,66 @@ def run_layers(
                 ((0, 0), (0, 0), (0, 0), (0, plan.wo_chunk_p - plan.wo_chunk)),
             )
         att = att.reshape(b, t, chunks_l * plan.wo_chunk_p)
-        if cfg.use_subnorms:
-            att = _rms(
-                att, lp["attn_sub_norm"], cfg.rms_eps,
-                cfg.n_heads * plan.hd, tp_axis,
+        if (
+            can_fuse(lp, "wo") and tp_axis is None and not cfg.post_norms
+        ):
+            # [attn_sub_norm] + quant + wo GEMM + residual in one kernel
+            from vlut_tpu.ops.matmul import ternary_matmul_fused
+
+            x = ternary_matmul_fused(
+                att, _layer_tensor(lp, "wo", specs["wo"]),
+                mode="norm" if cfg.use_subnorms else "plain",
+                norm_g=lp.get("attn_sub_norm"),
+                norm_n=cfg.n_heads * plan.hd, eps=cfg.rms_eps,
+                residual=x, impl=impl, out_dtype=x.dtype,
             )
-        o = proj(att, lp, "wo")
-        if tp_axis is not None:
-            o = jax.lax.psum(o, tp_axis)
-        if cfg.post_norms:
-            o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
-                     plus_one=p1)
-        x = x + o.astype(x.dtype)
+        else:
+            if cfg.use_subnorms:
+                att = _rms(
+                    att, lp["attn_sub_norm"], cfg.rms_eps,
+                    cfg.n_heads * plan.hd, tp_axis,
+                )
+            o = proj(att, lp, "wo")
+            if tp_axis is not None:
+                o = jax.lax.psum(o, tp_axis)
+            if cfg.post_norms:
+                o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
+                         plus_one=p1)
+            x = x + o.astype(x.dtype)
+
+        ffn_fused = (
+            not cfg.n_experts
+            and "w_gateup" in lp
+            and can_fuse(lp, "w_gateup")
+            and can_fuse(lp, "w_down")
+            and cfg.act_fn == "silu"
+            and tp_axis is None
+            and not cfg.post_norms
+        )
+        if ffn_fused:
+            # kernel 1: ffn_norm + quant + gate/up GEMM
+            # kernel 2: silu*up [+ ffn_sub_norm] + quant + down GEMM + resid
+            from vlut_tpu.ops.matmul import ternary_matmul_fused
+
+            ffl = plan.ff_p // tp_size
+            spec_gu = TernarySpec(
+                cfg.d_model, 2 * ffl, cfg.weight_fmt, specs["w_down"].kb
+            )
+            gu = ternary_matmul_fused(
+                x, _layer_tensor(lp, "w_gateup", spec_gu),
+                mode="norm", norm_g=norm_gain(lp["ffn_norm"]),
+                norm_n=cfg.d_model, eps=cfg.rms_eps, impl=impl,
+            )
+            x = ternary_matmul_fused(
+                gu[..., :ffl], _layer_tensor(lp, "w_down", specs["w_down"]),
+                mode="silu_mul", x2=gu[..., ffl:],
+                sub_norm=cfg.use_subnorms, norm_g=lp.get("ffn_sub_norm"),
+                norm_n=cfg.d_ff, eps=cfg.rms_eps,
+                residual=x, impl=impl, out_dtype=x.dtype,
+            )
+            if "cvector" in lp:
+                x = x + lp["cvector"].astype(x.dtype)
+            return x
 
         h = _rms(x, lp["ffn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
 
@@ -944,58 +1117,58 @@ def run_layers(
         if "cvector" in lp:
             # control-vector steering (llama-adapter.cpp cvector)
             x = x + lp["cvector"].astype(x.dtype)
-        return x, (kc, vc, ksc, vsc)
+        return x
 
     if isinstance(layers, (list, tuple)):
         # unrolled layer loop (unstack_layers): weights live in their own
         # HBM buffers so the GEMMs stream them directly — a lax.scan over
         # stacked weights dynamic-slices ~64 MB per layer into a temp
         # buffer first, tripling weight traffic (measured 0.55 -> 0.19
-        # ms/layer on v5e).  KV stays stacked; static slices fuse.
-        new_ks, new_vs_, new_kss, new_vss = [], [], [], []
+        # ms/layer on v5e).  The KV cache is a dict of per-layer array
+        # TUPLES (kv_cache.new_cache layout="layers"): each layer updates
+        # its own buffer in place.  A stacked cache passed here is split
+        # once (and returned layered — callers that unroll should create
+        # layered caches to avoid the split copy).
+        kv_state = None
+        if use_cache:
+            from vlut_tpu.runtime.kv_cache import to_layered
+
+            kv_state = to_layered(kv)
         for i, lp in enumerate(layers):
-            kc = kv["k"][i] if use_cache else None
-            vc = kv["v"][i] if use_cache else None
-            ksc = kv["k_scale"][i] if quant_kv else None
-            vsc = kv["v_scale"][i] if quant_kv else None
-            x, (kc, vc, ksc, vsc) = layer_step(
-                x, (lp, kc, vc, ksc, vsc, layer_window[i])
-            )
-            if use_cache:
-                new_ks.append(kc)
-                new_vs_.append(vc)
-                if quant_kv:
-                    new_kss.append(ksc)
-                    new_vss.append(vsc)
-        if not use_cache:
-            return x, None
-        out_cache = {
-            "k": jnp.stack(new_ks), "v": jnp.stack(new_vs_),
-        }
-        if quant_kv:
-            out_cache["k_scale"] = jnp.stack(new_kss)
-            out_cache["v_scale"] = jnp.stack(new_vss)
-        return x, out_cache
+            kvio = _SlotKV(kv_state, i) if use_cache else None
+            x = layer_step(x, (lp, kvio, layer_window[i]))
+        return x, kv_state
 
     if use_cache:
+        from vlut_tpu.runtime.kv_cache import to_stacked
+
+        kv = to_stacked(kv)  # scan needs the stacked layout
         if quant_kv:
+            def scan_body(x, xs):
+                lp, kc, vc, ksc, vsc, window = xs
+                kvio = _LayerKV(kc, vc, ksc, vsc)
+                x = layer_step(x, (lp, kvio, window))
+                return x, (kvio.kc, kvio.vc, kvio.ksc, kvio.vsc)
+
             xs = (layers, kv["k"], kv["v"], kv["k_scale"], kv["v_scale"],
                   layer_window)
-        else:
-            l_local = layer_window.shape[0]
-            dummy = jnp.zeros((l_local,), jnp.int8)
-            xs = (layers, kv["k"], kv["v"], dummy, dummy, layer_window)
-        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(layer_step, x, xs)
-        out_cache = {"k": new_k, "v": new_v}
-        if quant_kv:
-            out_cache["k_scale"] = new_ks
-            out_cache["v_scale"] = new_vs
-        return x, out_cache
+            x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+                scan_body, x, xs
+            )
+            return x, {"k": new_k, "v": new_v, "k_scale": new_ks,
+                       "v_scale": new_vs}
+
+        def scan_body(x, xs):
+            lp, kc, vc, window = xs
+            kvio = _LayerKV(kc, vc, None, None)
+            x = layer_step(x, (lp, kvio, window))
+            return x, (kvio.kc, kvio.vc)
+
+        xs = (layers, kv["k"], kv["v"], layer_window)
+        x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
+        return x, {"k": new_k, "v": new_v}
     x, _ = jax.lax.scan(
-        lambda c, xs_: (
-            layer_step(c, (xs_[0], None, None, None, None, xs_[1]))[0],
-            None,
-        ),
+        lambda c, xs_: (layer_step(c, (xs_[0], None, xs_[1])), None),
         x,
         (layers, layer_window),
     )

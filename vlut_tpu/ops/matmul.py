@@ -113,6 +113,107 @@ def ternary_matmul(
     return out.reshape(*batch, t.n)
 
 
+def ternary_matmul_fused(
+    x: jax.Array,  # (..., K) bf16/f32 — raw layer input (pre-norm)
+    t: TernaryTensor,
+    *,
+    mode: str = "plain",  # "plain" | "norm" | "silu_mul"
+    x2: jax.Array | None = None,  # up-projection half for silu_mul
+    norm_g: jax.Array | None = None,  # (K,) RMSNorm gain
+    norm_n: int = 0,  # logical norm width (padded tail is zero)
+    eps: float = 1e-5,
+    sub_norm: bool = False,  # RMSNorm AFTER silu_mul (bitnet ffn_sub_norm)
+    residual: jax.Array | None = None,  # (..., N) added to the output
+    impl: Impl = "auto",
+    out_dtype=None,
+    block_shapes: tuple[int, int, int] | None = None,
+) -> jax.Array:
+    """Decode projection with the surrounding elementwise chain fused.
+
+    Semantics (all paths, bit-matched through a bf16 round):
+      h   = rms(x)*g            (mode="norm")
+          | silu(x)*x2 [rms*g]  (mode="silu_mul"[, sub_norm])
+          | x                   (mode="plain")
+      out = ternary_matmul(h, t) [+ residual]
+
+    On TPU decode shapes this is ONE Pallas call
+    (pallas_gemm.ternary_gemm_decode); elsewhere it composes the same ops
+    in XLA so CPU tests exercise identical semantics.
+    """
+    out_dtype = out_dtype or (
+        x.dtype if x.dtype != jnp.float64 else jnp.float32
+    )
+    *batch, k = x.shape
+    if k != t.k:
+        raise ValueError(f"x K={k} vs weight K={t.k}")
+    m = 1
+    for b in batch:
+        m *= b
+    resolved = _default_impl() if impl == "auto" else impl
+    use_kernel = (
+        resolved in ("pallas", "pallas_interpret")
+        and m <= 64
+        and os.environ.get("VLUT_TPU_FUSED_DECODE", "1") == "1"
+    )
+    if use_kernel:
+        kp, np_ = t.k_padded, t.n_padded
+        mp = _round_up(max(m, 32), 32)
+        if block_shapes is None:
+            from vlut_tpu.bench.autotune import lookup
+
+            block_shapes = lookup(t.fmt, mp, kp, np_)
+        _, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
+            mp, np_, kp, t.kb
+        )
+        pad_x = lambda a: jnp.pad(  # noqa: E731
+            a.reshape(m, k), ((0, mp - m), (0, kp - k))
+        )
+        xp = pad_x(x)
+        x2p = pad_x(x2) if mode == "silu_mul" else None
+        gp = None
+        if mode == "norm" or sub_norm:
+            gp = jnp.pad(
+                jnp.asarray(norm_g, jnp.float32), (0, kp - norm_g.shape[-1])
+            )
+        rp = None
+        if residual is not None:
+            rp = jnp.pad(
+                residual.reshape(m, t.n).astype(out_dtype),
+                ((0, mp - m), (0, np_ - t.n)),
+            )
+        w_scale = jnp.asarray(t.scale, jnp.float32)
+        if w_scale.ndim == 0:
+            w_scale = jnp.full((np_,), w_scale, jnp.float32)
+        else:
+            w_scale = jnp.pad(w_scale, (0, np_ - t.n))
+        out = pallas_gemm.ternary_gemm_decode(
+            xp, jnp.asarray(t.packed), w_scale,
+            x2=x2p, norm_g=gp, residual=rp,
+            fmt=t.fmt, kb=t.kb, k=t.k, bn=bn, bk=bk,
+            mode=mode, sub_norm=sub_norm,
+            norm_n=norm_n or t.k, eps=eps,
+            out_dtype=out_dtype,
+            interpret=(resolved == "pallas_interpret"),
+        )
+        return out[:m, : t.n].reshape(*batch, t.n)
+
+    # composed fallback — identical math through the same bf16 round
+    xf = x.reshape(m, k).astype(jnp.float32)
+    if mode == "silu_mul":
+        xf = jax.nn.silu(xf) * x2.reshape(m, k).astype(jnp.float32)
+        if sub_norm:
+            xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+    if mode == "norm" or sub_norm:
+        ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(ss / (norm_n or t.k) + eps)
+        xf = xf * jnp.asarray(norm_g, jnp.float32)
+    h = xf.astype(jnp.bfloat16) if mode != "plain" else xf
+    out = ternary_matmul(h, t, impl=impl, out_dtype=out_dtype)
+    if residual is not None:
+        out = residual.reshape(m, t.n).astype(out_dtype) + out
+    return out.reshape(*batch, t.n)
+
+
 def ternary_matmul_quantized(
     x_q: jax.Array,  # (M, K) int8
     x_scale: jax.Array,  # (M, 1) f32

@@ -271,6 +271,175 @@ def ternary_gemm_fused_quant(
     )(x, packed, w_scale.reshape(1, np_))
 
 
+def _decode_kernel(
+    *refs,
+    fmt: str,
+    kb: int,
+    bk: int,
+    bn: int,
+    n_k: int,
+    mode: str,  # "plain" | "norm" | "silu_mul"
+    sub_norm: bool,  # bitnet: RMSNorm AFTER silu_mul (ffn_sub_norm)
+    norm_n: int,
+    eps: float,
+    has_res: bool,
+    out_dtype,
+):
+    """Decode-regime GEMM with the surrounding elementwise chain fused in.
+
+    Prologue (once, VMEM-resident x): mode-dependent elementwise
+    (RMSNorm / silu(gate)*up [+ sub-norm]) -> round to bf16 (bit-parity
+    with the composed XLA path) -> int8 activation quantization.
+    Epilogue: scale application + optional residual add (in bf16, matching
+    the composed `x + o.astype(bf16)`).
+
+    Replaces, per transformer layer, the XLA fusions for attn_norm,
+    ffn_norm, silu*up, both residual adds, and both activation-quant
+    reductions — the decode step becomes 4 back-to-back Pallas calls plus
+    attention (reference: the entire per-layer chain of
+    ggml-cpu-quants-vlut.c:980+ plus the graph's mul/add/norm nodes).
+    """
+    it = iter(refs)
+    x1_ref = next(it)
+    x2_ref = next(it) if mode == "silu_mul" else None
+    g_ref = next(it) if (mode == "norm" or sub_norm) else None
+    p_ref = next(it)
+    ws_ref = next(it)
+    res_ref = next(it) if has_res else None
+    out_ref = next(it)
+    xq_ref = next(it)
+    xs_ref = next(it)
+    acc_ref = next(it)
+
+    # grid dim 0 is "arbitrary" (sequential), so the prologue runs exactly
+    # once and its xq/xs scratch persists across all (j, kk) steps.
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _prologue():
+        xf = x1_ref[:].astype(jnp.float32)
+        if mode == "silu_mul":
+            xf = xf * jax.lax.logistic(xf) * x2_ref[:].astype(jnp.float32)
+            if sub_norm:
+                # bf16 round between silu*up and the sub-norm, matching the
+                # composed path's bf16 materialization exactly
+                xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+        if mode == "norm" or sub_norm:
+            ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(ss / norm_n + eps)
+            xf = xf * g_ref[:].astype(jnp.float32)
+        if mode != "plain":
+            # round through bf16: the composed path materializes bf16
+            # between the elementwise op and the quantizer, and exact parity
+            # with it keeps impl=xla/pallas cross-checks meaningful.  In
+            # "plain" mode the composed path quantizes the input as-is (the
+            # attention output arrives f32), so no round here either.
+            xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs_ref[:] = amax / 127.0
+        inv = jnp.where(amax > 0, 127.0 / jnp.maximum(amax, 1e-30), 0.0)
+        xq_ref[:] = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        xq_ref[:, pl.dslice(kk * bk, bk)], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _epilogue():
+        out = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+        if has_res:
+            out = res_ref[:] + out.astype(res_ref.dtype)
+        out_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fmt", "kb", "k", "bn", "bk", "mode", "sub_norm", "norm_n", "eps",
+        "out_dtype", "interpret",
+    ),
+)
+def ternary_gemm_decode(
+    x1: jax.Array,  # (M, Kp) bf16/f32, zero-padded K, M <= ~64
+    packed: jax.Array,  # (Kp // r, Np) uint8
+    w_scale: jax.Array,  # (Np,) f32
+    *,
+    x2: jax.Array | None = None,  # (M, Kp) up-projection for silu_mul
+    norm_g: jax.Array | None = None,  # (Kp,) norm gain for mode="norm"
+    residual: jax.Array | None = None,  # (M, Np) added in epilogue
+    fmt: str,
+    kb: int,
+    k: int,
+    bn: int,
+    bk: int,
+    mode: str = "plain",
+    sub_norm: bool = False,
+    norm_n: int = 0,
+    eps: float = 1e-5,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused elementwise->quant->GEMM->residual decode projection."""
+    m, kp = x1.shape
+    r = TRITS_PER_BYTE[fmt]
+    np_ = packed.shape[1]
+    assert np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
+    n_k = kp // bk
+    grid = (np_ // bn, n_k)
+    kernel = functools.partial(
+        _decode_kernel,
+        fmt=fmt, kb=kb, bk=bk, bn=bn, n_k=n_k, mode=mode,
+        sub_norm=sub_norm, norm_n=norm_n, eps=eps,
+        has_res=residual is not None, out_dtype=out_dtype,
+    )
+    x_spec = pl.BlockSpec((m, kp), lambda j, kk: (0, 0))
+    in_specs = [x_spec]
+    args = [x1]
+    if mode == "silu_mul":
+        in_specs.append(x_spec)
+        args.append(x2)
+    if mode == "norm" or sub_norm:
+        in_specs.append(pl.BlockSpec((1, kp), lambda j, kk: (0, 0)))
+        args.append(norm_g.reshape(1, kp))
+    in_specs.append(pl.BlockSpec((bk // r, bn), lambda j, kk: (kk, j)))
+    args.append(packed)
+    in_specs.append(pl.BlockSpec((1, bn), lambda j, kk: (0, j)))
+    args.append(w_scale.reshape(1, np_))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((m, bn), lambda j, kk: (0, j)))
+        args.append(residual)
+    flops = 2 * m * np_ * kp
+    bytes_accessed = m * kp * 2 + kp * np_ // r + m * np_ * 4
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m, kp), jnp.int8),
+            pltpu.VMEM((m, 1), jnp.float32),
+            pltpu.VMEM((m, bn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # dim 0 must be sequential: the prologue's xq/xs scratch is
+            # written once at (0, 0) and read by every other step
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def default_block_shapes(
     m: int, np_: int, kp: int, kb: int
 ) -> tuple[int, int, int]:

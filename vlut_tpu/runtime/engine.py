@@ -157,9 +157,12 @@ class Engine:
 
         plan = make_plan(cfg)
         self._vocab_p = plan.vocab_p
+        # unrolled decode wants the per-layer ("layers") cache layout so
+        # each layer's buffer updates in place (see kv_cache.new_cache)
         self.cache = kvc.new_cache(
             cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
             plan.hd_p, cache_dtype, quantized=kv_quant,
+            layout="layers" if unroll else "stacked",
         )
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: list[Request] = []
@@ -213,14 +216,29 @@ class Engine:
             # tokens (m, T); slots (m,) int32 target slot per row (duplicate
             # slot ids are benign only when rows are identical — the host
             # pads partial groups by repeating row 0).
-            view = {k: v[:, slots] for k, v in cache.items()}
+            layered = isinstance(cache["k"], (tuple, list))
+            if layered:
+                view = {
+                    k: tuple(a[slots] for a in v) for k, v in cache.items()
+                }
+            else:
+                view = {k: v[:, slots] for k, v in cache.items()}
             logits, new_sl = forward(
                 params, cfg, tokens, positions, view, impl=impl,
                 logits_at=jnp.maximum(n_valid - 1, 0),
             )
-            out = {
-                k: cache[k].at[:, slots].set(new_sl[k]) for k in cache
-            }
+            if layered:
+                out = {
+                    k: tuple(
+                        a.at[slots].set(new_sl[k][i])
+                        for i, a in enumerate(cache[k])
+                    )
+                    for k in cache
+                }
+            else:
+                out = {
+                    k: cache[k].at[:, slots].set(new_sl[k]) for k in cache
+                }
             return logits[:, 0], out  # (m, V) last-valid-token logits
 
         return prefill_fn

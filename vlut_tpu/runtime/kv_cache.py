@@ -1,11 +1,20 @@
 """Slot KV cache + sequence ops (the llama-memory contract, TPU-shaped).
 
 The reference manipulates sequences through 7 memory ops (src/llama-memory.h,
-SURVEY §2.4).  Here the cache is a fixed-shape device array pytree
-(L, n_slots, max_len, Hkv, hd) and the ops are pure jitted index
-transformations — no defrag is ever needed because slots are fixed-capacity
-(the reference's find_slot/defrag machinery exists only because its unified
-cell pool fragments; a slot layout cannot).
+SURVEY §2.4).  Here the cache is a fixed-shape device pytree and the ops are
+pure jitted index transformations — no defrag is ever needed because slots
+are fixed-capacity (the reference's find_slot/defrag machinery exists only
+because its unified cell pool fragments; a slot layout cannot).
+
+Two layouts, same logical content:
+
+* ``stacked`` — one (L, n_slots, max_len, Hkv, hd) array per entry; used by
+  the scan-over-layers forward and for serialization.
+* ``layers``  — a TUPLE of L (n_slots, max_len, Hkv, hd) arrays; used by the
+  unrolled decode path so each layer updates its own buffer in place.
+  (A stacked cache under the unrolled loop forces either a restack or a 5-D
+  scatter per step — both copy the entire cache: measured 16.5 vs 94.6
+  ms/step on v5e for the scatter form at Llama3-8B shapes.)
 
 seq_cp copies a prefix between slots — the fan-out primitive behind the
 reference's shared-prompt batched demo (examples/batched/batched.cpp:163) and
@@ -28,17 +37,54 @@ import jax.numpy as jnp
 def new_cache(
     n_layers: int, n_slots: int, max_len: int, n_kv_heads: int,
     head_dim: int, dtype=jnp.bfloat16, quantized: bool = False,
-) -> dict[str, jax.Array]:
-    shape = (n_layers, n_slots, max_len, n_kv_heads, head_dim)
+    layout: str = "stacked",
+) -> dict:
+    shape = (n_slots, max_len, n_kv_heads, head_dim)
+    entries: dict[str, tuple] = {"k": (shape, dtype), "v": (shape, dtype)}
     if quantized:
-        sshape = shape[:-1]
-        return {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros(sshape, jnp.float32),
-            "v_scale": jnp.zeros(sshape, jnp.float32),
+        entries = {
+            "k": (shape, jnp.int8),
+            "v": (shape, jnp.int8),
+            "k_scale": (shape[:-1], jnp.float32),
+            "v_scale": (shape[:-1], jnp.float32),
         }
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if layout == "layers":
+        return {
+            k: tuple(jnp.zeros(sh, dt) for _ in range(n_layers))
+            for k, (sh, dt) in entries.items()
+        }
+    return {
+        k: jnp.zeros((n_layers,) + sh, dt) for k, (sh, dt) in entries.items()
+    }
+
+
+def is_layered(cache: dict) -> bool:
+    return isinstance(cache["k"], (tuple, list))
+
+
+def n_layers_of(cache: dict) -> int:
+    return len(cache["k"]) if is_layered(cache) else cache["k"].shape[0]
+
+
+def max_len_of(cache: dict) -> int:
+    return cache["k"][0].shape[1] if is_layered(cache) else cache["k"].shape[2]
+
+
+def to_layered(cache: dict) -> dict:
+    """Stacked -> per-layer tuples (no-op if already layered)."""
+    if is_layered(cache):
+        return dict(cache)
+    return {
+        k: tuple(v[i] for i in range(v.shape[0])) for k, v in cache.items()
+    }
+
+
+def to_stacked(cache: dict) -> dict:
+    """Per-layer tuples -> stacked (no-op if already stacked).  Copies; use
+    only at serialization / layout boundaries, never per step."""
+    if not is_layered(cache):
+        return dict(cache)
+    return {k: jnp.stack(v) for k, v in cache.items()}
 
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -56,39 +102,85 @@ def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.float32):
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
+def _cp_one(a: jax.Array, src, dst, length):
+    """One per-layer entry (n_slots, max_len, ...): copy rows [0, length)
+    of slot src over slot dst."""
+    max_len = a.shape[1]
+    rows = jnp.arange(max_len) < length
+    rshape = (max_len,) + (1,) * (a.ndim - 2)
+    merged = jnp.where(rows.reshape(rshape), a[src], a[dst])
+    return jax.lax.dynamic_update_index_in_dim(a, merged, dst, axis=0)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def seq_cp(
-    cache: dict[str, jax.Array],
+    cache: dict,
     src: jax.Array,  # scalar int32 slot index
     dst: jax.Array,
     length: jax.Array,  # copy rows [0, length)
-) -> dict[str, jax.Array]:
+) -> dict:
     """Copy a prompt prefix from slot src to slot dst (rows >= length zeroed
     semantics are irrelevant — readers mask by position)."""
-    max_len = cache["k"].shape[2]
+    if is_layered(cache):
+        return {
+            k: tuple(_cp_one(a, src, dst, length) for a in v)
+            for k, v in cache.items()
+        }
+    return {
+        k: jax.vmap(lambda a: _cp_one(a, src, dst, length))(v)
+        for k, v in cache.items()
+    }
 
-    def cp(a):
-        rows = jnp.arange(max_len) < length
-        # broadcast the row mask over trailing dims (rank varies: scales
-        # have no head_dim axis)
-        rshape = (1, max_len) + (1,) * (a.ndim - 3)
-        s = a[:, src]
-        d = a[:, dst]
-        merged = jnp.where(rows.reshape(rshape), s, d)
-        return jax.lax.dynamic_update_index_in_dim(a, merged, dst, axis=1)
 
-    return {k: cp(v) for k, v in cache.items()}
+def _shift_layer(entry: dict, slot, start, count, c, s, quant):
+    """Context-shift one layer.  entry: per-layer arrays (B, S, ...)."""
+    k = entry["k"]
+    max_len = k.shape[1]
+    idx = jnp.arange(max_len)
+    moved = idx >= start - count
+    src_rows = jnp.clip(jnp.where(moved, idx + count, idx), 0, max_len - 1)
+
+    ks = k[slot][src_rows]  # (S, Hkv, hd_p)
+    if quant:
+        ksc = entry["k_scale"][slot][src_rows]
+        ksf = dequantize_kv(ks, ksc)
+    else:
+        ksf = ks
+    half = k.shape[-1] // 2
+    k1, k2 = ksf[..., :half], ksf[..., half:]
+    kr = jnp.concatenate([k1 * c - k2 * s, k2 * c + k1 * s], axis=-1)
+    out = dict(entry)
+    if quant:
+        krq, krs = quantize_kv(kr)
+        krq = jnp.where(moved[:, None, None], krq, ks)
+        krs = jnp.where(moved[:, None], krs, ksc)
+        out["k"] = jax.lax.dynamic_update_index_in_dim(k, krq, slot, axis=0)
+        out["k_scale"] = jax.lax.dynamic_update_index_in_dim(
+            entry["k_scale"], krs, slot, axis=0
+        )
+        vsc = entry["v_scale"][slot][src_rows]
+        out["v_scale"] = jax.lax.dynamic_update_index_in_dim(
+            entry["v_scale"], vsc, slot, axis=0
+        )
+    else:
+        kr = jnp.where(moved[:, None, None], kr, ksf).astype(k.dtype)
+        out["k"] = jax.lax.dynamic_update_index_in_dim(k, kr, slot, axis=0)
+
+    v = entry["v"]
+    vs = v[slot][src_rows]
+    out["v"] = jax.lax.dynamic_update_index_in_dim(v, vs, slot, axis=0)
+    return out
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def seq_shift(
-    cache: dict[str, jax.Array],
+    cache: dict,
     slot: jax.Array,
     start: jax.Array,  # first KEPT row after the removed span (old indexing)
     count: jax.Array,  # rows removed (shift distance)
-    cos: jax.Array,  # rope tables (max_pos, hd_p // 2) — see rope_table
-    sin: jax.Array,
-) -> dict[str, jax.Array]:
+    cos: jax.Array,  # UNSCALED rope tables (max_pos, hd_p // 2); see
+    sin: jax.Array,  # rope_table(with_mscale=False) — keys carry mscale
+) -> dict:
     """Context-shift: drop rows [start-count, start) of `slot`, slide the
     tail left, and re-rotate the moved keys by -count positions so their
     RoPE phase matches their new absolute position.
@@ -99,44 +191,22 @@ def seq_shift(
     so R(p-c) = R(-c) . R(p) makes the rebase exact.  With a quantized
     cache the moved keys dequantize, rotate, and requantize.
     """
-    max_len = cache["k"].shape[2]
-    idx = jnp.arange(max_len)
-    moved = idx >= start - count
-    src_rows = jnp.clip(jnp.where(moved, idx + count, idx), 0, max_len - 1)
-
     # rotation by -count: angles of position `count`, negated sin
     c = cos[count]  # (hd_p // 2,)
     s = -sin[count]
     quant = "k_scale" in cache
-
-    k = cache["k"]
-    ks = k[:, slot][:, src_rows]  # (L, S, Hkv, hd_p)
-    if quant:
-        ksc = cache["k_scale"][:, slot][:, src_rows]
-        ksf = dequantize_kv(ks, ksc)
-    else:
-        ksf = ks
-    half = k.shape[-1] // 2
-    k1, k2 = ksf[..., :half], ksf[..., half:]
-    kr = jnp.concatenate([k1 * c - k2 * s, k2 * c + k1 * s], axis=-1)
-    out = dict(cache)
-    if quant:
-        krq, krs = quantize_kv(kr)
-        krq = jnp.where(moved[None, :, None, None], krq, ks)
-        krs = jnp.where(moved[None, :, None], krs, ksc)
-        out["k"] = jax.lax.dynamic_update_index_in_dim(k, krq, slot, axis=1)
-        out["k_scale"] = jax.lax.dynamic_update_index_in_dim(
-            cache["k_scale"], krs, slot, axis=1
-        )
-        vsc = cache["v_scale"][:, slot][:, src_rows]
-        out["v_scale"] = jax.lax.dynamic_update_index_in_dim(
-            cache["v_scale"], vsc, slot, axis=1
-        )
-    else:
-        kr = jnp.where(moved[None, :, None, None], kr, ksf).astype(k.dtype)
-        out["k"] = jax.lax.dynamic_update_index_in_dim(k, kr, slot, axis=1)
-
-    v = cache["v"]
-    vs = v[:, slot][:, src_rows]
-    out["v"] = jax.lax.dynamic_update_index_in_dim(v, vs, slot, axis=1)
-    return out
+    keys = list(cache)
+    if is_layered(cache):
+        n_l = len(cache["k"])
+        outs = [
+            _shift_layer(
+                {k: cache[k][i] for k in keys}, slot, start, count, c, s,
+                quant,
+            )
+            for i in range(n_l)
+        ]
+        return {k: tuple(o[k] for o in outs) for k in keys}
+    shifted = jax.vmap(
+        lambda e: _shift_layer(e, slot, start, count, c, s, quant)
+    )({k: cache[k] for k in keys})
+    return shifted

@@ -36,9 +36,12 @@ def save_slot_state(
             np.float32
         )
 
-    arrays = {
-        name: store(a[:, slot, :length]) for name, a in cache.items()
-    }
+    def rows(entry):
+        if isinstance(entry, (tuple, list)):  # layered cache
+            return np.stack([store(a[slot, :length]) for a in entry])
+        return store(entry[:, slot, :length])
+
+    arrays = {name: rows(a) for name, a in cache.items()}
     buf = io.BytesIO()
     np.savez_compressed(
         buf,
@@ -69,11 +72,20 @@ def load_slot_state(
             f"state keys {sorted(arrays)} don't match cache {sorted(cache)}"
             " (saved with a different KV cache type?)"
         )
+    from vlut_tpu.runtime.kv_cache import max_len_of
+
     length = arrays["k"].shape[1]
-    if length > cache["k"].shape[2]:
+    if length > max_len_of(cache):
         raise ValueError("state longer than cache capacity")
 
     def put(a, rows):
+        if isinstance(a, (tuple, list)):  # layered cache
+            return tuple(
+                li.at[slot, : rows.shape[1]].set(
+                    jnp.asarray(rows[i], li.dtype)
+                )
+                for i, li in enumerate(a)
+            )
         rows = jnp.asarray(rows, a.dtype)
         return a.at[:, slot, : rows.shape[1]].set(rows)
 
