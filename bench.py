@@ -116,7 +116,7 @@ def main():
         best = float("inf")
         for _ in range(2):
             _, cache2 = run_prefill()
-            float(jnp.sum(cache2["k"][0, 0, 0]))  # settle prefill
+            float(jnp.sum(cache2["k"][0][0, 0]))  # settle prefill
             t0 = time.time()
             toks, _ = gen(params, cache2, last, lengths, sp, key)
             int(jnp.sum(toks))

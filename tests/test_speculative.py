@@ -68,8 +68,10 @@ def test_speculative_matches_greedy(draft_seed):
     got, accs = _spec(params_t, params_d, prompts, n_new, k)
     np.testing.assert_array_equal(got, ref)
     if draft_seed == 0:
-        # identical draft == target: acceptance should be high
-        assert accs.mean() > 1.0
+        # identical draft == target: near-full acceptance.  accs is a
+        # fixed (n_rounds, B) buffer and the while_loop exits early, so
+        # unused rounds stay 0 — judge by per-row totals, not the mean.
+        assert accs.sum(axis=0).min() >= n_new - 3
 
 
 def test_lookup_matches_greedy():
@@ -144,4 +146,110 @@ def test_lookup_jacobi_fallback_matches_greedy():
     np.testing.assert_array_equal(got, ref)
     # greedy models are Jacobi-consistent: after the first round the carry
     # equals the true continuation, so acceptances must appear
+    assert np.asarray(accs).sum() > 0
+
+
+def test_lookahead_matches_greedy():
+    """Windowed lookahead decoding (2-D Jacobi window + n-gram pool +
+    custom attention mask) must reproduce exact greedy output, and on a
+    repetitive prompt the pool should yield accepted drafts."""
+    from vlut_tpu.runtime.speculative import make_lookahead_fn
+
+    params = init_params(CFG, seed=0)
+    b, n_new = 2, 14
+    base = [5, 9, 11, 5, 9, 11, 5, 9]
+    prompts = jnp.asarray([base, base[::-1]], jnp.int32)
+    t = prompts.shape[1]
+
+    ref = _greedy(params, prompts, n_new)
+
+    cache = init_kv_cache(CFG, b, max_len=96)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    lg, cache = forward(params, CFG, prompts, pos, cache, impl="xla",
+                        logits_at=jnp.full((b,), t - 1, jnp.int32))
+    last = jnp.argmax(lg[:, 0, : CFG.vocab_size], -1).astype(jnp.int32)
+    first = np.asarray(last)
+
+    fn = make_lookahead_fn(CFG, max_new=n_new - 1, window=4, ngram=3,
+                           pool_size=16, impl="xla")
+    out, cnt, accs, _ = fn(
+        params, cache, last, jnp.full((b,), t, jnp.int32)
+    )
+    assert (np.asarray(cnt) >= n_new - 1).all()
+    got = np.concatenate(
+        [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
+    )
+    np.testing.assert_array_equal(got, ref)
+    # the Jacobi window must produce at least one accepted draft across
+    # the run (greedy trajectories on a tiny model repeat quickly)
+    assert np.asarray(accs).sum() > 0
+
+
+def _permuted_draft(params, perm):
+    """Same model in a permuted vocab: embed rows + lm_head cols permuted.
+    Draft id j == target id perm[j]."""
+    import jax.numpy as jnp
+
+    p = {k: v for k, v in params.items()}
+    p["embed"] = params["embed"][jnp.asarray(perm)]
+    head = np.asarray(params["lm_head"])
+    v = len(perm)
+    new_head = head.copy()
+    new_head[:, :v] = head[:, perm]
+    p["lm_head"] = jnp.asarray(new_head)
+    return p
+
+
+def test_speculative_vocab_translation_matches_greedy():
+    """Mismatched draft/target vocabs: proposals translate through the
+    static piece-text map (reference: server-context.cpp:663) and output
+    still equals target greedy exactly; with a pure permutation the
+    acceptance rate stays high."""
+    from vlut_tpu.runtime.speculative import (
+        build_vocab_translation,
+        make_speculative_fn,
+    )
+
+    params_t = init_params(CFG, seed=0)
+    v = CFG.vocab_size
+    rng = np.random.default_rng(4)
+    perm = rng.permutation(v)
+    params_d = _permuted_draft(params_t, perm)
+
+    pieces_t = [f"p{i}" for i in range(v)]
+    pieces_d = [pieces_t[perm[j]] for j in range(v)]
+    # poke holes: a few draft tokens have no target piece and vice versa
+    for j in (3, 77):
+        pieces_d[j] = f"draft-only-{j}"
+    d2t = build_vocab_translation(pieces_d, pieces_t)
+    t2d = build_vocab_translation(pieces_t, pieces_d)
+    assert d2t[3] == -1 and (d2t >= -1).all()
+
+    prompts = jnp.asarray(rng.integers(0, v, (2, 5)), jnp.int32)
+    n_new, k = 8, 3
+    ref = _greedy(params_t, prompts, n_new)
+
+    b, t = prompts.shape
+    cache_t = init_kv_cache(CFG, b, max_len=64)
+    cache_d = init_kv_cache(CFG, b, max_len=64)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    at = jnp.full((b,), t - 1, jnp.int32)
+    lg_t, cache_t = forward(params_t, CFG, prompts, pos, cache_t,
+                            impl="xla", logits_at=at)
+    # draft prefills its own translation of the prompt
+    prompts_d = jnp.maximum(jnp.asarray(t2d)[prompts], 0)
+    _, cache_d = forward(params_d, CFG, prompts_d, pos, cache_d,
+                         impl="xla", logits_at=at)
+    last = jnp.argmax(lg_t[:, 0, :v], -1).astype(jnp.int32)
+    first = np.asarray(last)
+    fn = make_speculative_fn(CFG, CFG, k_draft=k, max_new=n_new - 1,
+                             impl="xla", vocab_map=(d2t, t2d))
+    out, cnt, accs, _, _ = fn(params_t, params_d, cache_t, cache_d, last,
+                              jnp.full((b,), t, jnp.int32))
+    assert (np.asarray(cnt) >= n_new - 1).all()
+    got = np.concatenate(
+        [first[:, None], np.asarray(out)[:, : n_new - 1]], axis=1
+    )
+    np.testing.assert_array_equal(got, ref)
+    # permuted-identical draft should accept most proposals
     assert np.asarray(accs).sum() > 0

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--preset", default="llama3_8b_158")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--max-lens", default=None,
+                    help="comma-separated cache sizes (default: prompt+56); "
+                         "whether costs scale with cache size separates "
+                         "whole-buffer copies from per-row write overhead")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,11 @@ def main():
     )
 
     cfg = PRESETS[args.preset]
-    max_len = PROMPT_LEN + N_HI + 16
+    max_lens = (
+        [int(x) for x in args.max_lens.split(",")]
+        if args.max_lens else [PROMPT_LEN + N_HI + 16]
+    )
+    max_len = max_lens[0]
 
     t0 = time.time()
     params = init_params_fast(cfg, seed=0)
@@ -84,8 +92,10 @@ def main():
         lambda p, c, t, pos: forward(p, cfg, t, pos, c, logits_at=logits_at)
     )
 
-    def run_prefill():
-        cache = init_kv_cache(cfg, NP_SLOTS, max_len=max_len, layout="layers")
+    def run_prefill(ml=None):
+        cache = init_kv_cache(
+            cfg, NP_SLOTS, max_len=ml or max_len, layout="layers"
+        )
         return prefill(params, cache, tokens, positions)
 
     logits, _ = run_prefill()
@@ -100,37 +110,39 @@ def main():
 
     only = set(args.configs.split(",")) if args.configs else None
     results = {}
-    for name, env in CONFIGS:
-        if only and name not in only:
-            continue
-        saved = {k: os.environ.get(k) for k in env}
-        os.environ.update(env)
-        try:
-            ts = {}
-            for n in (N_LO, N_HI):
-                gen = make_generate_fn(cfg, n_steps=n, features=feats)
-                _, cache = run_prefill()
-                toks, _ = gen(params, cache, last, lengths, sp, key)
-                int(jnp.sum(toks))  # compile + settle
-                best = float("inf")
-                for _ in range(2):
-                    _, cache = run_prefill()
-                    float(jnp.sum(cache["k"][0][0, 0]))
-                    t0 = time.time()
+    for ml in max_lens:
+        for name, env in CONFIGS:
+            if only and name not in only:
+                continue
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                ts = {}
+                for n in (N_LO, N_HI):
+                    gen = make_generate_fn(cfg, n_steps=n, features=feats)
+                    _, cache = run_prefill(ml)
                     toks, _ = gen(params, cache, last, lengths, sp, key)
-                    int(jnp.sum(toks))
-                    best = min(best, time.time() - t0)
-                ts[n] = best
-            step_ms = (ts[N_HI] - ts[N_LO]) / (N_HI - N_LO) * 1e3
-            results[name] = step_ms
-            print(f"# {name}: {step_ms:.2f} ms/step "
-                  f"({NP_SLOTS/step_ms*1e3:.0f} tok/s)", flush=True)
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+                    int(jnp.sum(toks))  # compile + settle
+                    best = float("inf")
+                    for _ in range(2):
+                        _, cache = run_prefill(ml)
+                        float(jnp.sum(cache["k"][0][0, 0]))
+                        t0 = time.time()
+                        toks, _ = gen(params, cache, last, lengths, sp, key)
+                        int(jnp.sum(toks))
+                        best = min(best, time.time() - t0)
+                    ts[n] = best
+                step_ms = (ts[N_HI] - ts[N_LO]) / (N_HI - N_LO) * 1e3
+                tag = name if len(max_lens) == 1 else f"{name}@S{ml}"
+                results[tag] = step_ms
+                print(f"# {tag}: {step_ms:.2f} ms/step "
+                      f"({NP_SLOTS/step_ms*1e3:.0f} tok/s)", flush=True)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
     print(json.dumps(results))
 
 

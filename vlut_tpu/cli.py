@@ -132,6 +132,55 @@ def cmd_generate(args):
             scale=args.control_vector_scale,
         )
     tok = Tokenizer(args.model)
+    if args.lookahead:
+        # draft-model-free lookahead decoding (reference:
+        # examples/lookahead): device-side greedy, exact greedy output
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.transformer import (
+            forward,
+            fuse_projections,
+            init_kv_cache,
+            unstack_layers,
+        )
+        from vlut_tpu.runtime.speculative import make_lookahead_fn
+
+        p2 = unstack_layers(fuse_projections(params, cfg), cfg)
+        ids = tok.encode(args.prompt)
+        t, n = len(ids), args.n_predict
+        cache = init_kv_cache(
+            cfg, 1, max_len=min(args.ctx, cfg.max_seq_len), layout="layers"
+        )
+        lg, cache = forward(
+            p2, cfg, jnp.asarray([ids], jnp.int32),
+            jnp.arange(t, dtype=jnp.int32)[None], cache,
+            logits_at=jnp.asarray([t - 1], jnp.int32),
+        )
+        last = jnp.argmax(lg[:, 0, : cfg.vocab_size], -1).astype(jnp.int32)
+        fn = make_lookahead_fn(
+            cfg, max_new=n - 1, window=args.lookahead_window,
+            ngram=args.lookahead_ngram,
+        )
+        t0 = time.time()
+        out, cnt, accs, _ = fn(
+            p2, cache, last, jnp.asarray([t], jnp.int32)
+        )
+        toks = [int(np.asarray(last)[0])] + [
+            int(x) for x in np.asarray(out)[0][: n - 1]
+        ]
+        int(np.asarray(cnt)[0])  # fence
+        dt = time.time() - t0
+        acc = np.asarray(accs)[:, 0]
+        rounds = int((acc >= 0).sum()) if acc.size else 0
+        print(tok.decode(toks))
+        print(
+            f"\n[{len(toks)} tokens, {len(toks)/dt:.1f} tok/s | lookahead "
+            f"W={args.lookahead_window} N={args.lookahead_ngram}, "
+            f"{acc.sum()} drafts accepted]",
+            file=sys.stderr,
+        )
+        return
     draft = None
     if args.draft_model:
         d_cfg, d_params, _ = _load(args.draft_model)
@@ -449,6 +498,12 @@ def main(argv=None):
     p.add_argument("--draft-model", default=None,
                    help="draft checkpoint for speculative decoding")
     p.add_argument("--draft-k", type=int, default=4)
+    p.add_argument("--lookahead", action="store_true",
+                   help="draft-free windowed lookahead decoding (greedy)")
+    p.add_argument("--lookahead-window", type=int, default=8,
+                   help="Jacobi window branches (lookahead W)")
+    p.add_argument("--lookahead-ngram", type=int, default=3,
+                   help="n-gram length (lookahead N)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")

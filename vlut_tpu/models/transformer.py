@@ -199,18 +199,22 @@ def fuse_projections(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]
     out = dict(layers)
 
     def fuse(names: list[str], widths: list[int], new: str):
-        packs = [np.asarray(out[n]["packed"]) for n in names]
-        scales = [np.asarray(out[n]["scale"], np.float32) for n in names]
-        fusedp = np.concatenate(packs, axis=-1)
+        # device-side concat: np round-trips would drag GBs through the
+        # host (minutes over a tunneled chip)
+        packs = [jnp.asarray(out[n]["packed"]) for n in names]
+        scales = [
+            jnp.asarray(out[n]["scale"], jnp.float32) for n in names
+        ]
+        fusedp = jnp.concatenate(packs, axis=-1)
         l = fusedp.shape[0]
-        sc = np.concatenate(
+        sc = jnp.concatenate(
             [
-                np.broadcast_to(s.reshape(l, 1), (l, w)).astype(np.float32)
+                jnp.broadcast_to(s.reshape(l, 1), (l, w)).astype(jnp.float32)
                 for s, w in zip(scales, widths)
             ],
             axis=-1,
         )
-        out[new] = {"packed": jnp.asarray(fusedp), "scale": jnp.asarray(sc)}
+        out[new] = {"packed": fusedp, "scale": sc}
         for n in names:
             del out[n]
 
@@ -284,7 +288,6 @@ def init_params_fast(
     positions get random (not zero) trits, which is irrelevant for perf
     benchmarks; use init_params for correctness work.
     """
-    rng = np.random.default_rng(seed)
     plan = make_plan(cfg)
     specs = weight_specs(cfg, plan=plan)
     r = {"i2": 4, "i1": 5}[cfg.weight_fmt]
@@ -299,26 +302,23 @@ def init_params_fast(
     def cols(spec: TernarySpec) -> int:
         return -(-spec.n // 128) * 128
 
+    # generated ON DEVICE: multi-GB host RNG + tunnel transfer took 13-25
+    # min per benchmark process; jax.random on the chip takes seconds.
+    # Benchmark bytes, not real values — valid code ranges so unpack cost
+    # matches production exactly.
+    key = jax.random.PRNGKey(seed)
+    lut = jnp.asarray(_I2_CODE_LUT)
     layers: dict[str, Any] = {}
     for name, spec in specs.items():
-        # one random layer tiled L times (benchmark bytes, not real values;
-        # single-core RNG for multi-GB arrays would take minutes otherwise),
-        # first column stamped per layer so nothing can alias/dedupe
+        key, sub = jax.random.split(key)
+        shape = (cfg.n_layers, rows(spec), cols(spec))
         if cfg.weight_fmt == "i2":
-            codes = rng.integers(
-                0, 81, size=(rows(spec), cols(spec)), dtype=np.uint8
-            )
-            one = _I2_CODE_LUT[codes]
+            codes = jax.random.randint(sub, shape, 0, 81, jnp.uint8)
+            packed = lut[codes]
         else:
-            one = rng.integers(
-                0, 243, size=(rows(spec), cols(spec)), dtype=np.uint8
-            )
-        packed = np.broadcast_to(
-            one, (cfg.n_layers,) + one.shape
-        ).copy()
-        packed[:, :, 0] = np.arange(cfg.n_layers, dtype=np.uint8)[:, None]
+            packed = jax.random.randint(sub, shape, 0, 243, jnp.uint8)
         layers[name] = {
-            "packed": jnp.asarray(packed),
+            "packed": packed,
             "scale": jnp.full((cfg.n_layers,), 0.05, jnp.float32),
         }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
@@ -330,16 +330,19 @@ def init_params_fast(
         layers["ffn_sub_norm"] = jnp.ones(
             (cfg.n_layers, plan.ff_p), jnp.float32
         )
+    key, k_embed, k_head = jax.random.split(key, 3)
     params: dict[str, Any] = {
-        "embed": jnp.asarray(
-            rng.standard_normal((cfg.vocab_size, cfg.d_model)) * 0.02, dtype
+        "embed": (
+            jax.random.normal(k_embed, (cfg.vocab_size, cfg.d_model), dtype)
+            * 0.02
         ),
         "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
         "layers": layers,
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = jnp.asarray(
-            rng.standard_normal((cfg.d_model, plan.vocab_p)) * 0.02, dtype
+        params["lm_head"] = (
+            jax.random.normal(k_head, (cfg.d_model, plan.vocab_p), dtype)
+            * 0.02
         )
     return params
 
@@ -465,10 +468,15 @@ ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
 
 
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
-               window=None):
+               window=None, mask_override=None):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
     semantics); softcap: gemma2 tanh score capping.
+
+    mask_override (B, T, S) bool replaces the position-derived causal/SWA
+    mask entirely — the hook for lookahead decoding's 2-D window masks
+    (reference: examples/lookahead builds a custom kq mask) and packed
+    ragged batches.  The caller owns causality when overriding.
 
     Short KV uses one dense softmax; long KV streams chunks with an
     online softmax (flash-attention recurrence) so the (T, S) score
@@ -476,7 +484,8 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     ggml_flash_attn_ext (ggml/include/ggml.h:2331)."""
     if k.shape[1] > ATTN_CHUNK:
         return _attention_chunked(
-            q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window
+            q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window,
+            mask_override=mask_override,
         )
     b, t, h, hd = q.shape
     hkv = k.shape[2]
@@ -488,11 +497,14 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf)
     if softcap:
         scores = softcap * jnp.tanh(scores / softcap)
-    kp = k_pos[:, None, None, None, :]
-    qp = q_pos[:, None, None, :, None]
-    mask = (kp <= qp) & (kp >= 0)
-    if window is not None:
-        mask &= jnp.where(window > 0, kp > qp - window, True)
+    if mask_override is not None:
+        mask = mask_override[:, None, None, :, :]
+    else:
+        kp = k_pos[:, None, None, None, :]
+        qp = q_pos[:, None, None, :, None]
+        mask = (kp <= qp) & (kp >= 0)
+        if window is not None:
+            mask &= jnp.where(window > 0, kp > qp - window, True)
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
@@ -500,7 +512,8 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
 
 
 def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
-                       softcap=0.0, window=None, chunk=ATTN_CHUNK):
+                       softcap=0.0, window=None, chunk=ATTN_CHUNK,
+                       mask_override=None):
     """Online-softmax attention over KV chunks (same semantics as the dense
     path; O(T * chunk) live scores instead of O(T * S))."""
     b, t, h, hd = q.shape
@@ -513,6 +526,8 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
         k_pos = jnp.pad(k_pos, ((0, 0), (0, pad)), constant_values=-1)
+        if mask_override is not None:
+            mask_override = jnp.pad(mask_override, ((0, 0), (0, 0), (0, pad)))
 
     qf = q.astype(jnp.float32) * (scale or 1.0 / np.sqrt(hd_logical))
     qf = qf.reshape(b, t, hkv, g, hd)
@@ -531,10 +546,16 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
         sc = jnp.einsum("bthgd,bshd->bhgts", qf, kc)
         if softcap:
             sc = softcap * jnp.tanh(sc / softcap)
-        kp_ = kpc[:, None, None, None, :]
-        mask = (kp_ <= qp) & (kp_ >= 0)
-        if window is not None:
-            mask &= jnp.where(window > 0, kp_ > qp - window, True)
+        if mask_override is not None:
+            mc = jax.lax.dynamic_slice_in_dim(
+                mask_override, off, chunk, axis=2
+            )
+            mask = mc[:, None, None, :, :]
+        else:
+            kp_ = kpc[:, None, None, None, :]
+            mask = (kp_ <= qp) & (kp_ >= 0)
+            if window is not None:
+                mask &= jnp.where(window > 0, kp_ > qp - window, True)
         sc = jnp.where(mask, sc, -1e30)
         m_new = jnp.maximum(m, sc.max(-1))
         corr = jnp.exp(m - m_new)
@@ -573,6 +594,7 @@ def forward(
     sp_axis: str | None = None,
     output: str = "logits",  # "logits" | "hidden" (post-final-norm states)
     token_embeds: jax.Array | None = None,  # (B, T, D) replaces embed lookup
+    attn_mask: jax.Array | None = None,  # (B, T, S) full mask override
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -613,6 +635,7 @@ def forward(
         params["layers"], x, positions, layer_window, kv_cache,
         cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
         ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
+        attn_mask=attn_mask,
     )
 
     x = _rms(
@@ -678,6 +701,7 @@ def run_layers(
     ep_axis: str | None = None,
     ep_size: int = 1,
     sp_axis: str | None = None,
+    attn_mask: jax.Array | None = None,  # (B, T, S) override, see _attention
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Scan the transformer stack over a (possibly stage-local) layers tree.
 
@@ -814,13 +838,20 @@ def run_layers(
             return st["k"][i], st["v"][i]
 
         def _put(self, name, u, start):
-            i = self.i
-            nd = u.ndim - 1  # per-row update rank (T,H,D) or (T,H)
-            upd = lambda c, w, p: jax.lax.dynamic_update_slice(  # noqa: E731
-                c, w, (p,) + (0,) * (nd - 1)
-            )
+            from vlut_tpu.ops.kv_update import write_rows
+
             arrs = list(self.state[name])
-            arrs[i] = jax.vmap(upd)(arrs[i], u, start)
+            # T == 1 on this path (decode); multi-token writes (spec/
+            # lookahead verify rounds) fall back to the dus form inside
+            # write_rows only for the scatter-free kernel's T=1 case
+            if u.shape[1] == 1:
+                arrs[self.i] = write_rows(arrs[self.i], u, start, impl=impl)
+            else:
+                nd = u.ndim - 1
+                upd = lambda c, w, p: jax.lax.dynamic_update_slice(  # noqa: E731
+                    c, w, (p,) + (0,) * (nd - 1)
+                )
+                arrs[self.i] = jax.vmap(upd)(arrs[self.i], u, start)
             self.state[name] = tuple(arrs)
 
         def update(self, k, v, start):
@@ -931,7 +962,7 @@ def run_layers(
             att = _attention(
                 q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
                 scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-                window=window,
+                window=window, mask_override=attn_mask,
             )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size

@@ -1,0 +1,86 @@
+"""KV-cache row writes without XLA scatter.
+
+Decode writes one row per slot per layer at a per-slot position.  The
+natural JAX spelling — ``vmap(dynamic_update_slice)`` — lowers to an XLA
+scatter, which TPUs execute index-serially: measured ~66 µs per scatter on
+v5e, ~4.4 ms of a Llama3-8B decode step (64 scatters), independent of cache
+size.  This Pallas kernel instead grids over slots with the row index as a
+scalar-prefetch operand feeding the output index_map, and aliases the cache
+in/out so XLA updates the donated buffer in place: the kernel moves exactly
+B rows.
+
+Used by transformer._SlotKV on the TPU decode path; everywhere else the
+vmap-dus form remains (bit-identical semantics, see test_runtime_ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _write_kernel(pos_ref, u_ref, c_in_ref, c_out_ref):
+    del pos_ref, c_in_ref
+    c_out_ref[...] = u_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def write_rows_pallas(
+    cache: jax.Array,  # (B, S, ...) — trailing dims rank 1 or 2
+    u: jax.Array,  # (B, 1, ...) row per slot
+    start: jax.Array,  # (B,) int32 target row per slot
+    interpret: bool = False,
+) -> jax.Array:
+    b = cache.shape[0]
+    trail = cache.shape[2:]
+    blk = (1, 1) + trail
+
+    def u_map(i, pos):
+        del pos
+        return (i,) + (0,) * (len(blk) - 1)
+
+    def c_map(i, pos):
+        return (i, pos[i]) + (0,) * (len(blk) - 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(blk, u_map),
+            pl.BlockSpec(blk, c_map),
+        ],
+        out_specs=pl.BlockSpec(blk, c_map),
+    )
+    return pl.pallas_call(
+        _write_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},  # cache operand aliases the output
+        interpret=interpret,
+    )(start.astype(jnp.int32), u.astype(cache.dtype), cache)
+
+
+def write_rows(
+    cache: jax.Array, u: jax.Array, start: jax.Array, impl: str = "auto"
+) -> jax.Array:
+    """Write u[b] into cache[b, start[b]] for every slot b.
+
+    impl "pallas" / "auto"-on-TPU -> scatter-free kernel; otherwise the
+    vmap-dus reference form.
+    """
+    use_pallas = impl in ("auto", "pallas") and (
+        jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        return write_rows_pallas(cache, u, start)
+    if impl == "pallas_interpret":
+        return write_rows_pallas(cache, u, start, interpret=True)
+    nd = u.ndim - 1
+    upd = lambda c, w, p: jax.lax.dynamic_update_slice(  # noqa: E731
+        c, w, (p,) + (0,) * (nd - 1)
+    )
+    return jax.vmap(upd)(cache, u, start)

@@ -188,7 +188,11 @@ class Engine:
         # drafts in one target forward; output equals plain greedy decode.
         self._spec = None
         if draft is not None:
-            d_cfg, d_params = draft
+            # draft = (cfg, params) or (cfg, params, (d2t, t2d)) — the
+            # third element translates mismatched draft/target vocabs
+            # (speculative.build_vocab_translation)
+            d_cfg, d_params = draft[0], draft[1]
+            vmap_ = draft[2] if len(draft) > 2 else None
             self._spec = {
                 "cfg": d_cfg,
                 "params": d_params,
@@ -199,6 +203,12 @@ class Engine:
                 ),
                 "prefill": {},
                 "step": None,
+                "vmap": None
+                if vmap_ is None
+                else (
+                    jnp.asarray(vmap_[0], jnp.int32),
+                    jnp.asarray(vmap_[1], jnp.int32),
+                ),
             }
         self.perf = PerfCounters()
 
@@ -286,6 +296,7 @@ class Engine:
     def _build_spec_step(self):
         cfg_t, impl = self.cfg, self.impl
         cfg_d, k = self._spec["cfg"], self._spec["k"]
+        vmap_ = self._spec["vmap"]
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def spec_step(params_t, params_d, cache_t, cache_d, last, lengths):
@@ -310,12 +321,22 @@ class Engine:
                 )
                 return (nxt, lens + 1, cache_d), nxt
 
+            last_d = (
+                last if vmap_ is None
+                else jnp.maximum(vmap_[1][jnp.maximum(last, 0)], 0)
+            )
             # k+1 draft decodes so an all-accept round leaves no cache hole
             (_, _, cache_d), props_all = jax.lax.scan(
-                draft_step, (last, lengths, cache_d), None, length=k + 1
+                draft_step, (last_d, lengths, cache_d), None, length=k + 1
             )
             props = props_all.T[:, :k]
-            seq = jnp.concatenate([last[:, None], props], axis=1)
+            if vmap_ is not None:
+                # draft ids -> target ids; -1 (no target piece) can never
+                # match the target argmax, so it self-rejects
+                props = vmap_[0][jnp.maximum(props, 0)]
+            seq = jnp.concatenate(
+                [last[:, None], jnp.maximum(props, 0)], axis=1
+            )
             pos = (lengths[:, None] + jnp.arange(k + 1)[None, :]).astype(
                 jnp.int32
             )
@@ -496,8 +517,15 @@ class Engine:
                         spec["prefill"][key] = self._build_prefill(
                             tb, m, cfg=spec["cfg"]
                         )
+                    toks_d = jnp.asarray(toks)
+                    if spec["vmap"] is not None:
+                        # prompt tokens are target ids; the draft prefills
+                        # its translation (unknown pieces -> 0)
+                        toks_d = jnp.maximum(
+                            spec["vmap"][1][jnp.maximum(toks_d, 0)], 0
+                        )
                     _, spec["cache"] = spec["prefill"][key](
-                        spec["params"], spec["cache"], jnp.asarray(toks),
+                        spec["params"], spec["cache"], toks_d,
                         jnp.asarray(pos), jnp.asarray(slots_arr),
                         jnp.asarray(nv),
                     )
