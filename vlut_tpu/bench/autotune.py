@@ -42,33 +42,47 @@ def lookup(fmt: str, m: int, kp: int, np_: int) -> tuple[int, int, int] | None:
 
 
 def candidates(mp: int, np_: int, kp: int, kb: int):
-    bks = []
+    # every bk that divides Kp and is a kb/lane multiple — NOT just
+    # base-times-powers-of-two: i1's base is 640, and e.g. Kp = 15360
+    # admits 1280/1920/2560/3840/5120 which a doubling walk misses
     base = math.lcm(kb, 128)
-    bk = base
-    while bk <= kp:
-        if kp % bk == 0:
-            bks.append(bk)
-        bk *= 2
+    bks = [
+        base * j
+        for j in range(1, kp // base + 1)
+        if kp % (base * j) == 0
+    ]
     bms = [b for b in (32, 64, 128, 256) if mp % b == 0 and b <= mp]
-    bns = [b for b in (128, 256, 512, 1024, 2048) if np_ % b == 0]
+    bns = [b for b in (128, 256, 512, 1024, 2048, 4096) if np_ % b == 0]
     for bm in bms or [mp]:
         for bn in bns or [np_]:
             for bk in bks or [base]:
-                if bk * bn <= 2 ** 22:  # unpacked int8 tile VMEM guard
+                if bk * bn <= 2 ** 23:  # unpacked int8 tile VMEM guard
+                    # (~8 MB of the 16 MB VMEM; Mosaic allocation failures
+                    # surface as skipped candidates, not crashes)
                     yield bm, bn, bk
 
 
 def autotune(
-    fmt: str, m: int, k: int, n: int, out: dict[str, Any] | None = None
+    fmt: str, m: int, k: int, n: int, out: dict[str, Any] | None = None,
+    k_mult: int | None = None,
 ) -> tuple[tuple[int, int, int], float]:
-    """Sweep block shapes for one GEMM; returns (best blocks, GB/s)."""
+    """Sweep block shapes for one GEMM; returns (best blocks, GB/s).
+
+    ``k_mult`` over-pads K at PACK time (packing.pack_ternary) so Kp gains
+    composite factors and the K-grid more tile choices — e.g. i1's
+    K=14336 pads to 14720 = 640*23 (prime: bk=640 only) by default, but
+    k_mult=2560 gives 15360 = 640*24 and unlocks bk up to 5120 for ~4%
+    more bytes.  The tuned entry is keyed by the padded Kp, so serving
+    picks it up exactly when the checkpoint was packed the same way.
+    """
     from vlut_tpu.bench.kernels import bench_gemm
     from vlut_tpu.ops.packing import pack_ternary
 
     import numpy as np
 
     t = pack_ternary(
-        np.zeros((k, min(n, 256)), np.int8), np.float32(1.0), fmt
+        np.zeros((k, min(n, 256)), np.int8), np.float32(1.0), fmt,
+        k_mult=k_mult,
     )
     kp = t.k_padded
     np_full = -(-n // 128) * 128
@@ -77,11 +91,11 @@ def autotune(
     for bm, bn, bk in candidates(mp, np_full, kp, t.kb):
         try:
             r = bench_gemm(fmt, m, k, n, block_shapes=(bm, bn, bk),
-                           n_lo=16, n_hi=192, repeats=2)
+                           n_lo=16, n_hi=192, repeats=2, k_mult=k_mult)
         except Exception as e:  # noqa: BLE001 — OOM/unsupported tile
             print(f"  ({bm},{bn},{bk}): skipped ({type(e).__name__})")
             continue
-        print(f"  ({bm},{bn},{bk}): {r['gbps_packed']:.1f} GB/s")
+        print(f"  ({bm},{bn},{bk}): {r['gbps_packed']:.1f} GB/s", flush=True)
         if r["gbps_packed"] > best_gbps:
             best, best_gbps = (bm, bn, bk), r["gbps_packed"]
     if out is not None and best:
@@ -101,6 +115,11 @@ def main(argv=None):
                     help="comma-separated token counts")
     ap.add_argument("--fmt", default="i2,i1")
     ap.add_argument("-o", "--output", default=str(DEFAULT_FILE))
+    ap.add_argument("--k-mult", type=int, default=None,
+                    help="pack-time K over-padding (see autotune docstring)")
+    ap.add_argument("--fused-shapes", action="store_true",
+                    help="also tune the load-time-fused projection widths "
+                         "(qkv d->q+2kv, gateup d->2ff)")
     args = ap.parse_args(argv)
 
     table: dict[str, Any] = {}
@@ -108,12 +127,18 @@ def main(argv=None):
     if p.exists():
         table = json.loads(p.read_text())
     d, ff = MODEL_SHAPES[args.model]
+    shapes = [(d, d, "dxd"), (d, ff, "dxff"), (ff, d, "ffxd")]
+    if args.fused_shapes:
+        # llama3-8B fused widths: qkv 4096->6144, gateup 4096->28672
+        shapes += [(d, d + d // 4 + d // 4, "qkv"), (d, 2 * ff, "gateup")]
     for fmt in args.fmt.split(","):
-        for (k, n, tag) in ((d, d, "dxd"), (d, ff, "dxff"), (ff, d, "ffxd")):
+        for (k, n, tag) in shapes:
             for m in (int(x) for x in args.ns.split(",")):
-                print(f"== {args.model} {tag} {fmt} M={m}")
-                best, gbps = autotune(fmt, m, k, n, out=table)
-                print(f"   best {best} @ {gbps:.1f} GB/s")
+                print(f"== {args.model} {tag} {fmt} M={m}", flush=True)
+                best, gbps = autotune(
+                    fmt, m, k, n, out=table, k_mult=args.k_mult
+                )
+                print(f"   best {best} @ {gbps:.1f} GB/s", flush=True)
     p.write_text(json.dumps(table, indent=1, sort_keys=True))
     print(f"wrote {p}")
 

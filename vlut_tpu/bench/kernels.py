@@ -46,10 +46,11 @@ def bench_gemm(
     n_lo: int = 16,
     n_hi: int = 256,
     repeats: int = 3,
+    k_mult: int | None = None,
 ) -> dict[str, Any]:
     rng = np.random.default_rng(0)
     trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
-    t = pack_ternary(trits, np.float32(0.03), fmt)
+    t = pack_ternary(trits, np.float32(0.03), fmt, k_mult=k_mult)
     kp, np_ = t.k_padded, t.n_padded
     rows = t.packed.shape[0]
     packs = np.stack([np.asarray(t.packed)] * L_STACK)

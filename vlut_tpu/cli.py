@@ -101,24 +101,14 @@ def cmd_generate(args):
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model, overrides=args.override)
-    if type(cfg).__name__ == "MambaConfig":
-        # recurrent family: greedy device-side generation (slot-engine
-        # integration for recurrent state is queued work)
-        import jax.numpy as jnp
-        import numpy as np
+    if getattr(args, "promote", None) and cfg.weight_fmt != args.promote:
+        # serve-time format promotion (convert/quantize.py rationale):
+        # i1 storage, i2 decode speed — exact trit repack at load
+        from vlut_tpu.convert.quantize import requantize_params
 
-        from vlut_tpu.models.ssm import make_generate_fn as mamba_gen
-
-        tok = Tokenizer(args.model)
-        ids = tok.encode(args.prompt)
-        gen = mamba_gen(cfg, n_steps=args.n_predict)
-        t0 = time.time()
-        out = np.asarray(gen(params, jnp.asarray([ids], jnp.int32)))[0]
-        dt = time.time() - t0
-        print(tok.decode([int(x) for x in out]))
-        print(f"\n[{len(out)} tokens, {len(out)/dt:.1f} tok/s | mamba "
-              f"greedy]", file=sys.stderr)
-        return
+        cfg, params = requantize_params(cfg, params, args.promote)
+    # recurrent models (Mamba) go through the same Engine: per-slot
+    # conv/ssm state replaces KV rows (runtime/engine.py _recurrent)
     if args.lora:
         from vlut_tpu.runtime.lora import apply_lora, load_peft_adapter
 
@@ -498,6 +488,9 @@ def main(argv=None):
     p.add_argument("--draft-model", default=None,
                    help="draft checkpoint for speculative decoding")
     p.add_argument("--draft-k", type=int, default=4)
+    p.add_argument("--promote", choices=("i2", "i1"), default=None,
+                   help="repack weights to this format at load (i1 "
+                        "checkpoints serve ~1.7x faster promoted to i2)")
     p.add_argument("--lookahead", action="store_true",
                    help="draft-free windowed lookahead decoding (greedy)")
     p.add_argument("--lookahead-window", type=int, default=8,

@@ -81,6 +81,13 @@ PRESETS: dict[str, ModelConfig] = {
         rope_theta=500000.0,
         rope_scaling=None,
     ),
+    # same model in the 1.6-bpw i1 format (the reference's I1_V_2 demo
+    # type, evaluation/demo/run_batched_decode.sh)
+    "llama3_8b_158_i1": ModelConfig(
+        arch="llama", vocab_size=128256, d_model=4096, n_layers=32,
+        n_heads=32, n_kv_heads=8, d_ff=14336, rms_eps=1e-5,
+        rope_theta=500000.0, weight_fmt="i1",
+    ),
     # tiiuae/Falcon3-1B-Instruct-1.58bit — LlamaForCausalLM
     "falcon3_1b_158": ModelConfig(
         arch="llama", vocab_size=131072, d_model=2048, n_layers=18,

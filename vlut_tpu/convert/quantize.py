@@ -26,12 +26,20 @@ from vlut_tpu.models.transformer import (
 from vlut_tpu.ops.packing import TernaryTensor
 
 
-def requantize(
-    src: str | pathlib.Path, dst: str | pathlib.Path, fmt: str
-) -> ModelConfig:
-    cfg, params, meta = load_checkpoint(src)
+def requantize_params(
+    cfg: ModelConfig, params: dict[str, Any], fmt: str
+) -> tuple[ModelConfig, dict[str, Any]]:
+    """Exact in-memory i2 <-> i1 repack (same trits, new byte format).
+
+    Besides the offline quantize driver, this backs LOAD-TIME FORMAT
+    PROMOTION: i1 (1.6 bpw) decode is VPU-ALU-bound (~250 GB/s effective
+    on v5e — base-243 digit extraction costs ~4 int ops/trit) while i2
+    (2.0 bpw) streams at 550+ GB/s, so serving an i1 checkpoint promoted
+    to i2 is ~1.7x faster despite reading 25% more bytes.  i1 stays the
+    storage/distribution format; promotion costs one repack at load.
+    """
     if cfg.weight_fmt == fmt:
-        raise ValueError(f"checkpoint already {fmt}")
+        return cfg, params
     src_specs = weight_specs(cfg)
     new_cfg = dataclasses.replace(cfg, weight_fmt=fmt)
 
@@ -82,6 +90,16 @@ def requantize(
         k: (np.asarray(v) if k != "layers" else layers)
         for k, v in params.items()
     }
+    return new_cfg, new_params
+
+
+def requantize(
+    src: str | pathlib.Path, dst: str | pathlib.Path, fmt: str
+) -> ModelConfig:
+    cfg, params, meta = load_checkpoint(src)
+    if cfg.weight_fmt == fmt:
+        raise ValueError(f"checkpoint already {fmt}")
+    new_cfg, new_params = requantize_params(cfg, params, fmt)
     save_checkpoint(
         dst, new_cfg, new_params, tokenizer_src=src,
         extra_meta={"requantized_from": str(src), **{

@@ -155,14 +155,22 @@ def _ssm_scan(dA, dBx, h0):
     return hs  # (B, T, d_inner, d_state)
 
 
-def _mamba_mix(lp, cfg: MambaConfig, x, conv_state, ssm_state):
+def _mamba_mix(lp, cfg: MambaConfig, x, conv_state, ssm_state, valid=None):
     """One mamba mixer over (B, T, d) with incoming recurrent state;
-    returns (y, new_conv_state, new_ssm_state)."""
+    returns (y, new_conv_state, new_ssm_state).
+
+    ``valid`` (B, T) bool marks real tokens for LEFT-padded batches (the
+    recurrent batching convention — reference llama_memory_recurrent also
+    refuses interior gaps): invalid steps contribute nothing to the conv
+    window or the SSM state, so a left-padded row ends in exactly the
+    state of its unpadded prefill."""
     b, t, _ = x.shape
     di, ds, dr = cfg.d_inner, cfg.d_state, cfg.dt_rank_
 
     xz = ternary_matmul(x, _tt(lp["in_proj"], cfg.d_model, 2 * di))
     xi, z = xz[..., :di].astype(jnp.float32), xz[..., di:].astype(jnp.float32)
+    if valid is not None:
+        xi = jnp.where(valid[..., None], xi, 0.0)
 
     # causal depthwise conv over T with carried window
     win = jnp.concatenate([conv_state, xi], axis=1)  # (B, dc-1+T, di)
@@ -172,6 +180,10 @@ def _mamba_mix(lp, cfg: MambaConfig, x, conv_state, ssm_state):
         for i in range(cfg.d_conv)
     ]
     xc = jax.nn.silu(sum(taps) + lp["conv_b"][None, None, :])
+    if valid is not None:
+        # conv bias makes xc nonzero even on zeroed inputs; the SSM input
+        # at padded steps must be exactly 0 (identity recurrence from h=0)
+        xc = jnp.where(valid[..., None], xc, 0.0)
 
     proj = jnp.einsum("btd,dk->btk", xc, lp["x_proj"])
     dt = jax.nn.softplus(
@@ -199,6 +211,7 @@ def forward(
     tokens: jax.Array,  # (B, T)
     state: dict[str, jax.Array] | None = None,
     logits_last_only: bool = False,
+    valid: jax.Array | None = None,  # (B, T) bool, LEFT-padded batches
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, new_state).  state=None runs stateless from zeros
     (still returns None); passing a state carries the recurrence across
@@ -211,7 +224,9 @@ def forward(
     def layer_step(x, xs):
         lp, conv_s, ssm_s = xs
         h = _rms(x, lp["norm"], cfg.rms_eps)
-        y, new_conv, new_ssm = _mamba_mix(lp, cfg, h, conv_s, ssm_s)
+        y, new_conv, new_ssm = _mamba_mix(
+            lp, cfg, h, conv_s, ssm_s, valid=valid
+        )
         return x + y.astype(x.dtype), (new_conv, new_ssm)
 
     x, (new_conv, new_ssm) = jax.lax.scan(

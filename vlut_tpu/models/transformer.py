@@ -296,6 +296,8 @@ def init_params_fast(
 
     def rows(spec: TernarySpec) -> int:
         align = _math.lcm(spec.kb, 128)
+        if cfg.weight_fmt == "i1" and spec.k >= 4 * align:
+            align *= 4  # mirror pack_ternary's composite-Kp i1 padding
         kp = -(-spec.k // align) * align
         return kp // r
 

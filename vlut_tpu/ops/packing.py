@@ -143,6 +143,14 @@ def pack_ternary(
     # K must align to lcm(kb, LANES) so GEMM K-tiles (whose x-block minor dim
     # must be a lane multiple) always land on pack-block boundaries
     k_align = math.lcm(kb, LANES)
+    if k_mult is None and fmt == "i1" and k >= 4 * k_align:
+        # i1's base alignment is 640, and Kp/640 lands on primes for the
+        # common model widths (4096 -> 4480 = 640*7, 14336 -> 14720 =
+        # 640*23), leaving bk=640 as the only K-tile — measured 2x slower
+        # than the larger tiles a composite Kp admits.  Pad large-K i1
+        # weights to 4*640=2560 multiples (<= 4% extra bytes) so the
+        # K-grid has real choices (see bench/autotune.py --k-mult).
+        k_mult = 4 * k_align
     kp = _round_up(k, max(k_align, k_mult or k_align))
     # lane-align channels (e.g. bitnet d_ff=8640), or shard-align when asked
     npad = _round_up(n, max(LANES, n_mult or LANES))

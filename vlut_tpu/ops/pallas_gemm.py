@@ -45,15 +45,22 @@ def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
         for q in range(r):
             slabs.append(((p >> (2 * q)) & 3) - 1)
     else:
-        # base-243 digit chain via multiply-shift division by 3:
-        # x // 3 == (x * 171) >> 9 exactly for 0 <= x < 768 — integer
-        # div/mod lower to slow sequences on the VPU (measured 10x slower
-        # than this chain at the same bandwidth)
-        cur = p
-        for q in range(r):
-            nxt = (cur * 171) >> 9
-            slabs.append(cur - 3 * nxt - 1)
-            cur = nxt
+        # base-243 digits via INDEPENDENT multiply-shift divisions
+        # (x//3^q == (x*m_q)>>s_q, exact for x < 243; verified exhaustively
+        # in test_packing) — integer div/mod lower to slow sequences on the
+        # VPU (measured 10x slower), and the serial divide-by-3 chain has
+        # dependency depth 5; these four multiplies issue in parallel
+        t1 = (p * 171) >> 9   # x // 3
+        a = (p * 57) >> 9     # x // 9
+        b = (p * 19) >> 9     # x // 27
+        c = (p * 405) >> 15   # x // 81
+        slabs = [
+            p - 3 * t1 - 1,
+            t1 - 3 * a - 1,
+            a - 3 * b - 1,
+            b - 3 * c - 1,
+            c - 1,
+        ]
     w = jnp.stack(slabs, axis=1).reshape(bk, bn)
     return w.astype(jnp.int8)
 

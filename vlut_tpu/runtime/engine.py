@@ -133,6 +133,18 @@ class Engine:
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
+        # recurrent family (Mamba): per-slot conv/ssm state instead of KV
+        # rows (reference: src/llama-memory-recurrent.cpp) — served through
+        # the same slot machinery with left-padded prefill
+        self._recurrent = type(cfg).__name__ == "MambaConfig"
+        if self._recurrent:
+            if draft is not None:
+                raise ValueError(
+                    "speculative decoding needs state rewind; recurrent "
+                    "models cannot rewind (reference has the same limit)"
+                )
+            head_quant = fuse = unroll = False
+            context_shift = False  # recurrent context never shifts
         if head_quant:
             from vlut_tpu.models.transformer import quantize_head
 
@@ -153,17 +165,23 @@ class Engine:
             b for b in prefill_buckets if b <= self.max_len
         ) or (self.max_len,)
 
-        from vlut_tpu.models.dims import make_plan
+        if self._recurrent:
+            from vlut_tpu.models.ssm import init_state
 
-        plan = make_plan(cfg)
-        self._vocab_p = plan.vocab_p
-        # unrolled decode wants the per-layer ("layers") cache layout so
-        # each layer's buffer updates in place (see kv_cache.new_cache)
-        self.cache = kvc.new_cache(
-            cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
-            plan.hd_p, cache_dtype, quantized=kv_quant,
-            layout="layers" if unroll else "stacked",
-        )
+            self._vocab_p = cfg.vocab_size
+            self.cache = init_state(cfg, n_slots)
+        else:
+            from vlut_tpu.models.dims import make_plan
+
+            plan = make_plan(cfg)
+            self._vocab_p = plan.vocab_p
+            # unrolled decode wants the per-layer ("layers") cache layout
+            # so each layer's buffer updates in place (kv_cache.new_cache)
+            self.cache = kvc.new_cache(
+                cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
+                plan.hd_p, cache_dtype, quantized=kv_quant,
+                layout="layers" if unroll else "stacked",
+            )
         self.slots = [_Slot() for _ in range(n_slots)]
         self.queue: list[Request] = []
         self._next_rid = 0
@@ -220,6 +238,31 @@ class Engine:
         (update_slots); here the batch gathers the target slots' cache
         rows, runs forward, and scatters them back."""
         cfg, impl = cfg or self.cfg, self.impl
+        if self._recurrent:
+            from vlut_tpu.models.ssm import forward as ssm_forward
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def rec_prefill(params, state, tokens, positions, slots,
+                            n_valid):
+                # tokens LEFT-padded (m, T): pads before the prompt keep
+                # the recurrence identical to an unpadded run (ssm.forward
+                # valid mask)
+                del positions
+                view = {k: v[:, slots] for k, v in state.items()}
+                tb = tokens.shape[1]
+                valid = (
+                    jnp.arange(tb)[None, :] >= (tb - n_valid[:, None])
+                )
+                logits, new_st = ssm_forward(
+                    params, cfg, tokens, view, logits_last_only=True,
+                    valid=valid,
+                )
+                out = {
+                    k: state[k].at[:, slots].set(new_st[k]) for k in state
+                }
+                return logits[:, 0], out
+
+            return rec_prefill
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_fn(params, cache, tokens, positions, slots, n_valid):
@@ -255,6 +298,7 @@ class Engine:
 
     def _build_step(self, features: tuple[str, ...], k_probs: int = 0):
         cfg, impl = self.cfg, self.impl
+        recurrent = self._recurrent
 
         @functools.partial(jax.jit, donate_argnums=(1, 5, 6, 7))
         def step_fn(
@@ -262,10 +306,17 @@ class Engine:
             mask,
         ):
             # tokens (B,) int32 last sampled/prompt token per slot
-            logits, cache = forward(
-                params, cfg, tokens[:, None], lengths[:, None], cache,
-                impl=impl,
-            )
+            if recurrent:
+                from vlut_tpu.models.ssm import forward as ssm_forward
+
+                logits, cache = ssm_forward(
+                    params, cfg, tokens[:, None], cache
+                )
+            else:
+                logits, cache = forward(
+                    params, cfg, tokens[:, None], lengths[:, None], cache,
+                    impl=impl,
+                )
             logits = _mask_pad_vocab(
                 logits[:, 0].astype(jnp.float32), cfg.vocab_size
             )
@@ -470,6 +521,10 @@ class Engine:
                 # the draft cache holds no tracked prefix; both models must
                 # see the full prompt
                 reuse = 0
+            if self._recurrent:
+                # recurrent state is cumulative — a partial prefix cannot
+                # be reused (reference keeps one cell per live seq only)
+                reuse = 0
             slot = self.slots[i]
             slot.req = req
             slot.length = len(prompt)
@@ -502,7 +557,12 @@ class Engine:
                 slots_arr = np.zeros((m,), np.int32)
                 nv = np.zeros((m,), np.int32)
                 for r, (i, req, reuse, new) in enumerate(chunk):
-                    toks[r, : len(new)] = new
+                    if self._recurrent:
+                        # left-pad: pads precede the prompt so the
+                        # recurrence ends in the exact unpadded state
+                        toks[r, tb - len(new):] = new
+                    else:
+                        toks[r, : len(new)] = new
                     pos[r] = reuse + np.arange(tb, dtype=np.int32)
                     slots_arr[r] = i
                     nv[r] = len(new)
@@ -667,7 +727,12 @@ class Engine:
         # generated counts live KV rows (context shifts fold it back);
         # the output-length limit is the request's, not the slot's
         n_out = len(req.output)
-        at_capacity = slot.length + slot.generated >= self.max_len - 1
+        # recurrent state is O(1); context length never hits a capacity
+        # wall (the request's max_new_tokens is the only bound)
+        at_capacity = (
+            not self._recurrent
+            and slot.length + slot.generated >= self.max_len - 1
+        )
         if at_capacity and self.context_shift and not (
             tok in req.stop_tokens or n_out >= req.max_new_tokens
         ):
@@ -825,6 +890,10 @@ class Engine:
         from vlut_tpu.runtime import state as state_mod
 
         slot = self.slots[i]
+        if self._recurrent:
+            return state_mod.save_recurrent_state(
+                self.cache, i, slot.history
+            )
         length = len(slot.history)
         return state_mod.save_slot_state(
             self.cache, i, length, slot.history
@@ -837,7 +906,14 @@ class Engine:
 
         if self.slots[i].req is not None:
             raise RuntimeError(f"slot {i} is busy")
-        self.cache, history = state_mod.load_slot_state(self.cache, i, data)
+        if self._recurrent:
+            self.cache, history = state_mod.load_recurrent_state(
+                self.cache, i, data
+            )
+        else:
+            self.cache, history = state_mod.load_slot_state(
+                self.cache, i, data
+            )
         self.slots[i].history = history
         self.slots[i].length = 0
 
@@ -848,10 +924,15 @@ class Engine:
 
         if self.slots[dst].req is not None:
             raise RuntimeError(f"slot {dst} is busy")
-        n = len(self.slots[src].history)
-        self.cache = kvc_mod.seq_cp(
-            self.cache, jnp.int32(src), jnp.int32(dst), jnp.int32(n)
-        )
+        if self._recurrent:
+            self.cache = jax.tree.map(
+                lambda a: a.at[:, dst].set(a[:, src]), self.cache
+            )
+        else:
+            n = len(self.slots[src].history)
+            self.cache = kvc_mod.seq_cp(
+                self.cache, jnp.int32(src), jnp.int32(dst), jnp.int32(n)
+            )
         self.slots[dst].history = list(self.slots[src].history)
         self.slots[dst].length = 0
 

@@ -101,3 +101,45 @@ def save_slot_file(path, cache, slot, length, history) -> None:
 
 def load_slot_file(path, cache, slot):
     return load_slot_state(cache, slot, pathlib.Path(path).read_bytes())
+
+
+def save_recurrent_state(
+    state: dict[str, jax.Array], slot: int, history: list[int]
+) -> bytes:
+    """Recurrent-family slot state (Mamba conv/ssm): O(1) per sequence, no
+    row truncation — the whole per-slot state serializes
+    (llama_state_seq_save over llama_memory_recurrent)."""
+    arrays = {
+        name: np.asarray(a[:, slot], np.float32)
+        for name, a in state.items()
+    }
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf,
+        version=STATE_VERSION,
+        recurrent=np.int64(1),
+        tokens=np.asarray(history, np.int64),
+        **{f"rs_{name}": a for name, a in arrays.items()},
+    )
+    return buf.getvalue()
+
+
+def load_recurrent_state(
+    state: dict[str, jax.Array], slot: int, data: bytes
+) -> tuple[dict[str, jax.Array], list[int]]:
+    with np.load(io.BytesIO(data)) as z:
+        if int(z["version"]) != STATE_VERSION or "recurrent" not in z:
+            raise ValueError("not a recurrent slot state")
+        tokens = z["tokens"]
+        arrays = {
+            name[3:]: z[name] for name in z.files if name.startswith("rs_")
+        }
+    if set(arrays) != set(state):
+        raise ValueError("state keys don't match recurrent cache")
+    out = {
+        name: state[name].at[:, slot].set(
+            jnp.asarray(arrays[name], state[name].dtype)
+        )
+        for name in state
+    }
+    return out, [int(t) for t in tokens]

@@ -60,6 +60,7 @@ class ServerState:
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self._embed_fn = None
+        self._rerank_fns: dict[tuple[int, int], Any] = {}
 
     def start(self):
         self.thread.start()
@@ -169,11 +170,13 @@ class ServerState:
 
             self._embed_fn = _embed
 
-        with self.lock:
-            mean, last, cls = self._embed_fn(
-                self.engine.params, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.asarray(lens),
-            )
+        # NO engine lock: params are immutable and device execution
+        # serializes per-launch, so embeddings interleave with decode steps
+        # instead of stalling every streaming request for a full forward
+        mean, last, cls = self._embed_fn(
+            self.engine.params, jnp.asarray(toks), jnp.asarray(pos),
+            jnp.asarray(lens),
+        )
         out = {"mean": mean, "last": last, "cls": cls}[pooling]
         out = np.asarray(out)
         # L2-normalize (reference: embd_normalize default 2 in server)
@@ -187,22 +190,100 @@ class ServerState:
         The reference serves dedicated reranker checkpoints with a rank
         head (tools/server /rerank); generative checkpoints here score by
         conditional likelihood instead — same API, monotone-equivalent use.
+
+        All documents score in ONE padded batch forward with a T-chunked
+        output head (full (B, T, V) logits would be GBs at 128k vocab),
+        and WITHOUT the engine lock — decode steps interleave.
         """
+        import jax
+        import jax.numpy as jnp
         import numpy as np
 
-        from vlut_tpu.eval.perplexity import window_logprobs
+        from vlut_tpu.models.transformer import forward
 
-        scores = []
-        for doc in doc_ids_list:
-            ids = list(query_ids) + list(doc)
-            with self.lock:
-                lp = window_logprobs(
-                    self.engine.params, self.engine.cfg,
-                    np.asarray(ids, np.int32),
+        cfg = self.engine.cfg
+        seqs = [list(query_ids) + list(d) for d in doc_ids_list]
+        t_max = max(len(s) for s in seqs)
+        bucket = 16
+        while bucket < t_max:
+            bucket *= 2
+        b = len(seqs)
+        toks = np.zeros((b, bucket), np.int32)
+        lens = np.asarray([len(s) for s in seqs], np.int32)
+        for i, s in enumerate(seqs):
+            toks[i, : len(s)] = s
+
+        key = (b, bucket)
+        if key not in self._rerank_fns:
+            chunk = 32
+
+            @jax.jit
+            def _score(params, toks, lens, q_len):
+                bt, t = toks.shape
+                pos = jnp.tile(
+                    jnp.arange(t, dtype=jnp.int32)[None], (bt, 1)
                 )
-            tail = lp[len(query_ids) - 1 :]
-            scores.append(float(np.mean(tail)) if len(tail) else 0.0)
-        return scores
+                hidden, _ = forward(
+                    params, cfg, toks, pos, None, output="hidden"
+                )
+                head = params.get("lm_head")
+                targets = jnp.concatenate(
+                    [toks[:, 1:], jnp.zeros((bt, 1), jnp.int32)], axis=1
+                )
+                nc = -(-t // chunk)
+                hpad = jnp.pad(hidden, ((0, 0), (0, nc * chunk - t), (0, 0)))
+                tpad = jnp.pad(targets, ((0, 0), (0, nc * chunk - t)))
+
+                def one(ci):
+                    h = jax.lax.dynamic_slice_in_dim(
+                        hpad, ci * chunk, chunk, axis=1
+                    ).astype(jnp.float32)
+                    tg = jax.lax.dynamic_slice_in_dim(
+                        tpad, ci * chunk, chunk, axis=1
+                    )
+                    if isinstance(head, dict):  # int8-quantized head
+                        from vlut_tpu.ops.quant import quantize_activations
+
+                        hq, hs = quantize_activations(
+                            h.reshape(bt * chunk, -1)
+                        )
+                        lg = (
+                            jax.lax.dot_general(
+                                hq, head["q"],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32,
+                            ).astype(jnp.float32)
+                            * hs
+                            * head["scale"].astype(jnp.float32)[None, :]
+                        ).reshape(bt, chunk, -1)
+                    else:
+                        hd = (
+                            params["embed"].T if head is None else head
+                        )
+                        lg = jnp.einsum(
+                            "bcd,dv->bcv", h, hd.astype(jnp.float32)
+                        )
+                    lg = lg[..., : cfg.vocab_size]
+                    lse = jax.nn.logsumexp(lg, axis=-1)
+                    tgl = jnp.take_along_axis(
+                        lg, tg[..., None], axis=-1
+                    )[..., 0]
+                    return tgl - lse  # (B, chunk) logprob of target
+
+                lps = jax.lax.map(one, jnp.arange(nc))  # (nc, B, chunk)
+                lps = jnp.moveaxis(lps, 0, 1).reshape(bt, nc * chunk)[:, :t]
+                # mean over the doc region [q_len-1, len-1)
+                idx = jnp.arange(t)[None, :]
+                m = (idx >= q_len - 1) & (idx < lens[:, None] - 1)
+                tot = (lps * m).sum(-1)
+                return tot / jnp.maximum(m.sum(-1), 1)
+
+            self._rerank_fns[key] = _score
+        out = self._rerank_fns[key](
+            self.engine.params, jnp.asarray(toks), jnp.asarray(lens),
+            jnp.int32(len(query_ids)),
+        )
+        return [float(x) for x in np.asarray(out)]
 
 
 def _sampler_from_body(body: dict[str, Any]) -> SamplerParams:
@@ -255,32 +336,81 @@ def _grammar_from_body(body: dict[str, Any], tok: Tokenizer):
 
 
 def _parse_tool_calls(text: str):
-    """Best-effort tool-call extraction (reference: common/chat.cpp parsers).
+    """Multi-format tool-call extraction (reference: common/chat.cpp's
+    per-template parser suite).  Formats, tried in order:
 
-    Recognizes Hermes/Qwen-style <tool_call>{...}</tool_call> blocks and
-    bare top-level JSON objects with a "name" + "arguments" shape."""
+    1. Hermes/Qwen  — <tool_call>{...}</tool_call> blocks (parallel calls)
+    2. functionary  — <function=NAME>{json args}</function>
+    3. Mistral      — [TOOL_CALLS] [{...}, {...}] JSON array
+    4. fenced JSON  — ```json\n{...}\n``` with a name+arguments shape
+    5. bare JSON    — whole message is one {"name", "arguments"} object
+       (Llama-3.x "parameters" spelling accepted)
+    """
     calls = []
-    rest = text
     import re
 
+    def _shaped(obj):
+        return isinstance(obj, dict) and "name" in obj and (
+            "arguments" in obj or "parameters" in obj
+        )
+
+    # 1. Hermes / Qwen
     for m in re.finditer(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", text,
                          re.DOTALL):
         try:
-            obj = json.loads(m.group(1))
-            calls.append(obj)
+            calls.append(json.loads(m.group(1)))
         except json.JSONDecodeError:
             continue
     if calls:
         rest = re.sub(r"<tool_call>.*?</tool_call>", "", text,
                       flags=re.DOTALL).strip()
         return calls, rest
+
+    # 2. functionary v3 style <function=NAME>{...}</function>
+    for m in re.finditer(
+        r"<function=([\w.-]+)>\s*(\{.*?\})\s*</function>", text, re.DOTALL
+    ):
+        try:
+            calls.append(
+                {"name": m.group(1), "arguments": json.loads(m.group(2))}
+            )
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(r"<function=[\w.-]+>.*?</function>", "", text,
+                      flags=re.DOTALL).strip()
+        return calls, rest
+
+    # 3. Mistral [TOOL_CALLS] [...]
+    m = re.search(r"\[TOOL_CALLS\]\s*(\[.*\])", text, re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+            if isinstance(arr, list) and all(_shaped(o) for o in arr):
+                rest = text[: m.start()].strip()
+                return arr, rest
+        except json.JSONDecodeError:
+            pass
+
+    # 4. fenced ```json blocks
+    for m in re.finditer(r"```(?:json)?\s*(\{.*?\})\s*```", text, re.DOTALL):
+        try:
+            obj = json.loads(m.group(1))
+            if _shaped(obj):
+                calls.append(obj)
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(r"```(?:json)?\s*\{.*?\}\s*```", "", text,
+                      flags=re.DOTALL).strip()
+        return calls, rest
+
+    # 5. the whole message is one JSON call
     stripped = text.strip()
     if stripped.startswith("{"):
         try:
             obj = json.loads(stripped)
-            if isinstance(obj, dict) and "name" in obj and (
-                "arguments" in obj or "parameters" in obj
-            ):
+            if _shaped(obj):
                 return [obj], ""
         except json.JSONDecodeError:
             pass
@@ -364,20 +494,62 @@ def make_handler(router: Router):
             path = urlparse(self.path).path
             if not self._resolve():
                 return
-            if path == "/health":
+            if path in ("/", "/index.html"):
+                # single-file chat webui (reference: tools/server/webui)
+                import pathlib
+
+                ui = pathlib.Path(__file__).parent / "webui.html"
+                data = ui.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/health":
                 self._json(200, {"status": "ok"})
             elif path == "/metrics":
                 lines = []
                 for k, v in self.st.metrics.items():
                     lines.append(f"# TYPE vlut_{k} counter")
                     lines.append(f"vlut_{k} {v}")
-                busy = sum(
-                    1 for s in self.st.engine.slots if s.req is not None
+                eng = self.st.engine
+                busy = sum(1 for s in eng.slots if s.req is not None)
+                used_rows = sum(
+                    s.length + s.generated for s in eng.slots
+                    if s.req is not None
                 )
-                lines.append("# TYPE vlut_slots_busy gauge")
-                lines.append(f"vlut_slots_busy {busy}")
-                lines.append("# TYPE vlut_slots_total gauge")
-                lines.append(f"vlut_slots_total {self.st.engine.n_slots}")
+                cap = eng.n_slots * eng.max_len
+                perf = eng.perf
+                pp_rate = (
+                    perf.n_prompt_tokens / perf.t_prompt_s
+                    if perf.t_prompt_s else 0.0
+                )
+                tg_rate = (
+                    perf.n_decode_tokens / perf.t_decode_s
+                    if perf.t_decode_s else 0.0
+                )
+                gauges = {
+                    # reference gauge set (tools/server/README.md:988-1001)
+                    "slots_busy": busy,
+                    "slots_total": eng.n_slots,
+                    "slots_idle": eng.n_slots - busy,
+                    "requests_processing": busy,
+                    "requests_deferred": len(eng.queue),
+                    "kv_cache_usage_ratio": (
+                        round(used_rows / cap, 6) if cap else 0.0
+                    ),
+                    "kv_cache_tokens": used_rows,
+                    "prompt_tokens_seconds": round(pp_rate, 3),
+                    "predicted_tokens_seconds": round(tg_rate, 3),
+                    "n_past_max": max(
+                        (s.length + s.generated for s in eng.slots),
+                        default=0,
+                    ),
+                    "n_tokens_reused": perf.n_reused_tokens,
+                }
+                for k, v in gauges.items():
+                    lines.append(f"# TYPE vlut_{k} gauge")
+                    lines.append(f"vlut_{k} {v}")
                 data = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")
@@ -927,6 +1099,9 @@ def main(argv=None):
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for per-slot speculative decode")
     ap.add_argument("--draft-k", type=int, default=4)
+    ap.add_argument("--promote", choices=("i2", "i1"), default=None,
+                    help="repack weights to this format at load (i1 "
+                         "checkpoints serve ~1.7x faster promoted to i2)")
     args = ap.parse_args(argv)
 
     import jax
@@ -941,6 +1116,10 @@ def main(argv=None):
         if not name:
             name, path = path, path
         cfg, params, _ = load_checkpoint(path)
+        if args.promote and cfg.weight_fmt != args.promote:
+            from vlut_tpu.convert.quantize import requantize_params
+
+            cfg, params = requantize_params(cfg, params, args.promote)
         params = jax.device_put(params)
         engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
                         kv_quant=(args.cache_type == "q8"),
