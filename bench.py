@@ -68,6 +68,28 @@ def main():
     )
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
+    # kernels parity preflight: the timed path must be BIT-EXACT integer
+    # math on this chip before any number is reported (VERDICT r1 item 9)
+    if jax.default_backend() == "tpu":
+        from vlut_tpu.ops.matmul import ternary_matmul_quantized
+        from vlut_tpu.ops.packing import pack_ternary
+        from vlut_tpu.ops.quant import quantize_activations
+
+        prng = np.random.default_rng(1)
+        trits = prng.integers(-1, 2, size=(1280, 256)).astype(np.int8)
+        tt = pack_ternary(trits, np.float32(0.05), cfg.weight_fmt)
+        xq, xs = quantize_activations(
+            jnp.asarray(prng.standard_normal((32, 1280)), jnp.float32)
+        )
+        want = (
+            np.asarray(xq, np.int32) @ trits.astype(np.int32)
+        ).astype(np.float32) * np.asarray(xs) * 0.05
+        got = np.asarray(
+            ternary_matmul_quantized(xq, xs, tt, impl="pallas")
+        )
+        np.testing.assert_array_equal(got, want)
+        print("# kernels parity preflight: bit-exact", flush=True)
+
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(
         rng.integers(0, cfg.vocab_size, (NP_SLOTS, PROMPT_LEN)), jnp.int32

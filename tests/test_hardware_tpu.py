@@ -1,0 +1,115 @@
+"""Hardware (real-TPU) parity lane — runs only under VLUT_TEST_TPU=1.
+
+The CPU suite exercises the Pallas kernels in interpret mode; this file is
+the recorded on-silicon pass (VERDICT r1 "hardware test lane"): the real
+Mosaic-compiled kernels must be bit-exact against the integer numpy
+reference on the chip.  Run + commit the log with:
+
+    VLUT_TEST_TPU=1 python -m pytest tests/test_hardware_tpu.py -v \
+        | tee benchmarks/TPU_TEST_LOG.txt
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware lane (VLUT_TEST_TPU=1 on a TPU host)",
+)
+
+from vlut_tpu.ops.matmul import (  # noqa: E402
+    ternary_matmul_fused,
+    ternary_matmul_quantized,
+)
+from vlut_tpu.ops.packing import pack_ternary  # noqa: E402
+from vlut_tpu.ops.quant import quantize_activations  # noqa: E402
+
+
+def _int_reference(q, s, trits, w_scale):
+    acc = np.asarray(q, np.int32) @ np.asarray(trits, np.int32)
+    return acc.astype(np.float32) * np.asarray(s) * w_scale
+
+
+@pytest.mark.parametrize("m", [1, 32, 64, 128])
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+def test_gemm_bit_exact_on_chip(m, fmt):
+    """The production 2-step kernel on REAL hardware (multi-K-tile shape)."""
+    rng = np.random.default_rng(m)
+    k, n = 1280, 512
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    scale = np.float32(0.031)
+    t = pack_ternary(trits, scale=scale, fmt=fmt)
+    q, s = quantize_activations(jnp.asarray(x))
+    ref = _int_reference(np.asarray(q), np.asarray(s), trits, scale)
+    got = np.asarray(ternary_matmul_quantized(q, s, t, impl="pallas"))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+@pytest.mark.parametrize("mode", ["plain", "norm", "silu_mul"])
+def test_fused_decode_kernel_on_chip(fmt, mode):
+    """The one-kernel decode path (norm/silu prologue + residual epilogue)
+    vs the composed XLA fallback, on real silicon."""
+    rng = np.random.default_rng(3)
+    m, k, n = 8, 1280, 512
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    x2 = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    g = jnp.asarray(
+        rng.standard_normal((k,)).astype(np.float32) * 0.1 + 1.0
+    )
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    t = pack_ternary(trits, scale=np.float32(0.05), fmt=fmt)
+    kw = dict(mode=mode, norm_n=k, eps=1e-5, out_dtype=jnp.bfloat16,
+              residual=res)
+    if mode == "silu_mul":
+        kw["x2"] = x2
+    if mode == "norm":
+        kw["norm_g"] = g
+    want = ternary_matmul_fused(x, t, impl="xla", **kw)
+    got = ternary_matmul_fused(x, t, impl="pallas", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_kv_row_writer_on_chip():
+    from vlut_tpu.ops.kv_update import write_rows, write_rows_pallas
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 8, 64, 4, 128
+    c = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
+    start = jnp.asarray(rng.integers(0, S, (B,)), jnp.int32)
+    ref = write_rows(jnp.array(c), u, start, impl="xla")
+    got = write_rows_pallas(jnp.array(c), u, start)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tiny_model_greedy_pallas_vs_xla_on_chip():
+    """Full forward on the chip: pallas vs xla decode must agree on greedy
+    tokens (activation-quant tie-flips allowed in logits, not in argmax
+    for a decisive trained-scale model)."""
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import (
+        forward,
+        init_kv_cache,
+        init_params,
+    )
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    pos = jnp.tile(jnp.arange(8, dtype=jnp.int32), (2, 1))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cache = init_kv_cache(cfg, 2, max_len=32)
+        lg, _ = forward(params, cfg, tokens, pos, cache, impl=impl)
+        outs[impl] = np.asarray(lg[:, :, : cfg.vocab_size], np.float32)
+    np.testing.assert_allclose(
+        outs["pallas"], outs["xla"], rtol=2e-2, atol=5e-2
+    )

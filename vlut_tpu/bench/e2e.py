@@ -122,7 +122,7 @@ def bench_sweep(
                 )
                 return jnp.sum(toks)
 
-            cache = init_kv_cache(cfg, b, max_len=max_len)
+            cache = init_kv_cache(cfg, b, max_len=max_len, layout="layers")
             last = jnp.zeros((b,), jnp.int32)
             start = jnp.zeros((b,), jnp.int32)
             int(decode_n(params, cache, last, start))  # compile + fence
@@ -184,7 +184,7 @@ def batched_bench(
 
                 toks = jnp.zeros((b, pp), jnp.int32)
                 pos = jnp.tile(jnp.arange(pp, dtype=jnp.int32), (b, 1))
-                cache = init_kv_cache(cfg, b, max_len=max_len)
+                cache = init_kv_cache(cfg, b, max_len=max_len, layout="layers")
                 int(run(params, cache, toks, pos))  # compile + fence
                 t0 = time.perf_counter()
                 int(run(params, cache, toks, pos))

@@ -35,15 +35,20 @@ _POW3 = (1, 3, 9, 27, 81)
 
 
 def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
-    """(bk//r, bn) uint8 tile -> (bk, bn) int8 trits."""
+    """(bk//r, bn) uint8 tile -> (bk, bn) int8 FIELDS in {0, 1, 2}.
+
+    Fields, not trits: the -1 bias is folded into the GEMM as an
+    accumulator correction (x @ (F-1) == x @ F - rowsum(x)), saving one
+    VPU op per trit — the decode is ALU-bound (~3 ops/trit saturates the
+    v5e VPU around 280 GB/s), so every op off this path is bandwidth.
+    Callers MUST subtract the per-K-block rowsum of x (see the kernels).
+    """
     r = TRITS_PER_BYTE[fmt]
     nb = bk // kb
     slab = kb // r
     p = p.astype(jnp.int32).reshape(nb, slab, bn)
-    slabs = []
     if fmt == "i2":
-        for q in range(r):
-            slabs.append(((p >> (2 * q)) & 3) - 1)
+        slabs = [(p >> (2 * q)) & 3 for q in range(r)]
     else:
         # base-243 digits via INDEPENDENT multiply-shift divisions
         # (x//3^q == (x*m_q)>>s_q, exact for x < 243; verified exhaustively
@@ -55,11 +60,11 @@ def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
         b = (p * 19) >> 9     # x // 27
         c = (p * 405) >> 15   # x // 81
         slabs = [
-            p - 3 * t1 - 1,
-            t1 - 3 * a - 1,
-            a - 3 * b - 1,
-            b - 3 * c - 1,
-            c - 1,
+            p - 3 * t1,
+            t1 - 3 * a,
+            a - 3 * b,
+            b - 3 * c,
+            c,
         ]
     w = jnp.stack(slabs, axis=1).reshape(bk, bn)
     return w.astype(jnp.int8)
@@ -85,11 +90,16 @@ def _gemm_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:],
-        w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    # fields are trits+1; subtract this K-block's x rowsum (see _unpack_tile)
+    rs = jnp.sum(x_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+    acc_ref[:] += (
+        jax.lax.dot_general(
+            x_ref[:],
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        - rs
     )
 
     @pl.when(pl.program_id(2) == n_k - 1)
@@ -207,10 +217,14 @@ def _fused_gemm_kernel(
 
     w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
     xq = xq_ref[:, pl.dslice(kk * bk, bk)]
-    acc_ref[:] += jax.lax.dot_general(
-        xq, w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    rs = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+    acc_ref[:] += (
+        jax.lax.dot_general(
+            xq, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        - rs
     )
 
     @pl.when(kk == n_k - 1)
@@ -352,10 +366,15 @@ def _decode_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
-    acc_ref[:] += jax.lax.dot_general(
-        xq_ref[:, pl.dslice(kk * bk, bk)], w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    xq = xq_ref[:, pl.dslice(kk * bk, bk)]
+    rs = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+    acc_ref[:] += (
+        jax.lax.dot_general(
+            xq, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        - rs
     )
 
     @pl.when(kk == n_k - 1)
