@@ -66,6 +66,10 @@ def main():
     params = jax.device_put(
         unstack_layers(fuse_projections(params, cfg), cfg)
     )
+    if cfg.weight_fmt == "i2" and jax.default_backend() == "tpu":
+        from vlut_tpu.ops.packing import word_pack_params
+
+        params = word_pack_params(params, cfg.weight_fmt)
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
     # kernels parity preflight: the timed path must be BIT-EXACT integer

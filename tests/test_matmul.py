@@ -190,3 +190,37 @@ def test_fused_decode_kernel_matches_composed(fmt, mode, sub_norm):
     np.testing.assert_array_equal(
         np.asarray(got2, np.float32), np.asarray(want2, np.float32)
     )
+
+
+def test_word_packed_matches_byte_packed():
+    """The serving-time uint32 word layout (packing.word_pack) must compute
+    the exact same integers through every kernel as the byte layout."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.ops.matmul import ternary_matmul_fused
+    from vlut_tpu.ops.packing import TernaryTensor, word_pack
+
+    rng = np.random.default_rng(11)
+    m, k, n = 8, 640, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    t = pack_ternary(trits, scale=np.float32(0.04), fmt="i2")
+    tw = TernaryTensor(word_pack(jnp.asarray(t.packed)), t.scale,
+                       t.k, t.n, t.fmt, t.kb)
+    assert tw.k_padded == t.k_padded
+
+    # two-step kernel
+    q, s = quantize_activations(x.astype(jnp.float32))
+    a = ternary_matmul_quantized(q, s, t, impl="pallas_interpret")
+    b = ternary_matmul_quantized(q, s, tw, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fused decode kernel
+    g = jnp.asarray(rng.standard_normal((k,)).astype(np.float32) * .1 + 1)
+    fa = ternary_matmul_fused(x, t, mode="norm", norm_g=g, norm_n=k,
+                              impl="pallas_interpret")
+    fb = ternary_matmul_fused(x, tw, mode="norm", norm_g=g, norm_n=k,
+                              impl="pallas_interpret")
+    np.testing.assert_array_equal(
+        np.asarray(fa, np.float32), np.asarray(fb, np.float32)
+    )

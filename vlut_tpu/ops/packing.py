@@ -88,8 +88,15 @@ class TernaryTensor:
 
     # -- convenience -------------------------------------------------------
     @property
+    def word_packed(self) -> bool:
+        """True when `packed` holds the serving-time uint32 word layout
+        (word_pack): 4 slab bytes per lane, 16 trits per int32 element."""
+        return self.packed.dtype != np.uint8
+
+    @property
     def k_padded(self) -> int:
-        return self.packed.shape[0] * TRITS_PER_BYTE[self.fmt]
+        per_row = TRITS_PER_BYTE[self.fmt] * (4 if self.word_packed else 1)
+        return self.packed.shape[0] * per_row
 
     @property
     def n_padded(self) -> int:
@@ -256,3 +263,53 @@ def ternarize(
     s = max(float(s), 1e-8)
     trits = np.clip(np.round(w / s), -1, 1)
     return trits.astype(np.int8), np.float32(s)
+
+
+def word_pack(packed, kb: int = DEFAULT_BLOCK["i2"]):
+    """i2 byte layout -> serving uint32 WORD layout (load-time, device ok).
+
+    The byte kernels expand each uint8 into one 32-bit VPU lane (4x lane
+    waste); decode is ALU-bound, so repacking 4 slab bytes per uint32 cuts
+    decode lane-ops ~4x.  Byte choice is stride-8 within each 32-row slab
+    (rows w, w+8, w+16, w+24 -> one word at row w) so the kernel's
+    16 shift-and-mask slices reassemble with a PLAIN reshape — no
+    transposes in the hot loop:
+
+        trit k = block*128 + q*32 + j*8 + w  <-  (word >> (8j + 2q)) & 3
+
+    Works on (..., rows, n) uint8 with any leading dims; i2 only (i1's
+    base-243 bytes decode per-byte regardless).
+    """
+    slab = kb // TRITS_PER_BYTE["i2"]  # 32
+    *lead, rows, n = packed.shape
+    assert rows % slab == 0, (rows, slab)
+    x = jnp.asarray(packed).reshape(*lead, rows // slab, 4, slab // 4, n)
+    x = jnp.moveaxis(x, -3, -1)  # (..., nb, 8, n, 4): j bytes last
+    u32 = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return u32.reshape(*lead, rows // 4, n)
+
+
+def word_pack_params(params, fmt: str):
+    """Apply word_pack to every i2 packed leaf of a params tree (stacked or
+    unstacked layers).  No-op for i1."""
+    if fmt != "i2":
+        return params
+
+    def wp_layers(layers):
+        out = {}
+        for name, v in layers.items():
+            if isinstance(v, dict) and "packed" in v and (
+                getattr(v["packed"], "dtype", None) == jnp.uint8
+                or getattr(v["packed"], "dtype", None) == np.uint8
+            ):
+                out[name] = {**v, "packed": word_pack(v["packed"])}
+            else:
+                out[name] = v
+        return out
+
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        layers = tuple(wp_layers(lp) for lp in layers)
+    else:
+        layers = wp_layers(layers)
+    return {**params, "layers": layers}

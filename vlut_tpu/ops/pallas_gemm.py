@@ -34,6 +34,16 @@ from vlut_tpu.ops.packing import TRITS_PER_BYTE, TernaryTensor
 _POW3 = (1, 3, 9, 27, 81)
 
 
+def _rows_per_bk(bk: int, fmt: str, packed_dtype) -> int:
+    """Packed rows per K-tile: r trits/byte-row, or 16 trits/word-row for
+    word-packed i2 (packing.word_pack)."""
+    r = TRITS_PER_BYTE[fmt]
+    if packed_dtype != jnp.uint8:
+        return bk // (4 * r)
+    return bk // r
+
+
+
 def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
     """(bk//r, bn) uint8 tile -> (bk, bn) int8 FIELDS in {0, 1, 2}.
 
@@ -45,6 +55,22 @@ def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
     """
     r = TRITS_PER_BYTE[fmt]
     nb = bk // kb
+    if p.dtype != jnp.uint8:
+        assert fmt == "i2" and kb == 128, (fmt, kb)
+        # word-packed i2 (packing.word_pack): one uint32 lane carries 4
+        # slab bytes = 16 trits; byte j sits at bits 8j and maps to slab
+        # row j*8 + w, so field (q, j) extracts with ONE logical
+        # shift-and-mask per 16-trit group — ~4x fewer VPU lane-ops than
+        # byte-per-lane decode, and the (q, j) slice order reassembles
+        # with a plain reshape (k = b*128 + q*32 + j*8 + w)
+        p = p.reshape(nb, kb // 16, bn)
+        slabs = [
+            (p >> (8 * j + 2 * q)) & 3
+            for q in range(4)
+            for j in range(4)
+        ]
+        w = jnp.stack(slabs, axis=1).reshape(bk, bn)
+        return w.astype(jnp.int8)
     slab = kb // r
     p = p.astype(jnp.int32).reshape(nb, slab, bn)
     if fmt == "i2":
@@ -139,9 +165,10 @@ def ternary_gemm_pallas(
     m, kp = x_q.shape
     r = TRITS_PER_BYTE[fmt]
     np_ = packed.shape[1]
+    rows_k = _rows_per_bk(bk, fmt, packed.dtype)
     assert m % bm == 0 and np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
-    assert packed.shape[0] * r == kp, (packed.shape, kp)
     n_k = kp // bk
+    assert packed.shape[0] == rows_k * n_k, (packed.shape, rows_k, n_k)
 
     grid = (m // bm, np_ // bn, n_k)
     kernel = functools.partial(
@@ -160,7 +187,7 @@ def ternary_gemm_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk // r, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((rows_k, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0)),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
         ],
@@ -258,6 +285,7 @@ def ternary_gemm_fused_quant(
     m, kp = x.shape
     r = TRITS_PER_BYTE[fmt]
     np_ = packed.shape[1]
+    rows_k = _rows_per_bk(bk, fmt, packed.dtype)
     assert np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
     n_k = kp // bk
     grid = (np_ // bn, n_k)
@@ -272,7 +300,7 @@ def ternary_gemm_fused_quant(
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, kp), lambda j, kk: (0, 0)),
-            pl.BlockSpec((bk // r, bn), lambda j, kk: (kk, j)),
+            pl.BlockSpec((rows_k, bn), lambda j, kk: (kk, j)),
             pl.BlockSpec((1, bn), lambda j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j)),
@@ -416,6 +444,7 @@ def ternary_gemm_decode(
     m, kp = x1.shape
     r = TRITS_PER_BYTE[fmt]
     np_ = packed.shape[1]
+    rows_k = _rows_per_bk(bk, fmt, packed.dtype)
     assert np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
     n_k = kp // bk
     grid = (np_ // bn, n_k)
@@ -434,7 +463,7 @@ def ternary_gemm_decode(
     if mode == "norm" or sub_norm:
         in_specs.append(pl.BlockSpec((1, kp), lambda j, kk: (0, 0)))
         args.append(norm_g.reshape(1, kp))
-    in_specs.append(pl.BlockSpec((bk // r, bn), lambda j, kk: (kk, j)))
+    in_specs.append(pl.BlockSpec((rows_k, bn), lambda j, kk: (kk, j)))
     args.append(packed)
     in_specs.append(pl.BlockSpec((1, bn), lambda j, kk: (0, j)))
     args.append(w_scale.reshape(1, np_))

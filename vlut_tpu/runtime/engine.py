@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Callable
 
@@ -157,6 +158,17 @@ class Engine:
             from vlut_tpu.models.transformer import unstack_layers
 
             params = unstack_layers(params, cfg)
+        if (
+            not self._recurrent
+            and getattr(cfg, "weight_fmt", "") == "i2"
+            and jax.default_backend() == "tpu"
+            and os.environ.get("VLUT_TPU_WORD_PACK", "1") == "1"
+        ):
+            # serving-time uint32 word layout: ~4x fewer decode lane-ops
+            # in the ALU-bound unpack (ops/packing.word_pack)
+            from vlut_tpu.ops.packing import word_pack_params
+
+            params = word_pack_params(params, cfg.weight_fmt)
         self.params = params
         self.n_slots = n_slots
         self.max_len = max_len or cfg.max_seq_len
