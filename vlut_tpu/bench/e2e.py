@@ -57,6 +57,10 @@ def _load_model(model: str | None, preset: str | None, fmt: str):
         params = init_params_fast(cfg, seed=0)
     # lossless load-time transforms (what the engine serves with)
     params = unstack_layers(fuse_projections(params, cfg), cfg)
+    if cfg.weight_fmt == "i2" and jax.default_backend() == "tpu":
+        from vlut_tpu.ops.packing import word_pack_params
+
+        params = word_pack_params(params, cfg.weight_fmt)
     return cfg, jax.device_put(params)
 
 

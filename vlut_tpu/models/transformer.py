@@ -856,6 +856,27 @@ def run_layers(
                 arrs[self.i] = jax.vmap(upd)(arrs[self.i], u, start)
             self.state[name] = tuple(arrs)
 
+        def _put_pair(self, name_a, ua, name_b, ub, start):
+            """K and V rows in one kernel launch (same shapes)."""
+            from vlut_tpu.ops.kv_update import write_rows_pair_pallas
+
+            use_pallas = (
+                ua.shape[1] == 1
+                and impl in ("auto", "pallas")
+                and jax.default_backend() == "tpu"
+            )
+            if not use_pallas:
+                self._put(name_a, ua, start)
+                self._put(name_b, ub, start)
+                return
+            a = list(self.state[name_a])
+            b_ = list(self.state[name_b])
+            a[self.i], b_[self.i] = write_rows_pair_pallas(
+                a[self.i], b_[self.i], ua, ub, start
+            )
+            self.state[name_a] = tuple(a)
+            self.state[name_b] = tuple(b_)
+
         def update(self, k, v, start):
             st, i = self.state, self.i
             if quant_kv:
@@ -866,16 +887,16 @@ def run_layers(
 
                 kq, ks_new = quantize_kv(k)
                 vq, vs_new = quantize_kv(v)
-                self._put("k", kq, start)
-                self._put("v", vq, start)
-                self._put("k_scale", ks_new, start)
-                self._put("v_scale", vs_new, start)
+                self._put_pair("k", kq, "v", vq, start)
+                self._put_pair("k_scale", ks_new, "v_scale", vs_new, start)
                 return (
                     dequantize_kv(st["k"][i], st["k_scale"][i]),
                     dequantize_kv(st["v"][i], st["v_scale"][i]),
                 )
-            self._put("k", k.astype(st["k"][i].dtype), start)
-            self._put("v", v.astype(st["v"][i].dtype), start)
+            self._put_pair(
+                "k", k.astype(st["k"][i].dtype),
+                "v", v.astype(st["v"][i].dtype), start,
+            )
             return st["k"][i], st["v"][i]
 
     def can_fuse(lp, name):

@@ -28,6 +28,66 @@ def _write_kernel(pos_ref, u_ref, c_in_ref, c_out_ref):
     c_out_ref[...] = u_ref[...]
 
 
+def _write2_kernel(pos_ref, ku_ref, vu_ref, k_in, v_in, k_out, v_out):
+    del pos_ref, k_in, v_in
+    k_out[...] = ku_ref[...]
+    v_out[...] = vu_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1)
+)
+def write_rows_pair_pallas(
+    kc: jax.Array,  # (B, S, H, D)
+    vc: jax.Array,
+    ku: jax.Array,  # (B, 1, H, D)
+    vu: jax.Array,
+    start: jax.Array,  # (B,)
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """K and V rows written in ONE kernel launch (a decode layer's whole
+    cache update): halves the per-step write-launch count vs two
+    write_rows_pallas calls."""
+    b = kc.shape[0]
+    trail = kc.shape[2:]
+    blk = (1, 1) + trail
+
+    def u_map(i, pos):
+        del pos
+        return (i,) + (0,) * (len(blk) - 1)
+
+    def c_map(i, pos):
+        return (i, pos[i]) + (0,) * (len(blk) - 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(blk, u_map),
+            pl.BlockSpec(blk, u_map),
+            pl.BlockSpec(blk, c_map),
+            pl.BlockSpec(blk, c_map),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, c_map),
+            pl.BlockSpec(blk, c_map),
+        ],
+    )
+    return pl.pallas_call(
+        _write2_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(
+        start.astype(jnp.int32), ku.astype(kc.dtype), vu.astype(vc.dtype),
+        kc, vc,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
 def write_rows_pallas(
     cache: jax.Array,  # (B, S, ...) — trailing dims rank 1 or 2
