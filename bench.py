@@ -66,7 +66,9 @@ def main():
     params = jax.device_put(
         unstack_layers(fuse_projections(params, cfg), cfg)
     )
-    if cfg.weight_fmt == "i2" and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
+        # serving-time uint32 word layout, both formats (i2: 16 trits per
+        # lane shift/mask; i1: 20 trits per lane SWAR base-243 decode)
         from vlut_tpu.ops.packing import word_pack_params
 
         params = word_pack_params(params, cfg.weight_fmt)
@@ -79,9 +81,16 @@ def main():
         from vlut_tpu.ops.packing import pack_ternary
         from vlut_tpu.ops.quant import quantize_activations
 
+        from vlut_tpu.ops.packing import TernaryTensor, word_pack
+
         prng = np.random.default_rng(1)
         trits = prng.integers(-1, 2, size=(1280, 256)).astype(np.int8)
         tt = pack_ternary(trits, np.float32(0.05), cfg.weight_fmt)
+        # check the layout the timed path actually uses
+        tt = TernaryTensor(
+            word_pack(jnp.asarray(tt.packed), cfg.weight_fmt), tt.scale,
+            tt.k, tt.n, tt.fmt, tt.kb,
+        )
         xq, xs = quantize_activations(
             jnp.asarray(prng.standard_normal((32, 1280)), jnp.float32)
         )

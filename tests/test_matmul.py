@@ -192,9 +192,11 @@ def test_fused_decode_kernel_matches_composed(fmt, mode, sub_norm):
     )
 
 
-def test_word_packed_matches_byte_packed():
+@pytest.mark.parametrize("fmt", ["i2", "i1"])
+def test_word_packed_matches_byte_packed(fmt):
     """The serving-time uint32 word layout (packing.word_pack) must compute
-    the exact same integers through every kernel as the byte layout."""
+    the exact same integers through every kernel as the byte layout —
+    i2 via 16-trit shift/mask, i1 via the 20-trit SWAR base-243 decode."""
     import jax.numpy as jnp
 
     from vlut_tpu.ops.matmul import ternary_matmul_fused
@@ -204,8 +206,8 @@ def test_word_packed_matches_byte_packed():
     m, k, n = 8, 640, 256
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
-    t = pack_ternary(trits, scale=np.float32(0.04), fmt="i2")
-    tw = TernaryTensor(word_pack(jnp.asarray(t.packed)), t.scale,
+    t = pack_ternary(trits, scale=np.float32(0.04), fmt=fmt)
+    tw = TernaryTensor(word_pack(jnp.asarray(t.packed), fmt), t.scale,
                        t.k, t.n, t.fmt, t.kb)
     assert tw.k_padded == t.k_padded
 

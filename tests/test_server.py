@@ -418,3 +418,42 @@ def test_concurrent_request_burst(server):
     _, a = _req(server, "POST", "/completion", body)
     _, b = _req(server, "POST", "/completion", body)
     assert json.loads(a)["content"] == json.loads(b)["content"], (a, b)
+
+
+def test_parse_tool_calls_formats():
+    """All six tool-call syntaxes (common/chat.cpp parser-suite parity)."""
+    from vlut_tpu.serving.server import _parse_tool_calls
+
+    # 1. Hermes/Qwen, parallel calls + surrounding text
+    calls, rest = _parse_tool_calls(
+        'sure <tool_call>{"name": "a", "arguments": {"x": 1}}</tool_call>'
+        '<tool_call>{"name": "b", "arguments": {}}</tool_call>'
+    )
+    assert [c["name"] for c in calls] == ["a", "b"] and rest == "sure"
+
+    # 2. functionary <function=NAME>
+    calls, rest = _parse_tool_calls('<function=get_w>{"city": "SF"}</function>')
+    assert calls == [{"name": "get_w", "arguments": {"city": "SF"}}]
+
+    # 3. Mistral [TOOL_CALLS]
+    calls, rest = _parse_tool_calls(
+        '[TOOL_CALLS] [{"name": "f", "arguments": {"q": 2}}]')
+    assert calls[0]["name"] == "f" and rest == ""
+
+    # 4. fenced json
+    calls, _ = _parse_tool_calls(
+        'use this:\n```json\n{"name": "g", "arguments": {}}\n```')
+    assert calls[0]["name"] == "g"
+
+    # 5. bare JSON object (Llama-3.x "parameters" spelling)
+    calls, rest = _parse_tool_calls('{"name": "h", "parameters": {"a": 1}}')
+    assert calls[0]["name"] == "h" and rest == ""
+
+    # 6. llama-3.x <|python_tag|> builtin
+    calls, rest = _parse_tool_calls("<|python_tag|>print(1+1)<|eom_id|>")
+    assert calls == [{"name": "ipython",
+                      "arguments": {"code": "print(1+1)"}}] and rest == ""
+
+    # plain text: no calls
+    calls, rest = _parse_tool_calls("just an answer")
+    assert calls == [] and rest == "just an answer"

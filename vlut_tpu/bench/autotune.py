@@ -21,8 +21,8 @@ DEFAULT_FILE = pathlib.Path(__file__).parent / "autotune_v5e.json"
 _cache: dict[str, list[int]] | None = None
 
 
-def _key(fmt: str, m: int, kp: int, np_: int) -> str:
-    return f"{fmt}:{m}:{kp}:{np_}"
+def _key(fmt: str, m: int, kp: int, np_: int, word: bool = False) -> str:
+    return f"{fmt}{'w' if word else ''}:{m}:{kp}:{np_}"
 
 
 def load_table() -> dict[str, list[int]]:
@@ -36,8 +36,15 @@ def load_table() -> dict[str, list[int]]:
     return _cache
 
 
-def lookup(fmt: str, m: int, kp: int, np_: int) -> tuple[int, int, int] | None:
-    hit = load_table().get(_key(fmt, m, kp, np_))
+def lookup(
+    fmt: str, m: int, kp: int, np_: int, word: bool = False
+) -> tuple[int, int, int] | None:
+    """Tuned (bm, bn, bk) for a GEMM shape; word-layout entries fall back
+    to the byte-layout entry for the same shape when untuned."""
+    table = load_table()
+    hit = table.get(_key(fmt, m, kp, np_, word))
+    if hit is None and word:
+        hit = table.get(_key(fmt, m, kp, np_))
     return tuple(hit) if hit else None
 
 
@@ -52,7 +59,12 @@ def candidates(mp: int, np_: int, kp: int, kb: int):
         if kp % (base * j) == 0
     ]
     bms = [b for b in (32, 64, 128, 256) if mp % b == 0 and b <= mp]
-    bns = [b for b in (128, 256, 512, 1024, 2048, 4096) if np_ % b == 0]
+    # lane-multiple N tiles that divide Np — include the 7*2^k family
+    # (896/1792/3584/7168) because llama3's ff = 14336 = 7*2^11 has no
+    # power-of-two divisor above 2048, and large bn is what lets the
+    # word-decode amortize (i1w dxd's winner is bn=4096)
+    bns = [b for b in (128, 256, 512, 896, 1024, 1792, 2048, 3584, 4096,
+                       7168) if np_ % b == 0]
     for bm in bms or [mp]:
         for bn in bns or [np_]:
             for bk in bks or [base]:
@@ -64,7 +76,7 @@ def candidates(mp: int, np_: int, kp: int, kb: int):
 
 def autotune(
     fmt: str, m: int, k: int, n: int, out: dict[str, Any] | None = None,
-    k_mult: int | None = None,
+    k_mult: int | None = None, word: bool = False,
 ) -> tuple[tuple[int, int, int], float]:
     """Sweep block shapes for one GEMM; returns (best blocks, GB/s).
 
@@ -91,7 +103,8 @@ def autotune(
     for bm, bn, bk in candidates(mp, np_full, kp, t.kb):
         try:
             r = bench_gemm(fmt, m, k, n, block_shapes=(bm, bn, bk),
-                           n_lo=16, n_hi=192, repeats=2, k_mult=k_mult)
+                           n_lo=16, n_hi=192, repeats=2, k_mult=k_mult,
+                           word=word)
         except Exception as e:  # noqa: BLE001 — OOM/unsupported tile
             print(f"  ({bm},{bn},{bk}): skipped ({type(e).__name__})")
             continue
@@ -99,7 +112,7 @@ def autotune(
         if r["gbps_packed"] > best_gbps:
             best, best_gbps = (bm, bn, bk), r["gbps_packed"]
     if out is not None and best:
-        out[_key(fmt, mp, kp, np_full)] = list(best)
+        out[_key(fmt, mp, kp, np_full, word)] = list(best)
     return best, best_gbps
 
 
@@ -117,6 +130,9 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=str(DEFAULT_FILE))
     ap.add_argument("--k-mult", type=int, default=None,
                     help="pack-time K over-padding (see autotune docstring)")
+    ap.add_argument("--word", action="store_true",
+                    help="tune the serving-time uint32 word layout "
+                         "(keys get a 'w' suffix, e.g. i1w:...)")
     ap.add_argument("--fused-shapes", action="store_true",
                     help="also tune the load-time-fused projection widths "
                          "(qkv d->q+2kv, gateup d->2ff)")
@@ -136,7 +152,8 @@ def main(argv=None):
             for m in (int(x) for x in args.ns.split(",")):
                 print(f"== {args.model} {tag} {fmt} M={m}", flush=True)
                 best, gbps = autotune(
-                    fmt, m, k, n, out=table, k_mult=args.k_mult
+                    fmt, m, k, n, out=table, k_mult=args.k_mult,
+                    word=args.word,
                 )
                 print(f"   best {best} @ {gbps:.1f} GB/s", flush=True)
     p.write_text(json.dumps(table, indent=1, sort_keys=True))

@@ -47,6 +47,7 @@ def bench_gemm(
     n_hi: int = 256,
     repeats: int = 3,
     k_mult: int | None = None,
+    word: bool = False,
 ) -> dict[str, Any]:
     rng = np.random.default_rng(0)
     trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
@@ -55,7 +56,12 @@ def bench_gemm(
     rows = t.packed.shape[0]
     packs = np.stack([np.asarray(t.packed)] * L_STACK)
     packs[..., 0] = np.arange(L_STACK, dtype=np.uint8)[:, None]
-    pl_stack = jax.device_put(jnp.asarray(packs))
+    pl_stack = jnp.asarray(packs)
+    if word:  # serving-time uint32 word layout (packing.word_pack)
+        from vlut_tpu.ops.packing import word_pack
+
+        pl_stack = word_pack(pl_stack, fmt)
+    pl_stack = jax.device_put(pl_stack)
     mp = max(32, -(-m // 32) * 32)
     q = jax.device_put(
         jnp.asarray(rng.integers(-100, 100, (mp, kp)), jnp.int8)
@@ -113,6 +119,8 @@ def main(argv=None):
     ap.add_argument("-ns", default="32,256",
                     help="comma-separated token counts")
     ap.add_argument("--fmt", default="i2,i1")
+    ap.add_argument("--word", action="store_true",
+                    help="bench the serving-time uint32 word layout")
     args = ap.parse_args(argv)
 
     models = [args.model] if args.model else list(MODEL_SHAPES)
@@ -125,7 +133,7 @@ def main(argv=None):
         for (k, n, tag) in ((d, d, "dxd"), (d, ff, "dxff"), (ff, d, "ffxd")):
             for fmt in fmts:
                 for m in ns:
-                    r = bench_gemm(fmt, m, k, n)
+                    r = bench_gemm(fmt, m, k, n, word=args.word)
                     print(f"{model:10s} {tag:14s} {r['fmt']:3s} {m:4d} "
                           f"{r['us']:9.1f} {r['gbps_packed']:7.1f} "
                           f"{r['tflops']:8.2f}", flush=True)

@@ -419,6 +419,40 @@ def cmd_batched_bench(args):
     e2e_main(["batched"] + args.rest)
 
 
+def cmd_tts(args):
+    """OuteTTS pipeline: text -> audio codes -> WAV (tools/tts/tts.cpp)."""
+    import json as _json
+
+    from vlut_tpu.models.vocoder import load_vocoder
+    from vlut_tpu.runtime.tts import save_wav, synthesize
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, _ = _load(args.model, overrides=args.override)
+    tok = Tokenizer(args.model)
+    voc_cfg, voc_params = load_vocoder(args.vocoder)
+    speaker = None
+    if args.speaker:
+        with open(args.speaker) as f:
+            speaker = _json.load(f)
+    t0 = time.time()
+    audio = synthesize(
+        cfg, params, tok, args.prompt, voc_cfg, voc_params,
+        speaker=speaker, use_guide_tokens=args.guide_tokens,
+        n_predict=args.n_predict, top_k=args.top_k, seed=args.seed,
+        code_offset=args.code_offset,
+    )
+    save_wav(args.output, audio, voc_cfg.sample_rate)
+    dur = audio.shape[0] / voc_cfg.sample_rate
+    print(f"wrote {args.output}: {dur:.2f}s audio in {time.time()-t0:.1f}s")
+
+
+def cmd_convert_vocoder(args):
+    from vlut_tpu.models.vocoder import convert_hf_vocoder
+
+    cfg = convert_hf_vocoder(args.src, args.dst)
+    print(f"vocoder -> {args.dst}: {cfg}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vlut-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -559,6 +593,29 @@ def main(argv=None):
     p = sub.add_parser("batched-bench", help="batched-bench analog")
     p.add_argument("rest", nargs=argparse.REMAINDER)
     p.set_defaults(fn=cmd_batched_bench)
+
+    p = sub.add_parser("tts", help="text-to-speech (tools/tts analog)")
+    p.add_argument("--model", required=True, help="text-to-codes checkpoint")
+    p.add_argument("--vocoder", required=True, help="vocoder dir "
+                   "(convert-vocoder output)")
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("-o", "--output", default="output.wav")
+    p.add_argument("--speaker", help="speaker profile JSON (OuteTTS format)")
+    p.add_argument("--guide-tokens", action="store_true",
+                   help="force word-initial tokens after newlines")
+    p.add_argument("-n", "--n-predict", type=int, default=4096)
+    p.add_argument("--top-k", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--code-offset", type=int, default=None,
+                   help="first audio-code token id (default: detect <|0|>)")
+    p.add_argument("--override", action="append", default=[])
+    p.set_defaults(fn=cmd_tts)
+
+    p = sub.add_parser("convert-vocoder",
+                       help="HF WavTokenizer decoder -> vocoder dir")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.set_defaults(fn=cmd_convert_vocoder)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -89,7 +89,7 @@ def ternary_matmul(
         if block_shapes is None:
             from vlut_tpu.bench.autotune import lookup
 
-            block_shapes = lookup(t.fmt, mp, kp, np_)
+            block_shapes = lookup(t.fmt, mp, kp, np_, word=t.word_packed)
         _, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
             mp, np_, kp, t.kb
         )
@@ -161,7 +161,7 @@ def ternary_matmul_fused(
         if block_shapes is None:
             from vlut_tpu.bench.autotune import lookup
 
-            block_shapes = lookup(t.fmt, mp, kp, np_)
+            block_shapes = lookup(t.fmt, mp, kp, np_, word=t.word_packed)
         _, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
             mp, np_, kp, t.kb
         )
@@ -248,7 +248,7 @@ def ternary_matmul_quantized(
     if block_shapes is None:
         from vlut_tpu.bench.autotune import lookup
 
-        block_shapes = lookup(t.fmt, mp, kp, np_)
+        block_shapes = lookup(t.fmt, mp, kp, np_, word=t.word_packed)
     bm, bn, bk = block_shapes or pallas_gemm.default_block_shapes(
         mp, np_, kp, t.kb
     )

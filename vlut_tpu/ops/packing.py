@@ -265,35 +265,39 @@ def ternarize(
     return trits.astype(np.int8), np.float32(s)
 
 
-def word_pack(packed, kb: int = DEFAULT_BLOCK["i2"]):
-    """i2 byte layout -> serving uint32 WORD layout (load-time, device ok).
+def word_pack(packed, fmt: Format = "i2", kb: int | None = None):
+    """Byte layout -> serving uint32 WORD layout (load-time, device ok).
 
     The byte kernels expand each uint8 into one 32-bit VPU lane (4x lane
     waste); decode is ALU-bound, so repacking 4 slab bytes per uint32 cuts
-    decode lane-ops ~4x.  Byte choice is stride-8 within each 32-row slab
-    (rows w, w+8, w+16, w+24 -> one word at row w) so the kernel's
-    16 shift-and-mask slices reassemble with a PLAIN reshape — no
-    transposes in the hot loop:
+    decode lane-ops ~4x.  Byte choice is stride-(slab/4) within each
+    slab-row group (rows w, w+8, w+16, w+24 -> one word at row w, for the
+    default slab of 32) so the kernel's shift-and-mask slices reassemble
+    with a PLAIN reshape — no transposes in the hot loop:
 
-        trit k = block*128 + q*32 + j*8 + w  <-  (word >> (8j + 2q)) & 3
+        i2: trit k = block*128 + q*32 + g*8 + w  <-  (word >> (8g + 2q)) & 3
+        i1: byte g of the word decodes 5 base-243 digits q covering
+            k = block*160 + q*32 + g*8 + w; the kernel splits even/odd
+            bytes into 16-bit SWAR fields so one 32-bit multiply-shift
+            extracts a digit of TWO bytes at once (pallas_gemm._unpack_tile)
 
-    Works on (..., rows, n) uint8 with any leading dims; i2 only (i1's
-    base-243 bytes decode per-byte regardless).
+    Works on (..., rows, n) uint8 with any leading dims.
     """
-    slab = kb // TRITS_PER_BYTE["i2"]  # 32
+    r = TRITS_PER_BYTE[fmt]
+    kb = kb or DEFAULT_BLOCK[fmt]
+    slab = kb // r  # 32 for both default blocks
+    assert slab % 4 == 0, (kb, r)
     *lead, rows, n = packed.shape
     assert rows % slab == 0, (rows, slab)
     x = jnp.asarray(packed).reshape(*lead, rows // slab, 4, slab // 4, n)
-    x = jnp.moveaxis(x, -3, -1)  # (..., nb, 8, n, 4): j bytes last
+    x = jnp.moveaxis(x, -3, -1)  # (..., nb, slab//4, n, 4): g bytes last
     u32 = jax.lax.bitcast_convert_type(x, jnp.uint32)
     return u32.reshape(*lead, rows // 4, n)
 
 
 def word_pack_params(params, fmt: str):
-    """Apply word_pack to every i2 packed leaf of a params tree (stacked or
-    unstacked layers).  No-op for i1."""
-    if fmt != "i2":
-        return params
+    """Apply word_pack to every packed leaf of a params tree (stacked or
+    unstacked layers)."""
 
     def wp_layers(layers):
         out = {}
@@ -302,7 +306,7 @@ def word_pack_params(params, fmt: str):
                 getattr(v["packed"], "dtype", None) == jnp.uint8
                 or getattr(v["packed"], "dtype", None) == np.uint8
             ):
-                out[name] = {**v, "packed": word_pack(v["packed"])}
+                out[name] = {**v, "packed": word_pack(v["packed"], fmt)}
             else:
                 out[name] = v
         return out

@@ -56,19 +56,50 @@ def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
     r = TRITS_PER_BYTE[fmt]
     nb = bk // kb
     if p.dtype != jnp.uint8:
-        assert fmt == "i2" and kb == 128, (fmt, kb)
-        # word-packed i2 (packing.word_pack): one uint32 lane carries 4
-        # slab bytes = 16 trits; byte j sits at bits 8j and maps to slab
-        # row j*8 + w, so field (q, j) extracts with ONE logical
-        # shift-and-mask per 16-trit group — ~4x fewer VPU lane-ops than
-        # byte-per-lane decode, and the (q, j) slice order reassembles
-        # with a plain reshape (k = b*128 + q*32 + j*8 + w)
-        p = p.reshape(nb, kb // 16, bn)
-        slabs = [
-            (p >> (8 * j + 2 * q)) & 3
-            for q in range(4)
-            for j in range(4)
-        ]
+        # word-packed layouts (packing.word_pack): one uint32 lane carries
+        # 4 slab bytes.  Byte g sits at bits 8g and maps to slab row
+        # g*(slab/4) + w, so the slice order reassembles with a plain
+        # reshape — no cross-lane traffic in the hot loop.
+        p = p.reshape(nb, kb // (4 * r), bn)
+        if fmt == "i2":
+            assert kb == 128, kb
+            # 16 trits per lane; field (q, g) extracts with ONE logical
+            # shift-and-mask — ~4x fewer VPU lane-ops than byte-per-lane
+            # decode (k = b*128 + q*32 + g*8 + w)
+            slabs = [
+                (p >> (8 * g + 2 * q)) & 3
+                for q in range(4)
+                for g in range(4)
+            ]
+        else:
+            assert kb == 160, kb
+            # 20 trits per lane, base-243 bytes.  SWAR dual-byte decode:
+            # split the word into even (B0,B2) and odd (B1,B3) bytes as
+            # two 16-bit fields of one uint32, then each multiply-shift
+            # magic division (x//3^q == (x*m)>>s, exact for x<243 and
+            # carry-free across the 16-bit fields — products stay <2^16
+            # per field) extracts digit q of TWO bytes at once.  ~3.2
+            # lane-ops/trit at word density vs the byte path's same ops
+            # over 4x the lanes.  Digit (q, h, par) covers logical row
+            # k = b*160 + q*32 + h*16 + par*8 + w (h = 16-bit half,
+            # par = byte parity) — see packing.word_pack.
+            p = p.astype(jnp.uint32)
+            emask = jnp.uint32(0x00FF00FF)
+            halves = []
+            for par in range(2):
+                v = ((p >> 8) if par else p) & emask
+                t1 = ((v * 171) >> 9) & jnp.uint32(0x007F007F)  # x // 3
+                a = ((v * 57) >> 9) & jnp.uint32(0x001F001F)    # x // 9
+                b = ((v * 19) >> 9) & jnp.uint32(0x000F000F)    # x // 27
+                c = ((b * 11) >> 5) & jnp.uint32(0x00030003)    # x // 81
+                halves.append([v - 3 * t1, t1 - 3 * a, a - 3 * b,
+                               b - 3 * c, c])
+            slabs = [
+                (halves[par][q] >> 16) if h else (halves[par][q] & 3)
+                for q in range(5)
+                for h in range(2)
+                for par in range(2)
+            ]
         w = jnp.stack(slabs, axis=1).reshape(bk, bn)
         return w.astype(jnp.int8)
     slab = kb // r

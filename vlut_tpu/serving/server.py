@@ -345,6 +345,8 @@ def _parse_tool_calls(text: str):
     4. fenced JSON  — ```json\n{...}\n``` with a name+arguments shape
     5. bare JSON    — whole message is one {"name", "arguments"} object
        (Llama-3.x "parameters" spelling accepted)
+    6. Llama-3.x builtin — <|python_tag|>code... becomes an ipython
+       call {"code": ...} (chat.cpp llama-3.x builtin-tools path)
     """
     calls = []
     import re
@@ -414,6 +416,13 @@ def _parse_tool_calls(text: str):
                 return [obj], ""
         except json.JSONDecodeError:
             pass
+
+    # 6. Llama-3.x <|python_tag|> builtin tool (code interpreter)
+    if stripped.startswith("<|python_tag|>"):
+        code = stripped[len("<|python_tag|>"):]
+        code = code.removesuffix("<|eom_id|>").strip()
+        if code:
+            return [{"name": "ipython", "arguments": {"code": code}}], ""
     return [], text
 
 
