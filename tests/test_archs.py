@@ -21,7 +21,8 @@ def _fwd(cfg, params, t=8, b=2, seed=0, impl="xla"):
 
 
 @pytest.mark.parametrize(
-    "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe"]
+    "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe",
+             "tiny_granite"]
 )
 def test_forward_finite(arch):
     cfg = PRESETS[arch]
@@ -31,7 +32,8 @@ def test_forward_finite(arch):
 
 
 @pytest.mark.parametrize(
-    "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe"]
+    "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe",
+             "tiny_granite"]
 )
 def test_cache_matches_no_cache(arch):
     cfg = PRESETS[arch]
@@ -225,3 +227,16 @@ def test_rope_unknown_type_raises():
 
     with pytest.raises(ValueError):
         _inv_freq(32, 10000.0, {"rope_type": "ntk-banana"})
+
+
+def test_granite_logit_scale():
+    """logit_scale must multiply logits exactly (granite logits_scaling /
+    minicpm dim_model_base ratio; residual/embed multipliers covered by
+    test_embed_scale_matches_prescaled + convert-time folds)."""
+    cfg = PRESETS["tiny_granite"]
+    params = init_params(cfg, seed=0)
+    out = _fwd(cfg, params)
+    assert np.isfinite(out).all()
+    cfg1 = dataclasses.replace(cfg, logit_scale=1.0)
+    ref = _fwd(cfg1, params)
+    np.testing.assert_allclose(out, ref * cfg.logit_scale, rtol=1e-6)

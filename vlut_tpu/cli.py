@@ -244,18 +244,32 @@ def cmd_describe(args):
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model)
-    vcfg, vparams = load_vision(args.model)
-    if vcfg is None:
-        raise SystemExit("checkpoint has no vision tower (convert a "
-                         "llava-style model)")
     tok = Tokenizer(args.model)
-    img = preprocess_image(args.image, vcfg.image_size)
-    img_embeds = encode_image(
-        vparams, vcfg, jnp.asarray(img)[None]
-    )[0]
+    if getattr(args, "audio", None):
+        # audio branch (reference: mtmd-cli with an audio file): log-mel +
+        # whisper encoder + projector from an audio-encoder dir
+        from vlut_tpu.models.audio import encode as encode_audio
+        from vlut_tpu.models.audio import load_audio_encoder, load_wav, log_mel
+
+        acfg, aparams = load_audio_encoder(args.audio_encoder)
+        samples = load_wav(args.audio, acfg)
+        img_embeds = encode_audio(
+            aparams, acfg, jnp.asarray(log_mel(samples, acfg))
+        )
+        marker = "<audio>"
+    else:
+        vcfg, vparams = load_vision(args.model)
+        if vcfg is None:
+            raise SystemExit("checkpoint has no vision tower (convert a "
+                             "llava-style model)")
+        img = preprocess_image(args.image, vcfg.image_size)
+        img_embeds = encode_image(
+            vparams, vcfg, jnp.asarray(img)[None]
+        )[0]
+        marker = "<image>"
 
     prompt = args.prompt
-    pre_txt, _, post_txt = prompt.partition("<image>")
+    pre_txt, _, post_txt = prompt.partition(marker)
     prefix = tok.encode(pre_txt) if pre_txt else tok.encode("")
     suffix = tok.encode(post_txt, add_bos=False) if post_txt else []
     embeds = build_multimodal_embeds(params, img_embeds, prefix, suffix)
@@ -287,7 +301,7 @@ def cmd_describe(args):
     dt = time.time() - t0
     print(tok.decode(out))
     print(f"\n[{len(out)} tokens, {len(out)/max(dt,1e-9):.1f} tok/s | "
-          f"{img_embeds.shape[0]} image tokens]", file=sys.stderr)
+          f"{img_embeds.shape[0]} media tokens]", file=sys.stderr)
 
 
 def cmd_batched(args):
@@ -453,6 +467,13 @@ def cmd_convert_vocoder(args):
     print(f"vocoder -> {args.dst}: {cfg}")
 
 
+def cmd_convert_audio(args):
+    from vlut_tpu.models.audio import convert_hf_audio
+
+    cfg = convert_hf_audio(args.src, args.dst, d_llm=args.d_llm)
+    print(f"audio encoder -> {args.dst}: {cfg}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vlut-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -536,12 +557,23 @@ def main(argv=None):
                    help="override a model config field (repeatable)")
     p.set_defaults(fn=cmd_generate)
 
-    p = sub.add_parser("describe", help="image+prompt (llava-style mtmd)")
+    p = sub.add_parser("describe",
+                       help="image|audio + prompt (mtmd-cli analog)")
     p.add_argument("--model", required=True)
-    p.add_argument("--image", required=True)
+    p.add_argument("--image")
+    p.add_argument("--audio", help="WAV file (whisper-encoder path)")
+    p.add_argument("--audio-encoder",
+                   help="audio-encoder dir (convert-audio output)")
     p.add_argument("-p", "--prompt", default="<image>Describe this image.")
     p.add_argument("-n", "--n-predict", type=int, default=64)
     p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("convert-audio",
+                       help="HF whisper/ultravox audio tower -> encoder dir")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--d-llm", type=int, default=4096)
+    p.set_defaults(fn=cmd_convert_audio)
 
     p = sub.add_parser("batched")
     p.add_argument("--model", required=True)

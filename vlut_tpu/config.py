@@ -40,6 +40,9 @@ class ModelConfig:
     norm_plus_one: bool = False   # gemma RMSNorm uses (1 + w)
     attn_logit_softcap: float = 0.0   # gemma2: 50.0
     final_logit_softcap: float = 0.0  # gemma2: 30.0
+    logit_scale: float = 1.0      # granite: 1/logits_scaling;
+    # minicpm: dim_model_base/hidden_size (residual/embedding multipliers
+    # fold into weight scales at convert time — see convert.config_from_hf)
     attn_scale: float = 0.0       # custom 1/scale for QK^T; 0 = 1/sqrt(hd)
     sliding_window: int = 0       # SWA width; 0 = all-global attention
     sliding_window_pattern: int = 0  # every Nth layer is global (gemma2: 2)
@@ -160,5 +163,13 @@ PRESETS: dict[str, ModelConfig] = {
         arch="llama", vocab_size=256, d_model=128, n_layers=2,
         n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
         n_experts=4, n_experts_used=2,
+    ),
+    # granite-style: embedding/attention multipliers + logits_scaling
+    # (residual_multiplier folds into weights at convert time)
+    "tiny_granite": ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
+        embed_scale=12.0, attn_scale=0.0078125, logit_scale=1 / 16.0,
+        tie_embeddings=True,
     ),
 }

@@ -123,6 +123,24 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             sliding_window=raw.get("sliding_window", 1024),
             sliding_window_pattern=raw.get("sliding_window_pattern", 6),
         )
+    if mt == "granite":
+        # granite's four multipliers (llm_build_granite): embedding and
+        # attention map onto existing knobs; logits_scaling DIVIDES the
+        # logits; residual_multiplier folds into wo/down weight scales in
+        # convert_hf (so the forward graph stays multiplier-free)
+        extra.update(
+            embed_scale=raw.get("embedding_multiplier", 1.0),
+            attn_scale=raw.get("attention_multiplier", 0.0) or 0.0,
+            logit_scale=1.0 / raw.get("logits_scaling", 1.0),
+        )
+    if mt == "minicpm":
+        # minicpm: scale_emb on embeddings, scale_depth/sqrt(L) on every
+        # residual branch (folded into weights), head divided by
+        # hidden_size/dim_model_base
+        extra.update(
+            embed_scale=raw.get("scale_emb", 1.0),
+            logit_scale=raw.get("dim_model_base", d_model) / d_model,
+        )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
     if n_experts:
         extra.update(
@@ -332,6 +350,15 @@ def convert_hf(
     L = cfg.n_layers
     hp = jnp.bfloat16 if dtype_hp == "bfloat16" else jnp.float32
 
+    # residual-branch multiplier (granite residual_multiplier / minicpm
+    # scale_depth/sqrt(L)): folded into the wo + down weight magnitudes so
+    # the serving graph needs no extra multiply (see config_from_hf)
+    res_mult = 1.0
+    if raw0.get("model_type") == "granite":
+        res_mult = float(raw0.get("residual_multiplier", 1.0))
+    elif raw0.get("model_type") == "minicpm":
+        res_mult = float(raw0.get("scale_depth", L ** 0.5)) / L ** 0.5
+
     # First pass: collect side scales (HF1BitLLM weight_scale tensors).
     side_scales: dict[str, np.ndarray] = {}
     for name, w in _iter_hf_tensors(hf_dir):
@@ -355,6 +382,8 @@ def convert_hf(
                   expert: int | None = None):
         nonlocal n_approx
         wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
+        if res_mult != 1.0 and pname in ("wo", "w_down"):
+            wf = wf * res_mult  # residual-branch multiplier fold
         exact, s = _is_exact_ternary(wf)
         if exact:
             trits = np.sign(wf).astype(np.int8)

@@ -682,6 +682,10 @@ def forward(
             head.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+    if cfg.logit_scale != 1.0:
+        # granite logits_scaling divide / minicpm dim_model_base ratio
+        # (reference: llm_build_granite res scaling, src/models/)
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         cap = cfg.final_logit_softcap
         logits = cap * jnp.tanh(logits / cap)
