@@ -205,6 +205,42 @@ def test_engine_speculative_matches_plain_greedy():
     assert bad == ref
 
 
+def test_engine_lookahead_matches_plain_greedy(params):
+    """Per-slot windowed lookahead (examples/lookahead run inside the
+    engine) must emit exactly the plain-greedy outputs — the acceptance
+    rule only admits tokens the target itself would emit — and fall back
+    to the normal step when a slot nears capacity."""
+    def run(lookahead):
+        eng = Engine(
+            CFG, params, n_slots=2, max_len=64, impl="xla",
+            lookahead=lookahead,
+        )
+        reqs = [
+            Request(prompt=[3, 5, 7, 9], max_new_tokens=12,
+                    sampler=SamplerParams(temperature=0.0)),
+            Request(prompt=[2, 4, 6], max_new_tokens=12,
+                    sampler=SamplerParams(temperature=0.0)),
+        ]
+        eng.run(reqs)
+        return [r.output for r in reqs], eng.perf
+
+    ref, _ = run(None)
+    la, perf = run((4, 3))
+    assert la == ref
+    assert perf.n_spec_drafted > 0  # the lookahead step actually ran
+
+
+def test_engine_lookahead_capacity_fallback(params):
+    """Near max_len the lookahead round lacks row headroom; the engine
+    must finish the request through the normal step, not stall."""
+    eng = Engine(CFG, params, n_slots=1, max_len=24, impl="xla",
+                 lookahead=(4, 3), context_shift=False)
+    req = Request(prompt=[1, 2, 3, 4], max_new_tokens=40,
+                  sampler=SamplerParams(temperature=0.0))
+    eng.run([req])
+    assert req.done and len(req.output) > 0
+
+
 def test_idle_slot_steps_do_not_corrupt_cached_prefix(params):
     """While one slot decodes, idle slots still run through the fused step
     (static shape).  Their dummy KV write must land on the scratch tail row,

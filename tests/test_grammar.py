@@ -223,3 +223,84 @@ def test_engine_grammar_constrained(tmp_path):
     assert text.startswith("ab")
     assert all(c in "0123456789" for c in text[2:])
     assert len(text) >= 2
+
+
+# --- regex -> GBNF (reference: the opt-in llguidance lane) -------------------
+
+
+def _rx(pattern: str, text: str) -> bool:
+    from vlut_tpu.runtime.grammar import regex_to_gbnf
+
+    return _matches(regex_to_gbnf(pattern), text)
+
+
+def test_regex_literals_and_classes():
+    assert _rx(r"abc", "abc")
+    assert not _rx(r"abc", "abX")
+    assert _rx(r"[a-f0-9]+", "deadbeef")
+    assert not _rx(r"[a-f0-9]+", "xyz")
+    assert _rx(r"[^0-9]+", "hello")
+    assert not _rx(r"[^0-9]+", "h3llo")
+
+
+def test_regex_shorthands_and_dot():
+    assert _rx(r"\d{3}-\d{4}", "555-0199")
+    assert not _rx(r"\d{3}-\d{4}", "55-0199")
+    assert _rx(r"\w+\s\w+", "hello world")
+    assert _rx(r"a.c", "abc")
+    assert not _rx(r"a.c", "a\nc")  # dot excludes newline
+    assert _rx(r"\D+", "abc")
+    assert not _rx(r"\D+", "a1c")
+
+
+def test_regex_groups_alternation_quantifiers():
+    assert _rx(r"(foo|bar)+", "foobarfoo")
+    assert not _rx(r"(foo|bar)+", "foobaz")
+    assert _rx(r"colou?r", "color")
+    assert _rx(r"colou?r", "colour")
+    assert _rx(r"(?:ab){2,3}", "abab")
+    assert _rx(r"(?:ab){2,3}", "ababab")
+    assert not _rx(r"(?:ab){2,3}", "ab")
+    assert not _rx(r"(?:ab){2,3}", "abababab")
+    assert _rx(r"a{2,}", "aaaa")
+    assert not _rx(r"a{2,}", "a")
+
+
+def test_regex_anchors_escapes_and_literal_brace():
+    assert _rx(r"^ok$", "ok")
+    assert _rx(r"\$\d+\.\d{2}", "$19.99")
+    assert _rx(r"a{b}", "a{b}")  # non-quantifier brace is a literal
+    assert _rx(r"x*?y", "xxy")  # non-greedy accepted (same language)
+
+
+def test_regex_unsupported_raise():
+    from vlut_tpu.runtime.grammar import GrammarError, regex_to_gbnf
+
+    for bad in (r"(?=look)", r"\1", r"a\b", r"a^b"):
+        with pytest.raises(GrammarError):
+            regex_to_gbnf(bad)
+
+
+def test_regex_phone_number_mask_generates():
+    """End-to-end: a regex-constrained sampler can only emit matching
+    strings (mirrors test_grammar_sampler_generates_valid_json)."""
+    import re as _re
+
+    from vlut_tpu.runtime.grammar import regex_to_gbnf
+
+    pieces = ["0", "1", "23", "-", "4-5", "a", "55", "5-01", "9", "99",
+              "<eos>"]
+    gs = GrammarSampler(regex_to_gbnf(r"\d{3}-\d{4}"), pieces,
+                        eos_ids=(10,))
+    rng = np.random.default_rng(0)
+    out = []
+    for _ in range(16):
+        m = gs.mask()
+        assert m.any(), f"dead end after {out}"
+        pick = int(rng.choice(np.flatnonzero(m)))
+        if pick == 10:
+            break
+        gs.accept(pick)
+        out.append(pieces[pick])
+    text = "".join(out)
+    assert _re.fullmatch(r"\d{3}-\d{4}", text), text

@@ -238,6 +238,61 @@ def test_rerank(server):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_rerank_with_rank_head():
+    """A checkpoint carrying a classification head (rank_head, from
+    *ForSequenceClassification) must score via the head — verified
+    against a manual last-token forward.
+
+    fuse/unroll are disabled: those load-time transforms change bf16
+    rounding paths (fused qkv/gateup round silu/norm at different points),
+    and the tiny random model amplifies one-ulp differences through the
+    int8 activation quantizer — the manual reference below runs the
+    unfused forward, so the engine must too for a tight tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vlut_tpu.models.transformer import forward
+    from vlut_tpu.serving.server import serve
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    params["rank_head"] = {
+        "w": rng.standard_normal((cfg.d_model, 1)).astype(np.float32),
+        "b": np.asarray([0.25], np.float32),
+    }
+    engine = Engine(cfg, params, n_slots=1, max_len=64, impl="xla",
+                    fuse=False, unroll=False)
+    httpd, state = serve(engine, StubTokenizer(), port=0)
+    try:
+        hostport = ("127.0.0.1", httpd.server_address[1])
+        status, data = _req(
+            hostport, "POST", "/v1/rerank",
+            {"query": "q", "documents": ["aa", "bbbb"]},
+        )
+        assert status == 200
+        res = {r["index"]: r["relevance_score"]
+               for r in json.loads(data)["results"]}
+
+        tok = StubTokenizer()
+        for i, doc in enumerate(["aa", "bbbb"]):
+            ids = tok.encode("q") + tok.encode(doc, add_bos=False)
+            pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+            h, _ = forward(
+                params, cfg, jnp.asarray([ids], jnp.int32), pos, None,
+                output="hidden",
+            )
+            want = float(
+                np.asarray(h)[0, -1].astype(np.float32)
+                @ params["rank_head"]["w"][:, 0]
+                + 0.25
+            )
+            np.testing.assert_allclose(res[i], want, rtol=2e-3)
+    finally:
+        state.running = False
+        httpd.shutdown()
+
+
 def test_grammar_constrained_completion(server):
     status, data = _req(
         server, "POST", "/completion",
@@ -453,6 +508,31 @@ def test_parse_tool_calls_formats():
     calls, rest = _parse_tool_calls("<|python_tag|>print(1+1)<|eom_id|>")
     assert calls == [{"name": "ipython",
                       "arguments": {"code": "print(1+1)"}}] and rest == ""
+
+    # 7. DeepSeek V3/R1 fullwidth-bar blocks (parallel calls)
+    calls, rest = _parse_tool_calls(
+        "ok<｜tool▁calls▁begin｜>"
+        "<｜tool▁call▁begin｜>function<｜tool▁sep｜>get_w\n"
+        '```json\n{"city": "SF"}\n```<｜tool▁call▁end｜>'
+        "<｜tool▁call▁begin｜>function<｜tool▁sep｜>get_t\n"
+        '```json\n{"z": 1}\n```<｜tool▁call▁end｜>'
+        "<｜tool▁calls▁end｜>"
+    )
+    assert [c["name"] for c in calls] == ["get_w", "get_t"]
+    assert calls[0]["arguments"] == {"city": "SF"} and rest == "ok"
+
+    # 8. Command-R7B START_ACTION with tool_name/parameters spelling
+    calls, rest = _parse_tool_calls(
+        '<|START_THINKING|>hmm<|END_THINKING|>'
+        '<|START_ACTION|>[{"tool_name": "calc", '
+        '"parameters": {"n": 3}}]<|END_ACTION|>'
+    )
+    assert calls == [{"name": "calc", "arguments": {"n": 3}}]
+
+    # 9. Granite <|tool_call|> array prefix
+    calls, rest = _parse_tool_calls(
+        '<|tool_call|>[{"name": "q", "arguments": {}}]')
+    assert calls[0]["name"] == "q" and rest == ""
 
     # plain text: no calls
     calls, rest = _parse_tool_calls("just an answer")

@@ -51,6 +51,63 @@ def bench_gemm(
 ) -> dict[str, Any]:
     rng = np.random.default_rng(0)
     trits = rng.integers(-1, 2, size=(k, n)).astype(np.int8)
+    if fmt in ("tq2", "tq1"):
+        # TQ1_0/TQ2_0 baseline lanes (ops/tq.py): per-256-block fp16
+        # scales at 1.6875 / 2.0625 bpw — the llama.cpp ternary baselines
+        # the paper compares against (evaluation/Evaluation.md:151-160)
+        from vlut_tpu.ops.tq import QK, ROWS_PER_BLOCK, pack_tq1, \
+            pack_tq2, tq_gemm
+
+        pack = pack_tq2 if fmt == "tq2" else pack_tq1
+        packed, scales = pack(trits.astype(np.float32) * 0.03)
+        kp, np_ = packed.shape[0] // ROWS_PER_BLOCK[fmt] * QK, n
+        rows = packed.shape[0] + scales.shape[0] * 2  # fp16 scale bytes too
+        packs = np.stack([packed] * L_STACK)
+        packs[..., 0] = np.arange(L_STACK, dtype=np.uint8)[:, None]
+        pl_stack = jax.device_put(jnp.asarray(packs))
+        sc = jax.device_put(jnp.asarray(scales))
+        mp = max(32, -(-m // 32) * 32)
+        q = jax.device_put(
+            jnp.asarray(rng.integers(-100, 100, (mp, kp)), jnp.int8)
+        )
+        s = jax.device_put(jnp.ones((mp, 1), jnp.float32))
+        if block_shapes:
+            bm, bn, bk = block_shapes
+        else:  # largest tiles that divide the (padded) problem
+            bm = mp if mp <= 128 else (128 if mp % 128 == 0 else 32)
+            bn = next(b for b in (512, 256, 128, 64, 32) if np_ % b == 0)
+            bk = next(b for b in (2048, 1024, 512, 256) if kp % b == 0)
+        gemm = functools.partial(tq_gemm, fmt=fmt, bm=bm, bn=bn, bk=bk)
+
+        @jax.jit
+        def loop(q, pl_stack, n_iter):
+            def body(i, acc):
+                out = gemm(acc, pl_stack[i % L_STACK], sc, s)
+                fb = out.astype(jnp.int8)
+                if fb.shape[1] < kp:
+                    fb = jnp.tile(fb, (1, -(-kp // fb.shape[1])))
+                return acc ^ fb[:, :kp]
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, n_iter, body, q).astype(jnp.int32)
+            )
+
+        ts = {}
+        for n_iter in (n_lo, n_hi):
+            int(loop(q, pl_stack, n_iter))
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                int(loop(q, pl_stack, n_iter))
+                best = min(best, time.perf_counter() - t0)
+            ts[n_iter] = best
+        dt = (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
+        wbytes = rows * np_
+        return {
+            "fmt": fmt, "m": m, "k": k, "n": n, "blocks": (bm, bn, bk),
+            "us": dt * 1e6, "gbps_packed": wbytes / dt / 1e9,
+            "tflops": 2 * m * k * n / dt / 1e12,
+        }
     t = pack_ternary(trits, np.float32(0.03), fmt, k_mult=k_mult)
     kp, np_ = t.k_padded, t.n_padded
     rows = t.packed.shape[0]

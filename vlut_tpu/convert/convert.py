@@ -418,6 +418,17 @@ def convert_hf(
         if name == "model.norm.weight":
             top["final_norm"] = np.asarray(w, np.float32)
             continue
+        if name in ("score.weight", "classifier.weight"):
+            # *ForSequenceClassification rank head (rerankers): (C, D) ->
+            # (D, C); served by /rerank (reference: pooling_type RANK +
+            # cls tensor, src/llama-model.cpp classifier tensors)
+            top.setdefault("rank_head", {})["w"] = np.asarray(
+                w, np.float32
+            ).T
+            continue
+        if name in ("score.bias", "classifier.bias"):
+            top.setdefault("rank_head", {})["b"] = np.asarray(w, np.float32)
+            continue
         m = layer_re.match(name)
         if not m:
             log.warning("skipping unrecognized tensor %s", name)

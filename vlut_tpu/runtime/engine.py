@@ -131,6 +131,7 @@ class Engine:
         head_quant: bool = False,
         draft: tuple[Any, Any] | None = None,  # (draft_cfg, draft_params)
         k_draft: int = 4,
+        lookahead: tuple[int, int] | None = None,  # (window, ngram)
         prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
     ):
         self.cfg = cfg
@@ -239,6 +240,29 @@ class Engine:
                     jnp.asarray(vmap_[0], jnp.int32),
                     jnp.asarray(vmap_[1], jnp.int32),
                 ),
+            }
+        # per-slot windowed lookahead (reference: examples/lookahead run
+        # per server slot) — draft-model-free speculation; mutually
+        # exclusive with the draft path (both own the decode step)
+        self._la = None
+        if lookahead is not None:
+            if draft is not None:
+                raise ValueError("lookahead and draft are mutually "
+                                 "exclusive decode modes")
+            if self._recurrent:
+                raise ValueError("lookahead needs KV row rewind; "
+                                 "recurrent models cannot rewind")
+            w, g = lookahead
+            pool = 64
+            self._la = {
+                "window": w,
+                "ngram": g,
+                "t_total": 1 + (g - 1) * (w + 1),
+                "step": None,
+                "win": jnp.zeros((n_slots, w, g - 1), jnp.int32),
+                "pool": jnp.full((n_slots, pool, g), -1, jnp.int32),
+                "ptr": jnp.zeros((n_slots,), jnp.int32),
+                "jac": -jnp.ones((n_slots, g - 1), jnp.int32),
             }
         self.perf = PerfCounters()
 
@@ -473,6 +497,68 @@ class Engine:
                     break
         return True
 
+    def _can_la(self, active: list[int]) -> bool:
+        """Lookahead covers the greedy featureless path (like _can_spec);
+        each round writes t_total KV rows, so slots need that headroom."""
+        if self._la is None or self._features:
+            return False
+        t_total = self._la["t_total"]
+        for i in active:
+            req = self.slots[i].req
+            if req.grammar is not None or req.n_probs:
+                return False
+            used = self.slots[i].length + self.slots[i].generated - 1
+            if used + t_total + 1 >= self.max_len - 1:
+                return False
+        return True
+
+    def _step_lookahead(self, active: list[int]) -> bool:
+        la = self._la
+        if la["step"] is None:
+            from vlut_tpu.runtime.speculative import make_lookahead_round
+
+            la["step"] = make_lookahead_round(
+                self.cfg, la["window"], la["ngram"], impl=self.impl
+            )
+        lvls = la["ngram"] - 1
+        tokens = np.zeros((self.n_slots,), np.int32)
+        # idle slots park at the tail rows (see _step_speculative) — but a
+        # lookahead round writes t_total rows there, so an idle slot's
+        # cached prefix is only trustworthy below that region; truncate
+        # its history before the clobbering write (ADVICE r1 bug class)
+        cap = self.max_len - la["t_total"] - 1
+        for s in self.slots:
+            if s.req is None and len(s.history) > cap:
+                s.history = s.history[:cap]
+        lengths = np.full((self.n_slots,), cap, np.int32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                tokens[i] = s.req.output[-1]
+                lengths[i] = s.length + s.generated - 1
+        t0 = time.perf_counter()
+        (emitted, n_acc, self.cache, la["win"], la["pool"], la["ptr"],
+         la["jac"]) = la["step"](
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(lengths), la["win"], la["pool"], la["ptr"],
+            la["jac"],
+        )
+        emitted = np.asarray(emitted)
+        n_acc = np.asarray(n_acc)
+        self.perf.t_decode_s += time.perf_counter() - t0
+        for i in active:
+            slot = self.slots[i]
+            n = int(n_acc[i]) + 1
+            row = [int(x) for x in emitted[i, :n]]
+            slot.kv_hist.extend([int(tokens[i])] + row[:-1])
+            self.perf.n_decode_tokens += n
+            self.perf.n_spec_drafted += lvls
+            self.perf.n_spec_accepted += n - 1
+            for tok in row:
+                self._push_token_host_only(i, tok)
+                if slot.req is None:  # finished mid-row
+                    break
+        return True
+
     # --- host API ------------------------------------------------------------
 
     def submit(self, req: Request) -> int:
@@ -543,6 +629,15 @@ class Engine:
             slot.generated = 0
             slot.history = list(prompt)
             slot.kv_hist = list(prompt)
+            if self._la is not None:
+                # stale n-grams from the previous occupant can only cost
+                # wasted guesses (acceptance admits target-greedy tokens
+                # only), but start each request clean
+                la = self._la
+                la["win"] = la["win"].at[i].set(0)
+                la["pool"] = la["pool"].at[i].set(-1)
+                la["ptr"] = la["ptr"].at[i].set(0)
+                la["jac"] = la["jac"].at[i].set(-1)
             staged.append((i, req, reuse, prompt[reuse:]))
         if not staged:
             return
@@ -784,6 +879,8 @@ class Engine:
             return bool(self.queue)
         if self._can_spec(active):
             return self._step_speculative(active)
+        if self._can_la(active):
+            return self._step_lookahead(active)
 
         tokens = np.zeros((self.n_slots,), np.int32)
         # idle slots still run (static shape) and their KV write must land

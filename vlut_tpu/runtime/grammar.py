@@ -583,3 +583,172 @@ def json_schema_to_gbnf(schema: dict) -> str:
     lines.append(_SPACE.strip())
     lines.append(_PRIMITIVES.strip())
     return "\n".join(lines) + "\n"
+
+
+# --- regex -> GBNF -----------------------------------------------------------
+
+_CLASS_SHORTHAND = {
+    "d": "0-9",
+    "w": "a-zA-Z0-9_",
+    "s": " \\t\\n\\r",
+}
+_CTRL = {"n": "\\n", "t": "\\t", "r": "\\r"}
+# chars that must be escaped inside a GBNF char class body
+_CLASS_META = set("]\\^-")
+
+
+def regex_to_gbnf(pattern: str) -> str:
+    """Regex -> GBNF for constrained decoding (the reference's opt-in
+    llguidance path accepts regex constraints; common/llguidance.cpp).
+
+    Whole-match semantics.  Supported subset: literals, ``.``, escapes
+    (``\\d \\D \\w \\W \\s \\S`` + control/identity escapes), char classes
+    with ranges/negation/shorthands, groups ``( )`` / ``(?: )``,
+    alternation ``|``, quantifiers ``* + ? {m} {m,} {m,n}`` (non-greedy
+    suffixes accepted — greediness is moot for a token mask), and
+    anchors ``^ $`` at the ends (implied).  Backrefs and lookaround raise.
+    """
+    pos = [0]
+    n = len(pattern)
+
+    def peek() -> str:
+        return pattern[pos[0]] if pos[0] < n else ""
+
+    def take() -> str:
+        c = peek()
+        pos[0] += 1
+        return c
+
+    def class_escape_body(c: str) -> str:
+        """One escaped char -> GBNF char-class fragment."""
+        if c in _CLASS_SHORTHAND:
+            return _CLASS_SHORTHAND[c]
+        if c in _CTRL:
+            return _CTRL[c]
+        if c in _CLASS_META:
+            return "\\" + c
+        if c in "DWS":
+            raise GrammarError(
+                f"negated shorthand \\{c} unsupported inside a class"
+            )
+        return re_lit_class(c)
+
+    def re_lit_class(c: str) -> str:
+        return ("\\" + c) if c in _CLASS_META else c
+
+    def parse_alt() -> str:
+        parts = [parse_concat()]
+        while peek() == "|":
+            take()
+            parts.append(parse_concat())
+        return " | ".join(p if p else '""' for p in parts)
+
+    def parse_concat() -> str:
+        items: list[str] = []
+        while peek() and peek() not in "|)":
+            items.append(parse_repeat())
+        return " ".join(i for i in items if i)
+
+    def parse_repeat() -> str:
+        atom = parse_atom()
+        c = peek()
+        if c and (c in "*+?" or (c == "{" and _looks_like_rep())):
+            if c == "{":
+                take()
+                spec = ""
+                while peek() != "}":
+                    spec += take()
+                take()
+                op = "{" + spec + "}"
+            else:
+                op = take()
+            if peek() == "?":  # non-greedy: same language
+                take()
+            if not atom:
+                raise GrammarError(f"quantifier {op!r} with nothing to repeat")
+            return f"{atom}{op}"
+        return atom
+
+    def _looks_like_rep() -> bool:
+        # '{' only starts a quantifier if it closes as {m}, {m,}, {m,n}
+        j = pos[0] + 1
+        seen_digit = False
+        seen_comma = False
+        while j < n:
+            ch = pattern[j]
+            if ch.isdigit():
+                seen_digit = True
+            elif ch == "," and not seen_comma:
+                seen_comma = True
+            elif ch == "}":
+                return seen_digit
+            else:
+                return False
+            j += 1
+        return False
+
+    def parse_atom() -> str:
+        c = take()
+        if c == "(":
+            if peek() == "?":
+                take()
+                m = take()
+                if m != ":":
+                    raise GrammarError(
+                        f"unsupported group (?{m}...) — only (?:...) "
+                        "and capturing groups"
+                    )
+            inner = parse_alt()
+            if take() != ")":
+                raise GrammarError("unbalanced '(' in regex")
+            return f"( {inner} )"
+        if c == "[":
+            neg = peek() == "^"
+            if neg:
+                take()
+            body = ""
+            while peek() != "]":
+                if not peek():
+                    raise GrammarError("unterminated char class")
+                ch = take()
+                if ch == "\\":
+                    body += class_escape_body(take())
+                elif ch == "-" and body and peek() not in "]":
+                    # range: keep as-is (next char appended on next loop)
+                    body += "-"
+                else:
+                    body += re_lit_class(ch)
+            take()
+            return f"[{'^' if neg else ''}{body}]"
+        if c == ".":
+            return "[^\\n]"  # regex dot: any char but newline
+        if c == "\\":
+            e = take()
+            if not e:
+                raise GrammarError("trailing backslash")
+            if e in _CLASS_SHORTHAND:
+                return f"[{_CLASS_SHORTHAND[e]}]"
+            if e in "DWS":
+                return f"[^{_CLASS_SHORTHAND[e.lower()]}]"
+            if e in _CTRL:
+                return f"[{_CTRL[e]}]"
+            if e.isdigit():
+                raise GrammarError("backreferences are unsupported")
+            if e == "b":
+                raise GrammarError("word-boundary \\b is unsupported")
+            return f"[{re_lit_class(e)}]"
+        if c in "^$":
+            # anchors at the pattern edges are implied (whole match)
+            if (c == "^" and pos[0] == 1) or (c == "$" and pos[0] == n):
+                return ""
+            raise GrammarError(f"mid-pattern anchor {c!r} unsupported")
+        if c in "*+?":
+            raise GrammarError(f"quantifier {c!r} with nothing to repeat")
+        return f"[{re_lit_class(c)}]"
+
+    expr = parse_alt()
+    if pos[0] != n:
+        raise GrammarError(
+            f"unbalanced ')' at offset {pos[0]} in regex {pattern!r}"
+        )
+    return f"root ::= {expr}\n"

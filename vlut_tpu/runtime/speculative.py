@@ -12,9 +12,8 @@ faster when the draft agrees.
 XLA-first shape discipline: every round runs the same (B, K) draft scan and
 (B, K+1) verify forward; variable acceptance is handled by per-row write
 offsets into a fixed (B, max_new) output buffer (rejected slots are simply
-overwritten next round).  No vocab translation yet — draft and target must
-share a tokenizer (the reference translates between near-miss vocabs,
-server-context.cpp:663; queued work).
+overwritten next round).  Mismatched draft/target tokenizers are bridged by
+build_vocab_translation (reference: server-context.cpp:663).
 """
 
 from __future__ import annotations
@@ -316,6 +315,143 @@ def make_lookup_fn(
     return lookup_generate
 
 
+def _la_structure(window: int, ngram: int):
+    """Static round structure shared by the standalone loop and the
+    engine's per-slot mode: (T, lvls, intra-round mask (T,T), offsets (T,)).
+
+    Token row layout per round (see make_lookahead_fn docstring):
+      [ current | verification candidate (ngram-1) | W branches x (ngram-1) ]
+    """
+    import numpy as _np
+
+    lvls = ngram - 1
+    t_total = 1 + lvls + window * lvls
+    m_small = _np.zeros((t_total, t_total), bool)
+    m_small[:, 0] = True
+    for i in range(t_total):
+        m_small[i, i] = True
+    for i in range(1, lvls + 1):  # verification rows 1..lvls
+        m_small[i, 1 : i + 1] = True
+    for w in range(window):
+        base = 1 + lvls + w * lvls
+        for l in range(lvls):
+            m_small[base + l, base : base + l + 1] = True
+    off = _np.zeros((t_total,), _np.int32)
+    off[1 : lvls + 1] = _np.arange(1, lvls + 1)
+    for w in range(window):
+        base = 1 + lvls + w * lvls
+        off[base : base + lvls] = _np.arange(1, lvls + 1)
+    return t_total, lvls, m_small, off
+
+
+def _la_select_candidate(pool_b, ptr_b, last_b, jac_b):
+    """Most recent pool n-gram whose first token == current token; falls
+    back to the previous round's target continuation (Jacobi carry)."""
+    pool_size = pool_b.shape[0]
+    idx = jnp.arange(pool_size)
+    age = (ptr_b - 1 - idx) % pool_size  # 0 = newest
+    keyed = pool_b[:, 0] == last_b
+    score = jnp.where(keyed, -age, -(pool_size + 1))
+    best = jnp.argmax(score)
+    found = keyed.any()
+    return jnp.where(found, pool_b[best, 1:], jac_b)
+
+
+def make_lookahead_round(
+    cfg: ModelConfig,
+    window: int = 8,
+    ngram: int = 3,
+    impl: str = "auto",
+) -> Callable:
+    """ONE windowed-lookahead round for the slot engine (the per-slot
+    counterpart of make_lookahead_fn's inner round; reference:
+    examples/lookahead/lookahead.cpp run per server slot).
+
+    Returns jitted
+    f(params, cache, last, lengths, win, pool, ptr, jac)
+      -> (emitted (B, lvls+1), n_acc (B,), cache, win, pool, ptr, jac)
+    where the caller commits tokens emitted[b, :n_acc[b]+1].  Greedy-only;
+    output equals plain greedy decoding exactly.  The T round tokens write
+    cache rows lengths..lengths+T-1; only rows up to lengths+n_acc+1 stay
+    valid (the next round overwrites the rest) — callers must leave
+    t_total rows of headroom.
+    """
+    t_total, lvls, m_small, off = _la_structure(window, ngram)
+    m_small_j = jnp.asarray(m_small)
+    off_j = jnp.asarray(off)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def la_round(params, cache, last, lengths, win_tok, pool, ptr, jac):
+        b = last.shape[0]
+        from vlut_tpu.runtime.kv_cache import max_len_of
+
+        s_max = max_len_of(cache)
+
+        def vocab_mask(logits):
+            v = logits.shape[-1]
+            if v != cfg.vocab_size:
+                logits = jnp.where(
+                    jnp.arange(v) < cfg.vocab_size, logits, -1e30
+                )
+            return logits
+
+        cand = jax.vmap(_la_select_candidate)(pool, ptr, last, jac)
+        seq = jnp.concatenate(
+            [last[:, None], jnp.maximum(cand, 0),
+             win_tok.reshape(b, window * lvls)],
+            axis=1,
+        )  # (B, T)
+        pos = lengths[:, None] + off_j[None, :]
+        s_idx = jnp.arange(s_max)
+        rel = s_idx[None, None, :] - lengths[:, None, None]  # (B,1,S)
+        committed = s_idx[None, None, :] < lengths[:, None, None]
+        in_round = (rel >= 0) & (rel < t_total)
+        rel_c = jnp.clip(rel, 0, t_total - 1)
+        block = m_small_j[
+            jnp.arange(t_total)[None, :, None], rel_c
+        ]  # (B, T, S)
+        mask = committed | (in_round & block)
+
+        lg, cache = forward(
+            params, cfg, seq, pos.astype(jnp.int32), cache, impl=impl,
+            attn_mask=mask,
+        )
+        tgt = jnp.argmax(
+            vocab_mask(lg.astype(jnp.float32)), -1
+        ).astype(jnp.int32)  # (B, T)
+
+        match = cand == tgt[:, :lvls]
+        n_acc = jnp.argmin(
+            jnp.concatenate(
+                [match, jnp.zeros((b, 1), bool)], axis=1
+            ).astype(jnp.int32),
+            axis=1,
+        )
+        emitted = tgt[:, : lvls + 1]
+
+        # Jacobi carry for the no-pool-hit fallback
+        tgt_pad = jnp.concatenate(
+            [tgt[:, : lvls + 1],
+             jnp.tile(tgt[:, lvls : lvls + 1], (1, lvls))], axis=1
+        )
+        jac_next = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (lvls,))
+        )(tgt_pad, n_acc + 1)
+
+        # window refinement + n-gram harvest
+        y_win = tgt[:, 1 + lvls :].reshape(b, window, lvls)
+        grams = jnp.concatenate([win_tok, y_win[:, :, -1:]], axis=2)
+
+        def push(pool_b, ptr_b, grams_b):
+            idxs = (ptr_b + jnp.arange(window)) % pool.shape[1]
+            return pool_b.at[idxs].set(grams_b), ptr_b + window
+
+        pool, ptr = jax.vmap(push)(pool, ptr, grams)
+        return emitted, n_acc, cache, y_win, pool, ptr, jac_next
+
+    return la_round
+
+
 def make_lookahead_fn(
     cfg: ModelConfig,
     max_new: int,
@@ -355,25 +491,9 @@ def make_lookahead_fn(
     Returns jitted f(params, cache, last, lengths)
     -> (out (B, max_new), n_generated (B,), accs, cache).
     """
-    lvls = ngram - 1
-    t_total = 1 + lvls + window * lvls
-
-    import numpy as _np
-
-    # static (T, T) intra-round attention: self + current for everyone,
-    # lower-triangular within the verification branch and within each
-    # window branch
-    m_small = _np.zeros((t_total, t_total), bool)
-    m_small[:, 0] = True
-    for i in range(t_total):
-        m_small[i, i] = True
-    for i in range(1, lvls + 1):  # verification rows 1..lvls
-        m_small[i, 1 : i + 1] = True
-    for w in range(window):
-        base = 1 + lvls + w * lvls
-        for l in range(lvls):
-            m_small[base + l, base : base + l + 1] = True
+    t_total, lvls, m_small, off = _la_structure(window, ngram)
     m_small_j = jnp.asarray(m_small)
+    off_full = off
 
     n_rounds = max_new
 
@@ -392,28 +512,14 @@ def make_lookahead_fn(
                 )
             return logits
 
-        # per-token offsets within the round (static)
-        off = _np.zeros((t_total,), _np.int32)
-        off[1 : lvls + 1] = _np.arange(1, lvls + 1)
-        for w in range(window):
-            base = 1 + lvls + w * lvls
-            off[base : base + lvls] = _np.arange(1, lvls + 1)
-        off_j = jnp.asarray(off)
-
-        def select_candidate(pool_b, ptr_b, last_b, jac_b):
-            # most recent pool n-gram whose first token == current token
-            idx = jnp.arange(pool_size)
-            age = (ptr_b - 1 - idx) % pool_size  # 0 = newest
-            keyed = pool_b[:, 0] == last_b
-            score = jnp.where(keyed, -age, -(pool_size + 1))
-            best = jnp.argmax(score)
-            found = keyed.any()
-            return jnp.where(found, pool_b[best, 1:], jac_b)
+        off_j = jnp.asarray(off_full)
 
         def round_step(carry, _):
             (last, lengths, cache, out, cnt, win_tok, pool, ptr, jac) = carry
 
-            cand = jax.vmap(select_candidate)(pool, ptr, last, jac)  # (B,lvls)
+            cand = jax.vmap(_la_select_candidate)(
+                pool, ptr, last, jac
+            )  # (B, lvls)
             seq = jnp.concatenate(
                 [last[:, None], jnp.maximum(cand, 0),
                  win_tok.reshape(b, window * lvls)],

@@ -188,8 +188,11 @@ class ServerState:
         tokens conditioned on the query (likelihood scoring).
 
         The reference serves dedicated reranker checkpoints with a rank
-        head (tools/server /rerank); generative checkpoints here score by
-        conditional likelihood instead — same API, monotone-equivalent use.
+        head (tools/server /rerank, pooling_type RANK + cls tensor);
+        checkpoints converted from *ForSequenceClassification carry that
+        head as params["rank_head"] and score with it directly.
+        Generative checkpoints score by conditional likelihood instead —
+        same API, monotone-equivalent use.
 
         All documents score in ONE padded batch forward with a T-chunked
         output head (full (B, T, V) logits would be GBs at 128k vocab),
@@ -216,6 +219,7 @@ class ServerState:
         key = (b, bucket)
         if key not in self._rerank_fns:
             chunk = 32
+            has_rank_head = "rank_head" in self.engine.params
 
             @jax.jit
             def _score(params, toks, lens, q_len):
@@ -226,6 +230,15 @@ class ServerState:
                 hidden, _ = forward(
                     params, cfg, toks, pos, None, output="hidden"
                 )
+                if has_rank_head:
+                    rh = params["rank_head"]
+                    h_last = hidden[
+                        jnp.arange(bt), lens - 1
+                    ].astype(jnp.float32)
+                    sc = h_last @ rh["w"].astype(jnp.float32)
+                    if "b" in rh:
+                        sc = sc + rh["b"].astype(jnp.float32)
+                    return sc[:, 0]
                 head = params.get("lm_head")
                 targets = jnp.concatenate(
                     [toks[:, 1:], jnp.zeros((bt, 1), jnp.int32)], axis=1
@@ -320,10 +333,15 @@ def _sampler_from_body(body: dict[str, Any]) -> SamplerParams:
 
 
 def _grammar_from_body(body: dict[str, Any], tok: Tokenizer):
-    from vlut_tpu.runtime.grammar import json_schema_to_gbnf
+    from vlut_tpu.runtime.grammar import json_schema_to_gbnf, regex_to_gbnf
 
     if body.get("grammar"):
         return tok.make_grammar(body["grammar"])
+    # regex constraints (the reference's opt-in llguidance lane; the
+    # `guided_regex` alias matches the common OpenAI-compat extension)
+    rx = body.get("regex") or body.get("guided_regex")
+    if rx:
+        return tok.make_grammar(regex_to_gbnf(rx))
     schema = body.get("json_schema")
     rf = body.get("response_format") or {}
     if schema is None and rf.get("type") == "json_schema":
@@ -347,6 +365,12 @@ def _parse_tool_calls(text: str):
        (Llama-3.x "parameters" spelling accepted)
     6. Llama-3.x builtin — <|python_tag|>code... becomes an ipython
        call {"code": ...} (chat.cpp llama-3.x builtin-tools path)
+    7. DeepSeek V3/R1 — <tool_call_begin>function<tool_sep>NAME
+       ```json args``` <tool_call_end> blocks (the fullwidth-bar
+       markers; chat.cpp COMMON_CHAT_FORMAT_DEEPSEEK_*)
+    8. Command-R7B  — <|START_ACTION|>[{"tool_name","parameters"}, ...]
+       <|END_ACTION|> (chat.cpp COMMON_CHAT_FORMAT_COMMAND_R7B)
+    9. Granite      — <|tool_call|>[{...}] array prefix
     """
     calls = []
     import re
@@ -423,6 +447,56 @@ def _parse_tool_calls(text: str):
         code = code.removesuffix("<|eom_id|>").strip()
         if code:
             return [{"name": "ipython", "arguments": {"code": code}}], ""
+
+    # 7. DeepSeek V3/R1 tool-call blocks (fullwidth-bar special tokens)
+    ds = re.finditer(
+        r"<｜tool▁call▁begin｜>(?:function<｜tool▁sep｜>)?([\w.-]+)\s*"
+        r"```(?:json)?\s*(\{.*?\})\s*```\s*<｜tool▁call▁end｜>",
+        text, re.DOTALL,
+    )
+    for m in ds:
+        try:
+            calls.append(
+                {"name": m.group(1), "arguments": json.loads(m.group(2))}
+            )
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(r"<｜tool▁calls▁begin｜>.*?<｜tool▁calls▁end｜>", "",
+                      text, flags=re.DOTALL)
+        rest = re.sub(r"<｜tool▁call▁begin｜>.*?<｜tool▁call▁end｜>", "",
+                      rest, flags=re.DOTALL).strip()
+        return calls, rest
+
+    # 8. Command-R7B <|START_ACTION|>[...]<|END_ACTION|>
+    m = re.search(r"<\|START_ACTION\|>\s*(\[.*?\])\s*<\|END_ACTION\|>",
+                  text, re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            arr = None
+        if isinstance(arr, list) and all(
+            isinstance(o, dict) and "tool_name" in o for o in arr
+        ):
+            calls = [
+                {"name": o["tool_name"],
+                 "arguments": o.get("parameters", {})}
+                for o in arr
+            ]
+            rest = (text[: m.start()] + text[m.end():])
+            rest = re.sub(r"<\|(?:START|END)_(?:THINKING|RESPONSE)\|>", "",
+                          rest).strip()
+            return calls, rest
+
+    # 9. Granite <|tool_call|>[{...}] prefix
+    if stripped.startswith("<|tool_call|>"):
+        try:
+            arr = json.loads(stripped[len("<|tool_call|>"):])
+            if isinstance(arr, list) and all(_shaped(o) for o in arr):
+                return arr, ""
+        except json.JSONDecodeError:
+            pass
     return [], text
 
 
@@ -1108,6 +1182,12 @@ def main(argv=None):
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for per-slot speculative decode")
     ap.add_argument("--draft-k", type=int, default=4)
+    ap.add_argument("--lookahead", action="store_true",
+                    help="per-slot draft-free windowed lookahead decode "
+                         "(greedy requests only; others use the normal "
+                         "step)")
+    ap.add_argument("--lookahead-window", type=int, default=8)
+    ap.add_argument("--lookahead-ngram", type=int, default=3)
     ap.add_argument("--promote", choices=("i2", "i1"), default=None,
                     help="repack weights to this format at load (i1 "
                          "checkpoints serve ~1.7x faster promoted to i2)")
@@ -1132,7 +1212,11 @@ def main(argv=None):
         params = jax.device_put(params)
         engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
                         kv_quant=(args.cache_type == "q8"),
-                        draft=draft, k_draft=args.draft_k)
+                        draft=draft, k_draft=args.draft_k,
+                        lookahead=(
+                            (args.lookahead_window, args.lookahead_ngram)
+                            if args.lookahead else None
+                        ))
         models[name] = (engine, Tokenizer(path))
     httpd, _ = serve_multi(
         models, args.host, args.port, default=next(iter(models))
