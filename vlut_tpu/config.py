@@ -46,6 +46,24 @@ class ModelConfig:
     attn_scale: float = 0.0       # custom 1/scale for QK^T; 0 = 1/sqrt(hd)
     sliding_window: int = 0       # SWA width; 0 = all-global attention
     sliding_window_pattern: int = 0  # every Nth layer is global (gemma2: 2)
+    # --- second arch-superset wave (gptneox/phi-2/starcoder2/cohere/
+    # stablelm families; reference src/models/{gptneox,phi2,starcoder2,
+    # command-r,stablelm}.cpp) ---------------------------------------------
+    parallel_residual: bool = False  # x + attn(h) + ffn(h'): gptneox (two
+    # norms), phi-2/cohere (single norm — ffn reuses the attn-normed input)
+    rope_pct: float = 1.0         # partial rotary: rope on the first
+    # rope_pct*head_dim dims only (gptneox rotary_pct, phi-2/stablelm
+    # partial_rotary_factor)
+    ffn_gated: bool = True        # False: classic up -> act -> down MLP
+    rope_interleaved: bool = False  # original-GPT-style pairwise rope
+    # (cohere/GLM; reference ROPE_TYPE_NORM vs NEOX).  Implemented as an
+    # even|odd channel permutation of q/k before half-split rope — the
+    # inverse permutation cancels inside the q.k dot, so attention and
+    # the KV cache stay layout-consistent.
+    norm_type: str = "rms"        # "rms" | "ln" (LayerNorm, mean-centered,
+    # optional per-norm bias tensors "<name>_b")
+    proj_bias: bool = False       # biases on wo and the FFN projections
+    # (gptneox/phi-2/starcoder2 put biases on every linear)
     # --- mixture of experts (mixtral/qwen-moe family; reference
     # build_moe_ffn, src/llama-graph.cpp:1045) -----------------------------
     n_experts: int = 0

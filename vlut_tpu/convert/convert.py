@@ -71,6 +71,12 @@ _BIAS_MAP = {
     "self_attn.k_proj": "bk",
     "self_attn.v_proj": "bv",
 }
+# gptneox/phi-2/starcoder2 bias-everywhere archs (cfg.proj_bias)
+_PROJ_BIAS_MAP = {
+    "self_attn.o_proj": "bo",
+    "mlp.up_proj": "b_up",
+    "mlp.down_proj": "b_down",
+}
 # MoE: router + per-expert projections (mixtral w1/w3/w2 = gate/up/down)
 _MOE_EXPERT_RE = re.compile(
     r"(?:block_sparse_moe|mlp)\.experts\.(\d+)\."
@@ -141,6 +147,44 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             embed_scale=raw.get("scale_emb", 1.0),
             logit_scale=raw.get("dim_model_base", d_model) / d_model,
         )
+    # --- LN / parallel-residual wave (reference src/models/{gptneox,phi2,
+    # starcoder2,command-r,stablelm}.cpp) ----------------------------------
+    if mt == "gpt_neox":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn={"gelu": "gelu_exact"}.get(
+                raw.get("hidden_act", "gelu"), "gelu"),
+            parallel_residual=raw.get("use_parallel_residual", True),
+            rope_pct=raw.get("rotary_pct", 0.25),
+        )
+        raw.setdefault("rope_theta", raw.get("rotary_emb_base", 10000.0))
+    if mt == "phi":
+        # phi-2: single pre-norm feeds both branches (no ffn_norm tensor)
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu", parallel_residual=True,
+            rope_pct=raw.get("partial_rotary_factor", 0.5),
+        )
+    if mt == "starcoder2":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu",
+        )
+    if mt == "cohere":
+        # command-r: bias-free LN, single-norm parallel residual, scaled
+        # logits, tied embeddings, original-GPT interleaved rope
+        extra.update(
+            norm_type="ln", parallel_residual=True,
+            logit_scale=raw.get("logit_scale", 1.0),
+            rope_interleaved=True,
+        )
+    if mt == "stablelm":
+        extra.update(
+            norm_type="ln",
+            qkv_bias=raw.get("use_qkv_bias", False),
+            rope_pct=raw.get("partial_rotary_factor", 0.25),
+            parallel_residual=raw.get("use_parallel_residual", False),
+        )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
     if n_experts:
         extra.update(
@@ -159,10 +203,13 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         n_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
         d_ff=extra.pop("d_ff", raw["intermediate_size"]),
         head_dim=raw.get("head_dim"),
-        rms_eps=raw.get("rms_norm_eps", 1e-5),
+        rms_eps=raw.get("rms_norm_eps", raw.get(
+            "layer_norm_eps", raw.get("layer_norm_epsilon", raw.get(
+                "norm_epsilon", raw.get("norm_eps", 1e-5))))),
         rope_theta=raw.get("rope_theta", 10000.0),
         rope_scaling=rope_scaling,
-        tie_embeddings=raw.get("tie_word_embeddings", False),
+        # cohere omits the key because tied is its config default
+        tie_embeddings=raw.get("tie_word_embeddings", mt == "cohere"),
         use_subnorms=is_bitnet,
         max_seq_len=min(raw.get("max_position_embeddings", 4096), 131072),
         **extra,
@@ -395,8 +442,65 @@ def convert_hf(
 
     layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)$")
     vision_raw: dict[str, np.ndarray] = {}
+    mt0 = raw0.get("model_type", "")
+
+    def canon(name: str) -> str:
+        """Arch-specific HF tensor names -> the llama-style canonical names
+        the mapping tables below understand (the analog of the reference's
+        per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
+        if mt0 == "gpt_neox":
+            name = name.replace("gpt_neox.embed_in.", "model.embed_tokens.")
+            name = name.replace("gpt_neox.final_layer_norm.", "model.norm.")
+            if name.startswith("embed_out."):
+                name = "lm_head." + name[len("embed_out."):]
+            name = name.replace("gpt_neox.layers.", "model.layers.")
+            name = name.replace(".attention.dense.", ".self_attn.o_proj.")
+            name = name.replace(".attention.query_key_value.",
+                                ".self_attn.qkv_interleaved.")
+            name = name.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+        elif mt0 == "phi":
+            name = name.replace("model.final_layernorm.", "model.norm.")
+            name = name.replace(".self_attn.dense.", ".self_attn.o_proj.")
+            name = name.replace(".mlp.fc1.", ".mlp.up_proj.")
+            name = name.replace(".mlp.fc2.", ".mlp.down_proj.")
+        elif mt0 == "starcoder2":
+            name = name.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "internlm2":
+            name = name.replace("model.tok_embeddings.",
+                                "model.embed_tokens.")
+            if name.startswith("output."):
+                name = "lm_head." + name[len("output."):]
+            name = name.replace(".attention.wqkv.",
+                                ".self_attn.qkv_grouped.")
+            name = name.replace(".attention.wo.", ".self_attn.o_proj.")
+            name = name.replace(".feed_forward.w1.", ".mlp.gate_proj.")
+            name = name.replace(".feed_forward.w3.", ".mlp.up_proj.")
+            name = name.replace(".feed_forward.w2.", ".mlp.down_proj.")
+            name = name.replace(".attention_norm.", ".input_layernorm.")
+            name = name.replace(".ffn_norm.", ".post_attention_layernorm.")
+        elif mt0 == "exaone":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.attention.q_proj.",
+                                ".self_attn.q_proj.")
+            name = name.replace(".attn.attention.k_proj.",
+                                ".self_attn.k_proj.")
+            name = name.replace(".attn.attention.v_proj.",
+                                ".self_attn.v_proj.")
+            name = name.replace(".attn.attention.out_proj.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".mlp.c_fc_0.", ".mlp.gate_proj.")
+            name = name.replace(".mlp.c_fc_1.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        return name
 
     for name, w in _iter_hf_tensors(hf_dir):
+        name = canon(name)
         if name.endswith("weight_scale"):
             continue
         if name.startswith(("vision_tower.", "multi_modal_projector.")):
@@ -418,6 +522,13 @@ def convert_hf(
         if name == "model.norm.weight":
             top["final_norm"] = np.asarray(w, np.float32)
             continue
+        if name == "model.norm.bias":
+            top["final_norm_b"] = np.asarray(w, np.float32)
+            continue
+        if name == "lm_head.bias":
+            v = np.asarray(w, np.float32)
+            top["lm_head_b"] = np.pad(v, (0, plan.vocab_p - v.shape[0]))
+            continue
         if name in ("score.weight", "classifier.weight"):
             # *ForSequenceClassification rank head (rerankers): (C, D) ->
             # (D, C); served by /rerank (reference: pooling_type RANK +
@@ -435,12 +546,28 @@ def convert_hf(
             continue
         li, sub, kind = int(m.group(1)), m.group(2), m.group(3)
         if kind == "bias":
+            v = np.asarray(w, np.float32)
             if sub in _BIAS_MAP and cfg.qkv_bias:
                 pname = _BIAS_MAP[sub]
-                v = np.asarray(w, np.float32)
                 heads = cfg.n_heads if pname == "bq" else cfg.n_kv_heads
-                v = pad_vec_heads(v, heads, plan.hd, plan.hd_p)
+                note_layer(pname, li, pad_vec_heads(
+                    v, heads, plan.hd, plan.hd_p))
+            elif sub == "self_attn.qkv_interleaved" and cfg.qkv_bias:
+                # gptneox fused qkv bias: per-head [q; k; v] interleave
+                h_, hd_ = cfg.n_heads, plan.hd
+                v3 = v.reshape(h_, 3, hd_)
+                for j, pname in enumerate(("bq", "bk", "bv")):
+                    note_layer(pname, li, pad_vec_heads(
+                        v3[:, j].reshape(-1), h_, plan.hd, plan.hd_p))
+            elif cfg.proj_bias and sub in _PROJ_BIAS_MAP:
+                pname = _PROJ_BIAS_MAP[sub]
+                if pname == "b_up":
+                    v = scatter_vec(
+                        v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
+                    )
                 note_layer(pname, li, v)
+            elif cfg.norm_type == "ln" and sub in norm_map:
+                note_layer(norm_map[sub] + "_b", li, v)
             else:
                 log.warning("skipping bias tensor %s", name)
             continue
@@ -471,6 +598,28 @@ def convert_hf(
                 _maybe_unpack_2bit(name, w, side_scales),
                 li, expert=int(em.group(1)),
             )
+            continue
+        # gptneox fused qkv: rows interleave [q; k; v] PER HEAD
+        if sub == "self_attn.qkv_interleaved":
+            wf = np.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), np.float32
+            )
+            h_, hd_ = cfg.n_heads, cfg.head_dim_
+            w3 = wf.reshape(h_, 3, hd_, cfg.d_model)
+            for j, pname in enumerate(("wq", "wk", "wv")):
+                pack_proj(pname, w3[:, j].reshape(h_ * hd_, -1), li)
+            continue
+        # internlm2 fused wqkv: rows grouped per KV group [q*g; k; v]
+        if sub == "self_attn.qkv_grouped":
+            wf = np.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), np.float32
+            )
+            kvh, hd_ = cfg.n_kv_heads, cfg.head_dim_
+            g = cfg.n_heads // kvh
+            wg = wf.reshape(kvh, g + 2, hd_, cfg.d_model)
+            pack_proj("wq", wg[:, :g].reshape(kvh * g * hd_, -1), li)
+            pack_proj("wk", wg[:, g].reshape(kvh * hd_, -1), li)
+            pack_proj("wv", wg[:, g + 1].reshape(kvh * hd_, -1), li)
             continue
         # phi3-style fused projections
         if sub == "self_attn.qkv_proj":

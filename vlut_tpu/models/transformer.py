@@ -192,7 +192,7 @@ def fuse_projections(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]
     layers = params["layers"]
     if "wqkv" in layers or cfg.qkv_bias:
         return params
-    if any("lora_a" in layers.get(n, {}) for n in
+    if any(k in layers.get(n, {}) for k in ("lora_a", "dense") for n in
            ("wq", "wk", "wv", "w_gate", "w_up")):
         return params
     plan = make_plan(cfg)
@@ -218,9 +218,10 @@ def fuse_projections(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]
         for n in names:
             del out[n]
 
-    fuse(["wq", "wk", "wv"],
-         [plan.q_dim_p, plan.kv_dim_p, plan.kv_dim_p], "wqkv")
-    if not cfg.n_experts:
+    if all(n in out for n in ("wq", "wk", "wv")):
+        fuse(["wq", "wk", "wv"],
+             [plan.q_dim_p, plan.kv_dim_p, plan.kv_dim_p], "wqkv")
+    if not cfg.n_experts and cfg.ffn_gated and not cfg.proj_bias:
         fuse(["w_gate", "w_up"], [plan.ff_p, plan.ff_p], "w_gateup")
     return {**params, "layers": out}
 
@@ -387,6 +388,8 @@ def init_params(
             "scale": jnp.asarray(np.stack(scales)),
         }
 
+    if not cfg.ffn_gated:
+        del logical_dims["w_gate"]
     moe = cfg.n_experts
     layers: dict[str, Any] = {
         name: stack_ternary(
@@ -396,6 +399,19 @@ def init_params(
     }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
+    if cfg.norm_type == "ln":
+        for nm in ("attn_norm_b", "ffn_norm_b"):
+            layers[nm] = jnp.asarray(
+                rng.standard_normal((cfg.n_layers, cfg.d_model)) * 0.02,
+                jnp.float32,
+            )
+    if cfg.proj_bias:
+        for nm, width in (("bo", cfg.d_model), ("b_up", plan.ff_p),
+                          ("b_down", cfg.d_model)):
+            layers[nm] = jnp.asarray(
+                rng.standard_normal((cfg.n_layers, width)) * 0.02,
+                jnp.float32,
+            )
     if cfg.use_subnorms:
         layers["attn_sub_norm"] = jnp.ones(
             (cfg.n_layers, plan.wo_in_p), jnp.float32
@@ -431,6 +447,10 @@ def init_params(
         "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
         "layers": layers,
     }
+    if cfg.norm_type == "ln":
+        params["final_norm_b"] = jnp.asarray(
+            rng.standard_normal((cfg.d_model,)) * 0.02, jnp.float32
+        )
     if not cfg.tie_embeddings:
         head = rng.standard_normal((cfg.d_model, plan.vocab_p)) * 0.02
         head[:, cfg.vocab_size :] = 0.0
@@ -463,6 +483,24 @@ def _rms(x, weight, eps, n_logical, tp_axis=None, plus_one=False):
     if plus_one:
         w = 1.0 + w
     out = xf * jax.lax.rsqrt(ss / n_logical + eps) * w
+    return out.astype(x.dtype)
+
+
+def _layernorm(x, weight, bias, eps, n_logical, tp_axis=None):
+    """Mean-centered LayerNorm (gptneox/phi-2/starcoder2/cohere norms;
+    reference build_norm LLM_NORM, src/llama-graph.cpp).  bias None for
+    bias-free variants (cohere)."""
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    if tp_axis is not None:
+        s1 = jax.lax.psum(s1, tp_axis)
+        s2 = jax.lax.psum(s2, tp_axis)
+    mean = s1 / n_logical
+    var = s2 / n_logical - mean * mean
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
@@ -640,10 +678,16 @@ def forward(
         attn_mask=attn_mask,
     )
 
-    x = _rms(
-        x, params["final_norm"], cfg.rms_eps, cfg.d_model,
-        plus_one=cfg.norm_plus_one,
-    )
+    if cfg.norm_type == "ln":
+        x = _layernorm(
+            x, params["final_norm"], params.get("final_norm_b"),
+            cfg.rms_eps, cfg.d_model,
+        )
+    else:
+        x = _rms(
+            x, params["final_norm"], cfg.rms_eps, cfg.d_model,
+            plus_one=cfg.norm_plus_one,
+        )
     if output == "hidden":
         # embeddings path (reference: llama_get_embeddings / pooling in
         # src/llama-context.cpp) — final-norm hidden states, no lm_head
@@ -682,6 +726,9 @@ def forward(
             head.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+    if "lm_head_b" in params:
+        # phi-2 style output-head bias
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
     if cfg.logit_scale != 1.0:
         # granite logits_scaling divide / minicpm dim_model_base ratio
         # (reference: llm_build_granite res scaling, src/models/)
@@ -729,11 +776,42 @@ def run_layers(
     kv_heads_l = cfg.n_kv_heads // tp_size
     hd_p = plan.hd_p
     b, t = positions.shape
+    rot = plan.hd
+    if cfg.rope_pct < 1.0:
+        # partial rotary (gptneox rotary_pct, phi-2/stablelm
+        # partial_rotary_factor): rope only the first rot dims, pass the
+        # rest through.  Under the padded-head layout the logical prefix
+        # maps identically as long as rot <= hd//2 (head_positions keeps
+        # the first half contiguous).
+        rot = int(plan.hd * cfg.rope_pct) // 2 * 2
+        if plan.hd != hd_p and rot > plan.hd // 2:
+            raise ValueError(
+                f"rope_pct={cfg.rope_pct} needs rot <= head_dim/2 when the "
+                f"head dim is lane-padded ({plan.hd} -> {hd_p})"
+            )
     cos, sin = rope_table(
-        cfg.max_seq_len, plan.hd, cfg.rope_theta, cfg.rope_scaling,
-        pad_to=hd_p,
+        cfg.max_seq_len, rot, cfg.rope_theta, cfg.rope_scaling,
+        pad_to=hd_p if rot == plan.hd else None,
     )
     safe_pos = jnp.maximum(positions, 0)
+
+    if cfg.rope_interleaved and (plan.hd != hd_p or rot != plan.hd):
+        raise ValueError(
+            "rope_interleaved requires an unpadded head dim and full "
+            "rope (the even|odd permutation does not commute with the "
+            "padded-head layout or a partial-rotary split)"
+        )
+
+    def rope_fn(z, pos):
+        if cfg.rope_interleaved:
+            # original-GPT pairwise rope: permute even|odd channels, then
+            # half-split rope.  The inverse permutation is dropped — it
+            # cancels in the q.k dot (see config.rope_interleaved).
+            z = jnp.concatenate([z[..., 0::2], z[..., 1::2]], axis=-1)
+        if rot == plan.hd:
+            return apply_rope(z, pos, cos, sin)
+        zr = apply_rope(z[..., :rot], pos, cos, sin)
+        return jnp.concatenate([zr, z[..., rot:]], axis=-1)
 
     use_cache = kv is not None
     quant_kv = use_cache and "k_scale" in kv
@@ -915,11 +993,21 @@ def run_layers(
     def norm_gain(w):
         return (1.0 + w.astype(jnp.float32)) if p1 else w
 
+    std_norm = cfg.norm_type == "rms"
+
+    def norm_d(z, lp, name):
+        """d_model-width pre/post norm, rms or ln per cfg.norm_type."""
+        if std_norm:
+            return _rms(z, lp[name], cfg.rms_eps, cfg.d_model,
+                        tp_axis=None, plus_one=p1)
+        return _layernorm(z, lp[name], lp.get(name + "_b"), cfg.rms_eps,
+                          cfg.d_model)
+
     def layer_step(x, xs):
         # kvio: _LayerKV/_StackedKV or None (cache-less)
         lp, kvio, window = xs
 
-        if "wqkv" in lp and can_fuse(lp, "wqkv"):
+        if "wqkv" in lp and can_fuse(lp, "wqkv") and std_norm:
             # attn_norm + activation-quant + qkv GEMM in one kernel
             qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
             spec_qkv = TernarySpec(
@@ -935,10 +1023,9 @@ def run_layers(
             q = qkv[..., :qd]
             k = qkv[..., qd : qd + kvd]
             v = qkv[..., qd + kvd :]
+            h_attn = None  # never materialized on the fused path
         elif "wqkv" in lp:
-            h = _rms(
-                x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1
-            )
+            h_attn = h = norm_d(x, lp, "attn_norm")
             qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
             spec_qkv = TernarySpec(
                 cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
@@ -948,9 +1035,7 @@ def run_layers(
             k = qkv[..., qd : qd + kvd]
             v = qkv[..., qd + kvd :]
         else:
-            h = _rms(
-                x, lp["attn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1
-            )
+            h_attn = h = norm_d(x, lp, "attn_norm")
             q = proj(h, lp, "wq")
             k = proj(h, lp, "wk")
             v = proj(h, lp, "wv")
@@ -965,8 +1050,8 @@ def run_layers(
             # per-head RMSNorm over the (logical) head dim (qwen3/gemma3)
             q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
             k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
-        q = apply_rope(q, safe_pos, cos, sin)
-        k = apply_rope(k, safe_pos, cos, sin)
+        q = rope_fn(q, safe_pos)
+        k = rope_fn(k, safe_pos)
 
         if use_cache:
             if "no_kv_write" in _ABLATE():
@@ -1000,8 +1085,10 @@ def run_layers(
                 ((0, 0), (0, 0), (0, 0), (0, plan.wo_chunk_p - plan.wo_chunk)),
             )
         att = att.reshape(b, t, chunks_l * plan.wo_chunk_p)
+        par = cfg.parallel_residual
         if (
             can_fuse(lp, "wo") and tp_axis is None and not cfg.post_norms
+            and not par and not cfg.proj_bias
         ):
             # [attn_sub_norm] + quant + wo GEMM + residual in one kernel
             from vlut_tpu.ops.matmul import ternary_matmul_fused
@@ -1022,10 +1109,17 @@ def run_layers(
             o = proj(att, lp, "wo")
             if tp_axis is not None:
                 o = jax.lax.psum(o, tp_axis)
+            if cfg.proj_bias and "bo" in lp:
+                o = o + lp["bo"].astype(o.dtype)
             if cfg.post_norms:
                 o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
                          plus_one=p1)
-            x = x + o.astype(x.dtype)
+            if par:
+                # gptneox/phi-2/cohere: the FFN branches off the SAME layer
+                # input; both branch outputs add to the residual at the end
+                attn_out = o
+            else:
+                x = x + o.astype(x.dtype)
 
         ffn_fused = (
             not cfg.n_experts
@@ -1035,6 +1129,9 @@ def run_layers(
             and cfg.act_fn == "silu"
             and tp_axis is None
             and not cfg.post_norms
+            and std_norm
+            and not par
+            and not cfg.proj_bias
         )
         if ffn_fused:
             # kernel 1: ffn_norm + quant + gate/up GEMM
@@ -1061,12 +1158,26 @@ def run_layers(
                 x = x + lp["cvector"].astype(x.dtype)
             return x
 
-        h = _rms(x, lp["ffn_norm"], cfg.rms_eps, cfg.d_model, plus_one=p1)
+        if par and "ffn_norm" not in lp:
+            # single-norm parallel residual (phi-2/cohere): the FFN reads
+            # the attention branch's normed input
+            assert h_attn is not None, (
+                "parallel_residual without ffn_norm requires the unfused "
+                "qkv path (the fused kernel never materializes h)"
+            )
+            h = h_attn
+        else:
+            h = norm_d(x, lp, "ffn_norm")
 
-        act_f = (
-            jax.nn.silu if cfg.act_fn == "silu"
-            else lambda z: jax.nn.gelu(z, approximate=True)
-        )
+        act_f = {
+            "silu": jax.nn.silu,
+            # "gelu" = tanh approximation (gemma/phi-2 gelu_new /
+            # starcoder2 gelu_pytorch_tanh); "gelu_exact" = erf form
+            # (gptneox/pythia hidden_act="gelu")
+            "gelu": lambda z: jax.nn.gelu(z, approximate=True),
+            "gelu_exact": lambda z: jax.nn.gelu(z, approximate=False),
+            "relu2": lambda z: jnp.square(jax.nn.relu(z)),  # nemotron
+        }[cfg.act_fn]
 
         def dense_ffn(hh, gate_t, up_t, down_t):
             gate = mm(hh, gate_t)
@@ -1149,18 +1260,25 @@ def run_layers(
                 dn = jax.lax.psum(dn, ep_axis)
             dn = dn.astype(x.dtype)
         else:
-            if "w_gateup" in lp:
-                ffl = plan.ff_p // tp_size
-                spec_gu = TernarySpec(
-                    cfg.d_model, 2 * ffl, cfg.weight_fmt,
-                    specs["w_down"].kb,
-                )
-                gu = mm(h, _layer_tensor(lp, "w_gateup", spec_gu))
-                gate, up = gu[..., :ffl], gu[..., ffl:]
-            else:
-                gate = proj(h, lp, "w_gate")
+            if not cfg.ffn_gated:
+                # classic MLP (gptneox/phi-2/starcoder2): up -> act -> down
                 up = proj(h, lp, "w_up")
-            a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+                if cfg.proj_bias and "b_up" in lp:
+                    up = up + lp["b_up"].astype(up.dtype)
+                a = act_f(up.astype(jnp.float32))
+            else:
+                if "w_gateup" in lp:
+                    ffl = plan.ff_p // tp_size
+                    spec_gu = TernarySpec(
+                        cfg.d_model, 2 * ffl, cfg.weight_fmt,
+                        specs["w_down"].kb,
+                    )
+                    gu = mm(h, _layer_tensor(lp, "w_gateup", spec_gu))
+                    gate, up = gu[..., :ffl], gu[..., ffl:]
+                else:
+                    gate = proj(h, lp, "w_gate")
+                    up = proj(h, lp, "w_up")
+                a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
             a = a.astype(x.dtype)
             if cfg.use_subnorms:
                 a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
@@ -1168,10 +1286,15 @@ def run_layers(
             dn = proj(a, lp, "w_down")
         if tp_axis is not None:
             dn = jax.lax.psum(dn, tp_axis)
+        if cfg.proj_bias and "b_down" in lp:
+            dn = dn + lp["b_down"].astype(dn.dtype)
         if cfg.post_norms:
             dn = _rms(dn, lp["post_ffn_norm"], cfg.rms_eps, cfg.d_model,
                       plus_one=p1)
-        x = x + dn.astype(x.dtype)
+        if par:
+            x = x + attn_out.astype(x.dtype) + dn.astype(x.dtype)
+        else:
+            x = x + dn.astype(x.dtype)
         if "cvector" in lp:
             # control-vector steering (llama-adapter.cpp cvector)
             x = x + lp["cvector"].astype(x.dtype)

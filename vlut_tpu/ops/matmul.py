@@ -194,6 +194,10 @@ def ternary_matmul_fused(
             norm_n=norm_n or t.k, eps=eps,
             out_dtype=out_dtype,
             interpret=(resolved == "pallas_interpret"),
+            # measured SLOWER than the plain kernel (v5e: the decode-bound
+            # step leaves nothing to overlap; the scratch round-trip only
+            # adds VMEM traffic) — kept as an A/B flag, default off
+            pipe=os.environ.get("VLUT_TPU_PIPE_DECODE", "0") == "1",
         )
         return out[:m, : t.n].reshape(*batch, t.n)
 

@@ -444,11 +444,112 @@ def _decode_kernel(
         out_ref[:] = out.astype(out_dtype)
 
 
+def _decode_kernel_pipe(
+    *refs,
+    fmt: str,
+    kb: int,
+    bk: int,
+    bn: int,
+    n_k: int,
+    n_j: int,
+    mode: str,
+    sub_norm: bool,
+    norm_n: int,
+    eps: float,
+    has_res: bool,
+    out_dtype,
+):
+    """Software-pipelined variant of :func:`_decode_kernel`.
+
+    The plain kernel serializes VPU trit-decode and MXU dot within each
+    grid step; at M=32 the two cost nearly the same cycles (i2 word decode
+    ~2 lane-ops/trit vs a 32-row int8 dot), so the step runs ~2x the
+    max(VPU, MXU) floor.  Here the grid is the flattened (j, kk) sequence
+    plus one drain step, and step s DECODES tile s into wbuf[s%2] while
+    DOTTING tile s-1 from wbuf[(s+1)%2] — independent buffers, both
+    unconditional, so Mosaic's scheduler can overlap the units.
+    Accumulator handoff uses a first-tile select instead of a zeroing
+    branch; the s=0 dot is garbage and is overwritten at s=1 (both have
+    sm1 % n_k == 0).
+    """
+    it = iter(refs)
+    x1_ref = next(it)
+    x2_ref = next(it) if mode == "silu_mul" else None
+    g_ref = next(it) if (mode == "norm" or sub_norm) else None
+    p_ref = next(it)
+    ws_ref = next(it)
+    res_ref = next(it) if has_res else None
+    out_ref = next(it)
+    xq_ref = next(it)
+    xs_ref = next(it)
+    acc_ref = next(it)
+    wa_ref = next(it)
+    wb_ref = next(it)
+
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _prologue():
+        xf = x1_ref[:].astype(jnp.float32)
+        if mode == "silu_mul":
+            xf = xf * jax.lax.logistic(xf) * x2_ref[:].astype(jnp.float32)
+            if sub_norm:
+                xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+        if mode == "norm" or sub_norm:
+            ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(ss / norm_n + eps)
+            xf = xf * g_ref[:].astype(jnp.float32)
+        if mode != "plain":
+            xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs_ref[:] = amax / 127.0
+        inv = jnp.where(amax > 0, 127.0 / jnp.maximum(amax, 1e-30), 0.0)
+        xq_ref[:] = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+        # the s=0 dot reads buf B before anything decoded into it; zero
+        # it so the discarded first accumulate is at least deterministic
+        wb_ref[:] = jnp.zeros_like(wb_ref)
+
+    # decode tile s while dotting tile s-1 from the OTHER buffer: two
+    # static scratch refs selected by parity branches (a dynamic-index
+    # single buffer makes Mosaic assume aliasing and serialize)
+    sm1 = jnp.maximum(s - 1, 0)
+    kk_d = sm1 % n_k
+    xq = xq_ref[:, pl.dslice(kk_d * bk, bk)]
+    rs = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+
+    def _body(dst_ref, src_ref):
+        dst_ref[:] = _unpack_tile(p_ref[:], fmt, kb, bk, bn)
+        d = (
+            jax.lax.dot_general(
+                xq, src_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            - rs
+        )
+        acc_ref[:] = jnp.where(kk_d == 0, d, acc_ref[:] + d)
+
+    @pl.when(s % 2 == 0)
+    def _even():
+        _body(wa_ref, wb_ref)
+
+    @pl.when(s % 2 == 1)
+    def _odd():
+        _body(wb_ref, wa_ref)
+
+    @pl.when((s >= 1) & (kk_d == n_k - 1))
+    def _flush():
+        out = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+        if has_res:
+            out = res_ref[:] + out.astype(res_ref.dtype)
+        out_ref[:] = out.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "fmt", "kb", "k", "bn", "bk", "mode", "sub_norm", "norm_n", "eps",
-        "out_dtype", "interpret",
+        "out_dtype", "interpret", "pipe",
     ),
 )
 def ternary_gemm_decode(
@@ -470,6 +571,7 @@ def ternary_gemm_decode(
     eps: float = 1e-5,
     out_dtype=jnp.float32,
     interpret: bool = False,
+    pipe: bool = False,
 ) -> jax.Array:
     """Fused elementwise->quant->GEMM->residual decode projection."""
     m, kp = x1.shape
@@ -478,7 +580,70 @@ def ternary_gemm_decode(
     rows_k = _rows_per_bk(bk, fmt, packed.dtype)
     assert np_ % bn == 0 and kp % bk == 0 and bk % kb == 0
     n_k = kp // bk
-    grid = (np_ // bn, n_k)
+    n_j = np_ // bn
+    # pipelined variant double-buffers the decoded tile; cap its VMEM
+    if pipe and 2 * bk * bn > 4 << 20:
+        pipe = False
+    flops = 2 * m * np_ * kp
+    bytes_accessed = m * kp * 2 + kp * np_ // r + m * np_ * 4
+
+    if pipe:
+        total = n_j * n_k
+        kernel = functools.partial(
+            _decode_kernel_pipe,
+            fmt=fmt, kb=kb, bk=bk, bn=bn, n_k=n_k, n_j=n_j, mode=mode,
+            sub_norm=sub_norm, norm_n=norm_n, eps=eps,
+            has_res=residual is not None, out_dtype=out_dtype,
+        )
+        # decode-side indices follow step s (clamped for the drain step);
+        # dot/output-side indices follow s-1 (clamped at the warm-up step)
+        def p_map(s):
+            sc = jnp.minimum(s, total - 1)
+            return (sc % n_k, sc // n_k)
+
+        def o_map(s):
+            return (0, jnp.clip((s - 1) // n_k, 0, n_j - 1))
+
+        x_spec = pl.BlockSpec((m, kp), lambda s: (0, 0))
+        in_specs = [x_spec]
+        args = [x1]
+        if mode == "silu_mul":
+            in_specs.append(x_spec)
+            args.append(x2)
+        if mode == "norm" or sub_norm:
+            in_specs.append(pl.BlockSpec((1, kp), lambda s: (0, 0)))
+            args.append(norm_g.reshape(1, kp))
+        in_specs.append(pl.BlockSpec((rows_k, bn), p_map))
+        args.append(packed)
+        in_specs.append(pl.BlockSpec((1, bn), o_map))
+        args.append(w_scale.reshape(1, np_))
+        if residual is not None:
+            in_specs.append(pl.BlockSpec((m, bn), o_map))
+            args.append(residual)
+        return pl.pallas_call(
+            kernel,
+            grid=(total + 1,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((m, bn), o_map),
+            out_shape=jax.ShapeDtypeStruct((m, np_), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((m, kp), jnp.int8),
+                pltpu.VMEM((m, 1), jnp.float32),
+                pltpu.VMEM((m, bn), jnp.int32),
+                pltpu.VMEM((bk, bn), jnp.int8),
+                pltpu.VMEM((bk, bn), jnp.int8),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=bytes_accessed,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    grid = (n_j, n_k)
     kernel = functools.partial(
         _decode_kernel,
         fmt=fmt, kb=kb, bk=bk, bn=bn, n_k=n_k, mode=mode,
@@ -501,8 +666,6 @@ def ternary_gemm_decode(
     if residual is not None:
         in_specs.append(pl.BlockSpec((m, bn), lambda j, kk: (0, j)))
         args.append(residual)
-    flops = 2 * m * np_ * kp
-    bytes_accessed = m * kp * 2 + kp * np_ // r + m * np_ * 4
     return pl.pallas_call(
         kernel,
         grid=grid,
