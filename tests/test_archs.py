@@ -22,7 +22,7 @@ def _fwd(cfg, params, t=8, b=2, seed=0, impl="xla"):
 
 @pytest.mark.parametrize(
     "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe",
-             "tiny_granite"]
+             "tiny_granite", "tiny_mla"]
 )
 def test_forward_finite(arch):
     cfg = PRESETS[arch]
@@ -33,7 +33,7 @@ def test_forward_finite(arch):
 
 @pytest.mark.parametrize(
     "arch", ["tiny_qwen2", "tiny_qwen3", "tiny_gemma2", "tiny_moe",
-             "tiny_granite"]
+             "tiny_granite", "tiny_mla"]
 )
 def test_cache_matches_no_cache(arch):
     cfg = PRESETS[arch]

@@ -30,6 +30,7 @@ _PROJ_MARKERS = (
     "q_proj", "k_proj", "v_proj", "o_proj", "query_key_value",
     "self_attn.dense", "attention.dense", "fc1", "fc2", "c_fc", "c_proj",
     "gate_proj", "up_proj", "down_proj", "dense_h_to_4h", "dense_4h_to_h",
+    "q_a_proj", "q_b_proj", "kv_a_proj_with_mqa", "kv_b_proj",
 )
 
 
@@ -165,6 +166,28 @@ def test_stablelm_parity(tmp_path):
     )
     assert cfg.norm_type == "ln" and cfg.ffn_gated and cfg.qkv_bias
     assert cfg.rope_pct == 0.25
+
+
+def test_deepseek_v3_mla_parity(tmp_path):
+    """deepseek V3 MLA (dense layers: first_k_dense_replace == n_layers):
+    q LoRA split + latent KV + absorbed attention + interleaved rope on
+    the rope dims must match the HF implementation exactly."""
+    c = transformers.DeepseekV3Config(
+        vocab_size=V, hidden_size=256, num_hidden_layers=L,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128, q_lora_rank=256, kv_lora_rank=256,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        first_k_dense_replace=L, n_routed_experts=4,
+        max_position_embeddings=64, rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    cfg = _run_pair(
+        transformers.DeepseekV3ForCausalLM(c),
+        tmp_path / "hf", tmp_path / "out",
+    )
+    assert cfg.kv_lora_rank == 256 and cfg.q_lora_rank == 256
+    assert cfg.qk_nope_dim == 128 and cfg.qk_rope_dim == 64
 
 
 def test_internlm2_name_mapping(tmp_path):

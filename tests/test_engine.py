@@ -301,3 +301,34 @@ def test_wedged_grammar_forces_eos_not_crash(params):
                    sampler=SamplerParams(temperature=0.0))
     eng.run([req3])
     assert req3.done and len(req3.output) == 3
+
+
+def test_engine_serves_mla_model():
+    """A deepseek-MLA config serves through the slot engine: greedy output
+    equals the hand-rolled forward loop with the latent cache."""
+    cfg = PRESETS["tiny_mla"]
+    params = init_params(cfg, seed=0)
+    prompt = [3, 9, 27]
+    n_new = 5
+    cache = init_kv_cache(cfg, 1, max_len=cfg.max_seq_len)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, cache = forward(
+        params, cfg, jnp.asarray([prompt], jnp.int32), pos, cache, impl="xla"
+    )
+    ref = [int(np.asarray(logits)[0, -1].argmax())]
+    for i in range(n_new - 1):
+        p = len(prompt) + len(ref) - 1
+        lg, cache = forward(
+            params, cfg, jnp.asarray([[ref[-1]]], jnp.int32),
+            jnp.asarray([[p]], jnp.int32), cache, impl="xla",
+        )
+        ref.append(int(np.asarray(lg)[0, 0].argmax()))
+
+    eng = Engine(cfg, params, n_slots=2, max_len=64, impl="xla")
+    req = Request(
+        prompt=prompt, max_new_tokens=n_new,
+        sampler=SamplerParams(temperature=0.0, repeat_penalty=1.0),
+    )
+    eng.run([req])
+    assert req.done
+    assert req.output == ref

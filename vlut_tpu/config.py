@@ -64,6 +64,14 @@ class ModelConfig:
     # optional per-norm bias tensors "<name>_b")
     proj_bias: bool = False       # biases on wo and the FFN projections
     # (gptneox/phi-2/starcoder2 put biases on every linear)
+    # --- MLA latent-KV attention (deepseek V2/V3; reference
+    # src/models/deepseek2.cpp).  Active when kv_lora_rank > 0: the cache
+    # holds ONE (kv_lora_rank + qk_rope_dim)-wide latent row per position
+    # and attention runs absorbed (q_nope @ W_uk against the latent) ------
+    q_lora_rank: int = 0          # 0 = direct q projection (V2-Lite)
+    kv_lora_rank: int = 0
+    qk_nope_dim: int = 0
+    qk_rope_dim: int = 0          # rope width (shared single k_pe head)
     # --- mixture of experts (mixtral/qwen-moe family; reference
     # build_moe_ffn, src/llama-graph.cpp:1045) -----------------------------
     n_experts: int = 0
@@ -189,5 +197,13 @@ PRESETS: dict[str, ModelConfig] = {
         n_heads=4, n_kv_heads=2, d_ff=256, max_seq_len=128,
         embed_scale=12.0, attn_scale=0.0078125, logit_scale=1 / 16.0,
         tie_embeddings=True,
+    ),
+    # deepseek-style MLA (latent-KV) shapes, scaled down but lane-aligned:
+    # q_lora 256, kv_lora 256, nope 128, rope 64, v 128
+    "tiny_mla": ModelConfig(
+        arch="llama", vocab_size=256, d_model=256, n_layers=2,
+        n_heads=4, n_kv_heads=4, d_ff=256, head_dim=128, max_seq_len=128,
+        q_lora_rank=256, kv_lora_rank=256, qk_nope_dim=128, qk_rope_dim=64,
+        attn_scale=(128 + 64) ** -0.5,
     ),
 }

@@ -185,6 +185,27 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             rope_pct=raw.get("partial_rotary_factor", 0.25),
             parallel_residual=raw.get("use_parallel_residual", False),
         )
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        # MLA latent-KV attention (src/models/deepseek2.cpp analog);
+        # attn scale is 1/sqrt(nope+rope) over the concatenated q head
+        dn = raw.get("qk_nope_head_dim", 128)
+        dr = raw.get("qk_rope_head_dim", 64)
+        extra.update(
+            q_lora_rank=raw.get("q_lora_rank") or 0,
+            kv_lora_rank=raw.get("kv_lora_rank", 512),
+            qk_nope_dim=dn, qk_rope_dim=dr,
+            head_dim=raw.get("v_head_dim", 128),
+            attn_scale=(dn + dr) ** -0.5,
+        )
+        if (raw.get("n_routed_experts") or 0) and (
+            raw.get("first_k_dense_replace", 0)
+            < raw["num_hidden_layers"]
+        ):
+            raise ValueError(
+                "deepseek MoE routing (shared experts / grouped top-k / "
+                "per-layer dense-vs-moe) is not supported yet; dense "
+                "deepseek (first_k_dense_replace >= n_layers) converts"
+            )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
     if n_experts:
         extra.update(
@@ -202,7 +223,7 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         n_heads=raw["num_attention_heads"],
         n_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
         d_ff=extra.pop("d_ff", raw["intermediate_size"]),
-        head_dim=raw.get("head_dim"),
+        head_dim=extra.pop("head_dim", raw.get("head_dim")),
         rms_eps=raw.get("rms_norm_eps", raw.get(
             "layer_norm_eps", raw.get("layer_norm_epsilon", raw.get(
                 "norm_epsilon", raw.get("norm_eps", 1e-5))))),
@@ -599,6 +620,37 @@ def convert_hf(
                 li, expert=int(em.group(1)),
             )
             continue
+        # deepseek MLA projections (cfg.kv_lora_rank set)
+        if cfg.kv_lora_rank and sub.startswith("self_attn."):
+            dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
+            mla_map = {
+                "self_attn.q_a_proj": "wq_a",
+                "self_attn.q_b_proj": "wq_b",
+                "self_attn.q_proj": "wq_full",
+                "self_attn.kv_a_proj_with_mqa": "wkv_a",
+            }
+            if sub in mla_map:
+                pack_proj(mla_map[sub], w, li)
+                continue
+            if sub == "self_attn.q_a_layernorm":
+                note_layer("q_a_norm", li, np.asarray(w, np.float32))
+                continue
+            if sub == "self_attn.kv_a_layernorm":
+                note_layer("kv_a_norm", li, np.asarray(w, np.float32))
+                continue
+            if sub == "self_attn.kv_b_proj":
+                # (H*(dn+v), r_kv) -> absorbed dense factors
+                # W_uk (H, dn, r_kv) and W_uv (H, r_kv, v_hd); kept dense —
+                # the absorbed einsums run on them directly
+                w3 = np.asarray(w, np.float32).reshape(
+                    cfg.n_heads, dn + cfg.head_dim_, -1
+                )
+                note_layer("w_uk", li, w3[:, :dn])
+                note_layer("w_uv", li, np.ascontiguousarray(
+                    w3[:, dn:].transpose(0, 2, 1)))
+                continue
+            # o_proj falls through to the standard map below
+
         # gptneox fused qkv: rows interleave [q; k; v] PER HEAD
         if sub == "self_attn.qkv_interleaved":
             wf = np.asarray(
@@ -686,6 +738,11 @@ def convert_hf(
             }
         else:
             layers[pname] = np.stack(vals)
+
+    # MLA absorbed factors serve as dense leaves ({"dense": (L, H, ...)})
+    for nm in ("w_uk", "w_uv"):
+        if nm in layers:
+            layers[nm] = {"dense": layers[nm].astype(np.float32)}
 
     params: dict[str, Any] = {**top, "layers": layers}
     if cfg.tie_embeddings and "lm_head" not in params:

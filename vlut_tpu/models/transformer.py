@@ -84,7 +84,7 @@ def weight_specs(
     # zero trits -> exact); outputs stay in padded layout between ops
     qd, kvd = plan.q_dim_p // tp, plan.kv_dim_p // tp
     wo_k, ff = plan.wo_in_p // tp, plan.ff_p // tp
-    return {
+    specs = {
         "wq": TernarySpec(d, qd, fmt, kb),
         "wk": TernarySpec(d, kvd, fmt, kb),
         "wv": TernarySpec(d, kvd, fmt, kb),
@@ -95,6 +95,19 @@ def weight_specs(
         "w_up": TernarySpec(d, ff, fmt, kb),
         "w_down": TernarySpec(ff, d, fmt, kb),
     }
+    if cfg.kv_lora_rank:
+        dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
+        specs["wkv_a"] = TernarySpec(d, cfg.kv_lora_rank + dr, fmt, kb)
+        if cfg.q_lora_rank:
+            specs["wq_a"] = TernarySpec(d, cfg.q_lora_rank, fmt, kb)
+            specs["wq_b"] = TernarySpec(
+                cfg.q_lora_rank, cfg.n_heads * (dn + dr), fmt, kb
+            )
+        else:
+            specs["wq_full"] = TernarySpec(
+                d, cfg.n_heads * (dn + dr), fmt, kb
+            )
+    return specs
 
 
 def _layer_tensor(layers: dict, name: str, spec: TernarySpec):
@@ -141,6 +154,18 @@ def pack_weight(
         return pk(
             scatter_rows(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
+    if name in ("wq_a", "wq_b", "wq_full", "wkv_a"):
+        # MLA projections (deepseek): plain packing, NO head permutation.
+        # wq_a/wkv_a outputs are flat vectors — end-padding is sliced off
+        # by the consumer; wq_b/wq_full reshape per head, so their width
+        # must be lane-exact (true for real models: H*(128+64) % 128 == 0)
+        t = pk(trits)
+        if name in ("wq_b", "wq_full") and t.n_padded != trits.shape[1]:
+            raise ValueError(
+                f"MLA projection {name} width {trits.shape[1]} must be a "
+                f"lane multiple (got padded {t.n_padded})"
+            )
+        return t
     raise KeyError(name)
 
 
@@ -390,6 +415,16 @@ def init_params(
 
     if not cfg.ffn_gated:
         del logical_dims["w_gate"]
+    if cfg.kv_lora_rank:
+        dn, dr, r_kv = cfg.qk_nope_dim, cfg.qk_rope_dim, cfg.kv_lora_rank
+        for nm in ("wq", "wk", "wv"):
+            del logical_dims[nm]
+        logical_dims["wkv_a"] = (cfg.d_model, r_kv + dr)
+        if cfg.q_lora_rank:
+            logical_dims["wq_a"] = (cfg.d_model, cfg.q_lora_rank)
+            logical_dims["wq_b"] = (cfg.q_lora_rank, cfg.n_heads * (dn + dr))
+        else:
+            logical_dims["wq_full"] = (cfg.d_model, cfg.n_heads * (dn + dr))
     moe = cfg.n_experts
     layers: dict[str, Any] = {
         name: stack_ternary(
@@ -399,6 +434,20 @@ def init_params(
     }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
+    if cfg.kv_lora_rank:
+        dn, dr, r_kv = cfg.qk_nope_dim, cfg.qk_rope_dim, cfg.kv_lora_rank
+        layers["kv_a_norm"] = jnp.ones((cfg.n_layers, r_kv), jnp.float32)
+        if cfg.q_lora_rank:
+            layers["q_a_norm"] = jnp.ones(
+                (cfg.n_layers, cfg.q_lora_rank), jnp.float32
+            )
+        layers["w_uk"] = {"dense": jnp.asarray(
+            rng.standard_normal(
+                (cfg.n_layers, cfg.n_heads, dn, r_kv)) * 0.03, jnp.float32)}
+        layers["w_uv"] = {"dense": jnp.asarray(
+            rng.standard_normal(
+                (cfg.n_layers, cfg.n_heads, r_kv, cfg.head_dim_)) * 0.03,
+            jnp.float32)}
     if cfg.norm_type == "ln":
         for nm in ("attn_norm_b", "ffn_norm_b"):
             layers[nm] = jnp.asarray(
@@ -466,6 +515,15 @@ def init_kv_cache(
 
     plan = make_plan(cfg)
     s = max_len or cfg.max_seq_len
+    if cfg.kv_lora_rank:
+        # MLA: one latent row per position — k = [latent | k_pe | pad],
+        # v = [latent | pad] (deepseek's the-cache-IS-the-latent win);
+        # rows pad to a lane multiple (640 for the real 512+64)
+        w_row = cfg.kv_lora_rank + cfg.qk_rope_dim
+        return new_cache(
+            cfg.n_layers, batch, s, 1, w_row + (-w_row) % 128,
+            dtype=dtype, quantized=quantized, layout=layout,
+        )
     return new_cache(
         cfg.n_layers, batch, s, cfg.n_kv_heads, plan.hd_p,
         dtype=dtype, quantized=quantized, layout=layout,
@@ -548,7 +606,9 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
-    return out.reshape(b, t, h, hd)
+    # v width may differ from the q/k width (MLA: scores over the 576-wide
+    # latent||k_pe rows, values are the 512-wide latent slice)
+    return out.reshape(b, t, h, v.shape[-1])
 
 
 def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
@@ -608,12 +668,12 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
 
     m0 = jnp.full((b, hkv, g, t), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
-    a0 = jnp.zeros((b, hkv, g, t, hd), jnp.float32)
+    a0 = jnp.zeros((b, hkv, g, t, v.shape[-1]), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(
         body, (m0, l0, a0), jnp.arange(nc, dtype=jnp.int32)
     )
-    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (b,hkv,g,t,hd)
-    out = jnp.moveaxis(out, 3, 1).reshape(b, t, h, hd)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (b,hkv,g,t,hd_v)
+    out = jnp.moveaxis(out, 3, 1).reshape(b, t, h, v.shape[-1])
     return out
 
 
@@ -1003,79 +1063,162 @@ def run_layers(
         return _layernorm(z, lp[name], lp.get(name + "_b"), cfg.rms_eps,
                           cfg.d_model)
 
+    if cfg.kv_lora_rank:
+        if tp_axis is not None or sp_axis is not None:
+            raise ValueError(
+                "MLA attention does not support tp/sp sharding yet "
+                "(absorbed per-head einsums; dp/ep/pp compose fine)"
+            )
+        cos_m, sin_m = rope_table(
+            cfg.max_seq_len, cfg.qk_rope_dim, cfg.rope_theta,
+            cfg.rope_scaling,
+        )
+
+    def _il(z):
+        # deepseek applies the original-GPT interleaved pairing to the
+        # rope dims; permuting q_pe and k_pe identically cancels in the
+        # score dot (see config.rope_interleaved)
+        return jnp.concatenate([z[..., 0::2], z[..., 1::2]], axis=-1)
+
+    def mla_attention(x, lp, kvio, window):
+        """Deepseek MLA with weight absorption (reference:
+        src/models/deepseek2.cpp attention; the latent-cache formulation).
+
+        The cache stores ONE (kv_lora_rank + qk_rope_dim)-wide row per
+        position: k rows = [latent | k_pe], v rows = [latent | 0-pad].
+        Scores come from a single q_eff.k_eff dot with
+        q_eff = [q_nope @ W_uk | q_pe], and the context is
+        (probs . latent) @ W_uv — so the standard (chunked) attention
+        path serves MLA unchanged.
+        """
+        dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
+        r_kv = cfg.kv_lora_rank
+        hh = cfg.n_heads
+        h_attn = h = norm_d(x, lp, "attn_norm")
+        fmt, kb = cfg.weight_fmt, plan.kb
+        if "wq_a" in lp:
+            qa = mm(h, _layer_tensor(lp, "wq_a", TernarySpec(
+                cfg.d_model, cfg.q_lora_rank, fmt, kb)))
+            qa = _rms(qa, lp["q_a_norm"], cfg.rms_eps, cfg.q_lora_rank)
+            q = mm(qa, _layer_tensor(lp, "wq_b", TernarySpec(
+                cfg.q_lora_rank, hh * (dn + dr), fmt, kb)))
+        else:
+            q = mm(h, _layer_tensor(lp, "wq_full", TernarySpec(
+                cfg.d_model, hh * (dn + dr), fmt, kb)))
+        q = q.reshape(b, t, hh, dn + dr)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        kvr = mm(h, _layer_tensor(lp, "wkv_a", TernarySpec(
+            cfg.d_model, r_kv + dr, fmt, kb)))
+        lat = _rms(kvr[..., :r_kv], lp["kv_a_norm"], cfg.rms_eps, r_kv)
+        k_pe = kvr[..., r_kv : r_kv + dr].reshape(b, t, 1, dr)
+        q_pe = apply_rope(_il(q_pe), safe_pos, cos_m, sin_m)
+        k_pe = apply_rope(_il(k_pe), safe_pos, cos_m, sin_m)
+        # absorb W_uk into q: q_abs . latent == q_nope . k_nope
+        wuk = lp["w_uk"]["dense"].astype(jnp.float32)  # (H, dn, r_kv)
+        q_abs = jnp.einsum(
+            "bthd,hdr->bthr", q_nope.astype(jnp.float32), wuk
+        )
+        # cache rows pad to a lane multiple (576 -> 640 for real deepseek);
+        # the zero tail is zero in q_eff too, so scores are exact
+        w_row = r_kv + dr
+        w_pad = (-w_row) % 128
+        q_eff = jnp.concatenate(
+            [q_abs, q_pe.astype(jnp.float32)], axis=-1
+        ).astype(x.dtype)
+        q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, 0), (0, w_pad)))
+        lat4 = lat.reshape(b, t, 1, r_kv)
+        k_row = jnp.concatenate([lat4, k_pe.astype(lat4.dtype)], axis=-1)
+        k_row = jnp.pad(k_row, ((0, 0), (0, 0), (0, 0), (0, w_pad)))
+        v_row = jnp.pad(lat4, ((0, 0), (0, 0), (0, 0), (0, dr + w_pad)))
+        if use_cache:
+            k_all, v_all = kvio.update(k_row, v_row, write_start)
+        else:
+            k_all, v_all = k_row, v_row
+        ctx = _attention(
+            q_eff, k_all, v_all[..., :r_kv], safe_pos, k_pos_row,
+            dn + dr, scale=cfg.attn_scale, window=window,
+            mask_override=attn_mask,
+        )  # (b, t, H, r_kv)
+        wuv = lp["w_uv"]["dense"].astype(jnp.float32)  # (H, r_kv, v_hd)
+        att = jnp.einsum("bthr,hrv->bthv", ctx, wuv)
+        return h_attn, att
+
     def layer_step(x, xs):
         # kvio: _LayerKV/_StackedKV or None (cache-less)
         lp, kvio, window = xs
 
-        if "wqkv" in lp and can_fuse(lp, "wqkv") and std_norm:
-            # attn_norm + activation-quant + qkv GEMM in one kernel
-            qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
-            spec_qkv = TernarySpec(
-                cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
-            )
-            from vlut_tpu.ops.matmul import ternary_matmul_fused
-
-            qkv = ternary_matmul_fused(
-                x, _layer_tensor(lp, "wqkv", spec_qkv),
-                mode="norm", norm_g=norm_gain(lp["attn_norm"]),
-                norm_n=cfg.d_model, eps=cfg.rms_eps, impl=impl,
-            )
-            q = qkv[..., :qd]
-            k = qkv[..., qd : qd + kvd]
-            v = qkv[..., qd + kvd :]
-            h_attn = None  # never materialized on the fused path
-        elif "wqkv" in lp:
-            h_attn = h = norm_d(x, lp, "attn_norm")
-            qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
-            spec_qkv = TernarySpec(
-                cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
-            )
-            qkv = mm(h, _layer_tensor(lp, "wqkv", spec_qkv))
-            q = qkv[..., :qd]
-            k = qkv[..., qd : qd + kvd]
-            v = qkv[..., qd + kvd :]
+        if cfg.kv_lora_rank:
+            h_attn, att = mla_attention(x, lp, kvio, window)
         else:
-            h_attn = h = norm_d(x, lp, "attn_norm")
-            q = proj(h, lp, "wq")
-            k = proj(h, lp, "wk")
-            v = proj(h, lp, "wv")
-        if cfg.qkv_bias:
-            q = q + lp["bq"].astype(q.dtype)
-            k = k + lp["bk"].astype(k.dtype)
-            v = v + lp["bv"].astype(v.dtype)
-        q = q.reshape(b, t, heads_l, hd_p)
-        k = k.reshape(b, t, kv_heads_l, hd_p)
-        v = v.reshape(b, t, kv_heads_l, hd_p)
-        if cfg.qk_norm:
-            # per-head RMSNorm over the (logical) head dim (qwen3/gemma3)
-            q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
-            k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
-        q = rope_fn(q, safe_pos)
-        k = rope_fn(k, safe_pos)
+            if "wqkv" in lp and can_fuse(lp, "wqkv") and std_norm:
+                # attn_norm + activation-quant + qkv GEMM in one kernel
+                qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
+                spec_qkv = TernarySpec(
+                    cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
+                )
+                from vlut_tpu.ops.matmul import ternary_matmul_fused
 
-        if use_cache:
-            if "no_kv_write" in _ABLATE():
-                k_all, v_all = kvio.peek()
+                qkv = ternary_matmul_fused(
+                    x, _layer_tensor(lp, "wqkv", spec_qkv),
+                    mode="norm", norm_g=norm_gain(lp["attn_norm"]),
+                    norm_n=cfg.d_model, eps=cfg.rms_eps, impl=impl,
+                )
+                q = qkv[..., :qd]
+                k = qkv[..., qd : qd + kvd]
+                v = qkv[..., qd + kvd :]
+                h_attn = None  # never materialized on the fused path
+            elif "wqkv" in lp:
+                h_attn = h = norm_d(x, lp, "attn_norm")
+                qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
+                spec_qkv = TernarySpec(
+                    cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
+                )
+                qkv = mm(h, _layer_tensor(lp, "wqkv", spec_qkv))
+                q = qkv[..., :qd]
+                k = qkv[..., qd : qd + kvd]
+                v = qkv[..., qd + kvd :]
             else:
-                k_all, v_all = kvio.update(k, v, write_start)
-        elif sp_axis is not None:
-            # context parallel: gather K/V across sequence shards; Q stays
-            # local so each shard computes its T/sp slice of the outputs
-            k_all = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
-            v_all = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
-        else:
-            k_all, v_all = k, v
+                h_attn = h = norm_d(x, lp, "attn_norm")
+                q = proj(h, lp, "wq")
+                k = proj(h, lp, "wk")
+                v = proj(h, lp, "wv")
+            if cfg.qkv_bias:
+                q = q + lp["bq"].astype(q.dtype)
+                k = k + lp["bk"].astype(k.dtype)
+                v = v + lp["bv"].astype(v.dtype)
+            q = q.reshape(b, t, heads_l, hd_p)
+            k = k.reshape(b, t, kv_heads_l, hd_p)
+            v = v.reshape(b, t, kv_heads_l, hd_p)
+            if cfg.qk_norm:
+                # per-head RMSNorm over the (logical) head dim (qwen3/gemma3)
+                q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
+                k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
+            q = rope_fn(q, safe_pos)
+            k = rope_fn(k, safe_pos)
 
-        if "no_attn" in _ABLATE():
-            # perf-ablation only (VLUT_ABLATE): bypass attention to isolate
-            # its share of the step; output shape/dtype match _attention
-            att = q.astype(jnp.float32)
-        else:
-            att = _attention(
-                q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
-                scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-                window=window, mask_override=attn_mask,
-            )
+            if use_cache:
+                if "no_kv_write" in _ABLATE():
+                    k_all, v_all = kvio.peek()
+                else:
+                    k_all, v_all = kvio.update(k, v, write_start)
+            elif sp_axis is not None:
+                # context parallel: gather K/V across sequence shards; Q
+                # stays local so each shard computes its T/sp output slice
+                k_all = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
+                v_all = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
+            else:
+                k_all, v_all = k, v
+
+            if "no_attn" in _ABLATE():
+                # perf-ablation only (VLUT_ABLATE): bypass attention to
+                # isolate its share; output shape/dtype match _attention
+                att = q.astype(jnp.float32)
+            else:
+                att = _attention(
+                    q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
+                    scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
+                    window=window, mask_override=attn_mask,
+                )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size
         att = att.reshape(b, t, chunks_l, plan.wo_chunk)

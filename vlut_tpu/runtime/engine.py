@@ -190,9 +190,15 @@ class Engine:
             self._vocab_p = plan.vocab_p
             # unrolled decode wants the per-layer ("layers") cache layout
             # so each layer's buffer updates in place (kv_cache.new_cache)
+            if getattr(cfg, "kv_lora_rank", 0):
+                # MLA (deepseek): one lane-padded latent row per position
+                w_row = cfg.kv_lora_rank + cfg.qk_rope_dim
+                kv_h, kv_w = 1, w_row + (-w_row) % 128
+            else:
+                kv_h, kv_w = cfg.n_kv_heads, plan.hd_p
             self.cache = kvc.new_cache(
-                cfg.n_layers, n_slots, self.max_len, cfg.n_kv_heads,
-                plan.hd_p, cache_dtype, quantized=kv_quant,
+                cfg.n_layers, n_slots, self.max_len, kv_h, kv_w,
+                cache_dtype, quantized=kv_quant,
                 layout="layers" if unroll else "stacked",
             )
         self.slots = [_Slot() for _ in range(n_slots)]

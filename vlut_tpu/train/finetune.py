@@ -50,7 +50,11 @@ def float_twin_params(
     specs = weight_specs(cfg)
     out_layers: dict[str, Any] = {}
     for name, val in params["layers"].items():
-        if not (isinstance(val, dict) and "packed" in val):
+        if isinstance(val, dict) and "packed" not in val:
+            # already-dense leaves (MLA w_uk/w_uv absorbed factors)
+            out_layers[name] = jax.tree.map(jnp.asarray, val)
+            continue
+        if not isinstance(val, dict):
             out_layers[name] = jnp.asarray(val)
             continue
         spec = specs[name]
