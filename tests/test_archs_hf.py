@@ -71,6 +71,7 @@ def _run_pair(model, hf_dir, out_dir, rtol=5e-3, atol=5e-3):
     )
     got = np.asarray(got, np.float32)[..., : want.shape[-1]]
     np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
     return cfg
 
 
@@ -188,6 +189,38 @@ def test_deepseek_v3_mla_parity(tmp_path):
     )
     assert cfg.kv_lora_rank == 256 and cfg.q_lora_rank == 256
     assert cfg.qk_nope_dim == 128 and cfg.qk_rope_dim == 64
+
+
+def test_deepseek_v3_moe_parity(tmp_path):
+    """Full deepseek V3 MoE: sigmoid scoring + selection bias (noaux_tc),
+    grouped top-k, shared experts, routed_scaling_factor, and a dense
+    first layer (first_k_dense_replace=1 -> heterogeneous tuple-layers
+    checkpoint) — logits must match the HF implementation."""
+    c = transformers.DeepseekV3Config(
+        vocab_size=V, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128, moe_intermediate_size=64,
+        q_lora_rank=256, kv_lora_rank=256,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        n_routed_experts=8, num_experts_per_tok=2,
+        n_group=2, topk_group=1, n_shared_experts=1,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        first_k_dense_replace=1,
+        max_position_embeddings=64, rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(6)
+    model = transformers.DeepseekV3ForCausalLM(c)
+    # the V3 selection bias is zero-init; give it real values so the test
+    # distinguishes biased selection from plain sigmoid ordering
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "e_score_correction_bias" in name:
+                p.copy_(torch.randn_like(p))
+    cfg = _run_pair(model, tmp_path / "hf", tmp_path / "out")
+    assert cfg.first_k_dense == 1 and cfg.n_shared_experts == 1
+    assert cfg.moe_score == "sigmoid" and cfg.routed_scale == 2.5
+    assert cfg.n_expert_groups == 2 and cfg.topk_groups == 1
 
 
 def test_internlm2_name_mapping(tmp_path):

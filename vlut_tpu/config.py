@@ -77,6 +77,15 @@ class ModelConfig:
     n_experts: int = 0
     n_experts_used: int = 0
     moe_norm_topk: bool = True    # renormalize the top-k router weights
+    # deepseek-MoE extensions (reference: llm_build_deepseek2 +
+    # build_moe_ffn gating args, src/llama-graph.cpp):
+    moe_score: str = "softmax"    # "softmax" (V2) | "sigmoid" (V3)
+    n_expert_groups: int = 0      # V3 grouped routing (n_group)
+    topk_groups: int = 0          # groups kept before the expert top-k
+    routed_scale: float = 1.0     # routed_scaling_factor on the combine
+    n_shared_experts: int = 0     # always-on shared-expert FFN width mult
+    first_k_dense: int = 0        # layers [0, k) use a dense FFN instead
+    d_ff_dense: int = 0           # width of those dense FFNs
     # checkpoints are packed with enough padding to shard evenly over any
     # tensor-parallel degree dividing tp_pack (see models/dims.py)
     tp_pack: int = 8

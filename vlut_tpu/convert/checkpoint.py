@@ -82,6 +82,16 @@ def save_checkpoint(
 ) -> None:
     path = pathlib.Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    layers_tuple = isinstance(params.get("layers"), (list, tuple))
+    if layers_tuple:
+        # heterogeneous per-layer trees (deepseek first_k_dense): store as
+        # sortable numbered keys, reassembled into a tuple at load
+        params = {
+            **params,
+            "layers": {
+                f"t{i:04d}": lp for i, lp in enumerate(params["layers"])
+            },
+        }
     flat = _flatten(params)
     save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
               str(path / "model.safetensors"))
@@ -92,6 +102,7 @@ def save_checkpoint(
             "mamba" if family == "MambaConfig" else "transformer"
         ),
         "model_config": dataclasses.asdict(cfg),
+        "layers_tuple": layers_tuple,
         **(extra_meta or {}),
     }
     (path / "vlut_config.json").write_text(json.dumps(meta, indent=2))
@@ -120,6 +131,11 @@ def load_checkpoint(
         cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))
     params = _unflatten(flat)
+    if meta.get("layers_tuple"):
+        layers = params["layers"]
+        params["layers"] = tuple(
+            layers[k] for k in sorted(layers.keys())
+        )
     return cfg, params, meta
 
 

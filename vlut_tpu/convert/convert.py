@@ -197,14 +197,34 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             head_dim=raw.get("v_head_dim", 128),
             attn_scale=(dn + dr) ** -0.5,
         )
+        # defaults must mirror the HF config classes — save_pretrained
+        # omits default-valued keys (V3: sigmoid scoring, scale 2.5,
+        # 8 groups/top-4, 1 shared expert, 3 dense head layers)
+        v3 = mt == "deepseek_v3"
+        fkd = raw.get("first_k_dense_replace", 3 if v3 else 0)
         if (raw.get("n_routed_experts") or 0) and (
-            raw.get("first_k_dense_replace", 0)
-            < raw["num_hidden_layers"]
+            fkd < raw["num_hidden_layers"]
         ):
-            raise ValueError(
-                "deepseek MoE routing (shared experts / grouped top-k / "
-                "per-layer dense-vs-moe) is not supported yet; dense "
-                "deepseek (first_k_dense_replace >= n_layers) converts"
+            # deepseek MoE: sigmoid/softmax scoring, selection bias,
+            # grouped top-k, shared experts, dense first-k layers
+            extra.update(
+                n_experts=raw["n_routed_experts"],
+                n_experts_used=raw.get(
+                    "num_experts_per_tok", 8 if v3 else 6),
+                d_ff=raw.get(
+                    "moe_intermediate_size", raw["intermediate_size"]
+                ),
+                d_ff_dense=raw["intermediate_size"],
+                first_k_dense=fkd,
+                n_shared_experts=raw.get(
+                    "n_shared_experts", 1 if v3 else 0) or 0,
+                routed_scale=raw.get(
+                    "routed_scaling_factor", 2.5 if v3 else 1.0),
+                moe_score=raw.get(
+                    "scoring_func", "sigmoid" if v3 else "softmax"),
+                n_expert_groups=raw.get("n_group", 8 if v3 else 0) or 0,
+                topk_groups=raw.get("topk_group", 4 if v3 else 0) or 0,
+                moe_norm_topk=raw.get("norm_topk_prob", True),
             )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
     if n_experts:
@@ -447,7 +467,7 @@ def convert_hf(
             per_layer.setdefault(pname, {}).setdefault(li, {})[expert] = value
 
     def pack_proj(pname: str, wf: np.ndarray, li: int,
-                  expert: int | None = None):
+                  expert: int | None = None, cfg_over=None):
         nonlocal n_approx
         wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
         if res_mult != 1.0 and pname in ("wo", "w_down"):
@@ -459,7 +479,11 @@ def convert_hf(
         else:
             n_approx += 1
             trits, scale = ternarize(wf)
-        note_layer(pname, li, pack_weight(pname, trits, scale, cfg), expert)
+        c = cfg_over or cfg
+        note_layer(
+            pname, li,
+            pack_weight(pname, trits, scale, c, make_plan(c)), expert,
+        )
 
     layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)$")
     vision_raw: dict[str, np.ndarray] = {}
@@ -561,11 +585,47 @@ def convert_hf(
         if name in ("score.bias", "classifier.bias"):
             top.setdefault("rank_head", {})["b"] = np.asarray(w, np.float32)
             continue
+        mb = re.match(
+            r"model\.layers\.(\d+)\.mlp\.gate\.e_score_correction_bias$",
+            name,
+        )
+        if mb:
+            # deepseek V3 selection bias (noaux_tc routing)
+            note_layer("router_bias", int(mb.group(1)),
+                       np.asarray(w, np.float32))
+            continue
         m = layer_re.match(name)
         if not m:
             log.warning("skipping unrecognized tensor %s", name)
             continue
         li, sub, kind = int(m.group(1)), m.group(2), m.group(3)
+        # deepseek shared experts + dense first-k layers pack at their own
+        # FFN widths (cfg_over carries the width; see pack_weight)
+        if cfg.n_shared_experts and sub.startswith("mlp.shared_experts."):
+            import dataclasses as _dc
+
+            cfg_s = _dc.replace(
+                cfg, d_ff=cfg.n_shared_experts * cfg.d_ff, n_experts=0
+            )
+            pname = {
+                "mlp.shared_experts.gate_proj": "w_shared_gate",
+                "mlp.shared_experts.up_proj": "w_shared_up",
+                "mlp.shared_experts.down_proj": "w_shared_down",
+            }.get(sub)
+            if pname:
+                pack_proj(pname, w, li, cfg_over=cfg_s)
+                continue
+        if (
+            cfg.first_k_dense and li < cfg.first_k_dense
+            and sub in ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+        ):
+            import dataclasses as _dc
+
+            cfg_d = _dc.replace(
+                cfg, d_ff=cfg.d_ff_dense or cfg.d_ff, n_experts=0
+            )
+            pack_proj(_PROJ_MAP[sub], w, li, cfg_over=cfg_d)
+            continue
         if kind == "bias":
             v = np.asarray(w, np.float32)
             if sub in _BIAS_MAP and cfg.qkv_bias:
@@ -702,7 +762,54 @@ def convert_hf(
             "original float checkpoint.", n_approx,
         )
 
-    # Stack per-layer values
+    # Stack per-layer values.  Heterogeneous stacks (deepseek
+    # first_k_dense: dense-FFN head layers + MoE rest) cannot stack into
+    # one array per name — emit a TUPLE of per-layer trees instead (the
+    # engine's unrolled layer loop consumes it directly; the lax.scan
+    # path requires homogeneous stacks and is not used for these models)
+    if cfg.first_k_dense:
+        lt: list[dict[str, Any]] = []
+        for i in range(L):
+            ld: dict[str, Any] = {}
+            for pname, by_layer in per_layer.items():
+                if i not in by_layer:
+                    continue
+                v = by_layer[i]
+                if isinstance(v, dict):  # {expert: TernaryTensor}
+                    E = cfg.n_experts
+                    ld[pname] = {
+                        "packed": np.stack(
+                            [np.asarray(v[e].packed) for e in range(E)]
+                        ),
+                        "scale": np.stack(
+                            [np.asarray(v[e].scale).reshape(())
+                             for e in range(E)]
+                        ),
+                    }
+                elif hasattr(v, "packed"):
+                    ld[pname] = {
+                        "packed": np.asarray(v.packed),
+                        "scale": np.asarray(v.scale).reshape(()),
+                    }
+                elif pname in ("w_uk", "w_uv"):
+                    ld[pname] = {"dense": np.asarray(v, np.float32)}
+                else:
+                    ld[pname] = np.asarray(v)
+            lt.append(ld)
+        params = {**top, "layers": tuple(lt)}
+        extra_meta_h: dict[str, Any] = {
+            "source": str(hf_dir),
+            "ternarized_tensors": n_approx,
+        }
+        if n_approx:
+            log.warning(
+                "%d tensors were NOT exactly ternary — applied BitNet "
+                "absmean ternarization (lossy).", n_approx,
+            )
+        save_checkpoint(out_dir, cfg, params, tokenizer_src=hf_dir,
+                        extra_meta=extra_meta_h)
+        return cfg
+
     for pname, by_layer in per_layer.items():
         missing = [i for i in range(L) if i not in by_layer]
         if missing:

@@ -146,11 +146,13 @@ def pack_weight(
         return pk(
             scatter_rows(trits, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p)
         )
-    if name in ("w_gate", "w_up"):
+    if name in ("w_gate", "w_up", "w_shared_gate", "w_shared_up"):
+        # shared-expert variants pack identically at their own width (the
+        # caller passes a cfg with d_ff = n_shared * moe_d_ff)
         return pk(
             scatter_cols(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
-    if name == "w_down":
+    if name in ("w_down", "w_shared_down"):
         return pk(
             scatter_rows(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
@@ -215,6 +217,8 @@ def fuse_projections(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]
     correctly) and MoE ffns keep their expert stacks.  No-op if already
     fused or if qkv biases/lora are attached to the separate tensors."""
     layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        return params  # heterogeneous per-layer trees (deepseek)
     if "wqkv" in layers or cfg.qkv_bias:
         return params
     if any(k in layers.get(n, {}) for k in ("lora_a", "dense") for n in
@@ -1063,6 +1067,27 @@ def run_layers(
         return _layernorm(z, lp[name], lp.get(name + "_b"), cfg.rms_eps,
                           cfg.d_model)
 
+    # deepseek heterogeneous-FFN specs (dense first-k layers + shared
+    # experts use widths different from the routed experts')
+    specs_dense = specs_shared = specs_shared_dn = None
+    if cfg.n_experts and (cfg.first_k_dense or cfg.n_shared_experts):
+        import dataclasses as _dc
+
+        if cfg.first_k_dense:
+            cfg_d = _dc.replace(
+                cfg, d_ff=cfg.d_ff_dense or cfg.d_ff, n_experts=0
+            )
+            specs_dense = weight_specs(
+                cfg_d, tp=tp_size, plan=make_plan(cfg_d)
+            )
+        if cfg.n_shared_experts:
+            cfg_s = _dc.replace(
+                cfg, d_ff=cfg.n_shared_experts * cfg.d_ff, n_experts=0
+            )
+            sp_s = weight_specs(cfg_s, tp=tp_size, plan=make_plan(cfg_s))
+            specs_shared = sp_s["w_gate"]
+            specs_shared_dn = sp_s["w_down"]
+
     if cfg.kv_lora_rank:
         if tp_axis is not None or sp_axis is not None:
             raise ValueError(
@@ -1332,7 +1357,11 @@ def run_layers(
                          tp_axis)
             return mm(a, down_t)
 
-        if cfg.n_experts:
+        # heterogeneous deepseek stacks: layers [0, first_k_dense) carry a
+        # plain dense FFN (no router) — structural dispatch on the layer
+        # dict, static under jit (tuple-layers path only)
+        moe_here = cfg.n_experts and "router" in lp
+        if moe_here:
             # MoE (build_moe_ffn analog, src/llama-graph.cpp:1045): router
             # top-k combine.  Every expert's packed weights stream through
             # the ternary matmul via an expert scan — static shapes, no
@@ -1344,12 +1373,41 @@ def run_layers(
                 lp["router"].astype(jnp.float32),
             )
             k_used = cfg.n_experts_used
-            top_vals, top_idx = jax.lax.top_k(r_logits, k_used)
-            if cfg.moe_norm_topk:
-                top_w = jax.nn.softmax(top_vals, axis=-1)
+            if cfg.moe_score == "sigmoid":  # deepseek V3
+                scores = jax.nn.sigmoid(r_logits)
             else:
-                probs = jax.nn.softmax(r_logits, axis=-1)
-                top_w = jnp.take_along_axis(probs, top_idx, axis=-1)
+                scores = jax.nn.softmax(r_logits, axis=-1)
+            # e_score_correction_bias biases SELECTION only, never the
+            # combine weights (deepseek V3 noaux_tc)
+            sel = scores
+            if "router_bias" in lp:
+                sel = sel + lp["router_bias"].astype(jnp.float32)
+            if cfg.n_expert_groups:
+                # grouped routing: keep topk_groups groups ranked by the
+                # sum of each group's top-2 selection scores
+                G = cfg.n_expert_groups
+                sel_g = sel.reshape(b, t, G, -1)
+                g_rank = jax.lax.top_k(sel_g, 2)[0].sum(-1)  # (B, T, G)
+                top_g = jax.lax.top_k(g_rank, cfg.topk_groups)[1]
+                gmask = jnp.sum(
+                    jax.nn.one_hot(top_g, G, dtype=jnp.float32), axis=-2
+                ) > 0  # (B, T, G)
+                # masked groups zero out rather than -inf (matching the
+                # deepseek/HF masked_fill(0.0): a masked expert can still
+                # win when every unmasked selection score is negative)
+                sel = jnp.where(
+                    jnp.repeat(gmask, sel.shape[-1] // G, axis=-1),
+                    sel, 0.0,
+                )
+            top_idx = jax.lax.top_k(sel, k_used)[1]
+            top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
+            if cfg.moe_norm_topk:
+                # == softmax over top-k logits in the softmax-score case
+                top_w = top_w / (
+                    jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20
+                )
+            if cfg.routed_scale != 1.0:
+                top_w = top_w * cfg.routed_scale
             # dense (B, T, E) combine weights
             comb = jnp.zeros_like(r_logits)
             comb = jax.vmap(
@@ -1401,14 +1459,37 @@ def run_layers(
             )
             if ep_axis is not None:
                 dn = jax.lax.psum(dn, ep_axis)
+            if "w_shared_gate" in lp:
+                # deepseek always-on shared experts: a plain gated FFN of
+                # width n_shared * moe_d_ff added to the routed output
+                dn = dn + dense_ffn(
+                    h,
+                    _layer_tensor(lp, "w_shared_gate", specs_shared),
+                    _layer_tensor(lp, "w_shared_up", specs_shared),
+                    _layer_tensor(lp, "w_shared_down", specs_shared_dn),
+                ).astype(jnp.float32)
             dn = dn.astype(x.dtype)
         else:
-            if not cfg.ffn_gated:
+            if cfg.n_experts and not moe_here:
+                # deepseek first_k_dense layer: dense FFN at d_ff_dense
+                gate = mm(h, _layer_tensor(
+                    lp, "w_gate", specs_dense["w_gate"]))
+                up = mm(h, _layer_tensor(lp, "w_up", specs_dense["w_up"]))
+                a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+                a = a.astype(x.dtype)
+                dn = mm(a, _layer_tensor(lp, "w_down",
+                                         specs_dense["w_down"]))
+            elif not cfg.ffn_gated:
                 # classic MLP (gptneox/phi-2/starcoder2): up -> act -> down
                 up = proj(h, lp, "w_up")
                 if cfg.proj_bias and "b_up" in lp:
                     up = up + lp["b_up"].astype(up.dtype)
                 a = act_f(up.astype(jnp.float32))
+                a = a.astype(x.dtype)
+                if cfg.use_subnorms:
+                    a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
+                             tp_axis)
+                dn = proj(a, lp, "w_down")
             else:
                 if "w_gateup" in lp:
                     ffl = plan.ff_p // tp_size
@@ -1422,11 +1503,11 @@ def run_layers(
                     gate = proj(h, lp, "w_gate")
                     up = proj(h, lp, "w_up")
                 a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
-            a = a.astype(x.dtype)
-            if cfg.use_subnorms:
-                a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
-                         tp_axis)
-            dn = proj(a, lp, "w_down")
+                a = a.astype(x.dtype)
+                if cfg.use_subnorms:
+                    a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
+                             tp_axis)
+                dn = proj(a, lp, "w_down")
         if tp_axis is not None:
             dn = jax.lax.psum(dn, tp_axis)
         if cfg.proj_bias and "b_down" in lp:

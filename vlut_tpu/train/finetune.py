@@ -42,11 +42,70 @@ from vlut_tpu.ops.packing import TernaryTensor, unpack_ternary_np
 _TERNARY_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any]):
+    """Per-layer spec table for heterogeneous (tuple-layers) checkpoints:
+    deepseek dense first-k layers and shared experts pack at their own
+    FFN widths."""
+    import dataclasses as _dc
+
+    specs = dict(weight_specs(cfg))
+    if cfg.n_experts and "router" not in lp and cfg.first_k_dense:
+        cfg_d = _dc.replace(cfg, d_ff=cfg.d_ff_dense or cfg.d_ff,
+                            n_experts=0)
+        specs.update(weight_specs(cfg_d))
+    if cfg.n_shared_experts:
+        cfg_s = _dc.replace(cfg, d_ff=cfg.n_shared_experts * cfg.d_ff,
+                            n_experts=0)
+        sp_s = weight_specs(cfg_s)
+        specs["w_shared_gate"] = sp_s["w_gate"]
+        specs["w_shared_up"] = sp_s["w_up"]
+        specs["w_shared_down"] = sp_s["w_down"]
+    return specs
+
+
 def float_twin_params(
     params: dict[str, Any], cfg: ModelConfig, dtype=jnp.float32
 ) -> dict[str, Any]:
     """Packed checkpoint -> trainable dense tree ({"dense": (K, N)} leaves,
     padded widths preserved so the forward graph is unchanged)."""
+    layers_in = params["layers"]
+    if isinstance(layers_in, (list, tuple)):
+        # heterogeneous per-layer trees (deepseek first_k_dense): twin each
+        # layer with its own spec table; leading-L stacking does not apply
+        def twin_layer(lp):
+            sp = _tuple_layer_specs(cfg, lp)
+            out: dict[str, Any] = {}
+            for name, val in lp.items():
+                if isinstance(val, dict) and "packed" not in val:
+                    out[name] = jax.tree.map(jnp.asarray, val)
+                elif not isinstance(val, dict):
+                    out[name] = jnp.asarray(val)
+                else:
+                    spec = sp[name]
+                    packed = np.asarray(val["packed"])
+                    scale = np.asarray(val["scale"], np.float32)
+
+                    def one(p2, s, spec=spec):
+                        t = TernaryTensor(
+                            packed=p2, scale=np.float32(1.0),
+                            k=spec.k, n=spec.n, fmt=spec.fmt, kb=spec.kb,
+                        )
+                        return unpack_ternary_np(t).astype(np.float32) * s
+                    if packed.ndim == 3:  # (E, rows, cols) experts
+                        dense = np.stack([
+                            one(packed[e], scale[e])
+                            for e in range(packed.shape[0])
+                        ])
+                    else:
+                        dense = one(packed, scale)
+                    out[name] = {"dense": jnp.asarray(dense, dtype)}
+            return out
+
+        out_t = tuple(twin_layer(lp) for lp in layers_in)
+        return {
+            k: (jnp.asarray(v) if k != "layers" else out_t)
+            for k, v in params.items()
+        }
     specs = weight_specs(cfg)
     out_layers: dict[str, Any] = {}
     for name, val in params["layers"].items():
