@@ -64,6 +64,31 @@ class ModelConfig:
     # optional per-norm bias tensors "<name>_b")
     proj_bias: bool = False       # biases on wo and the FFN projections
     # (gptneox/phi-2/starcoder2 put biases on every linear)
+    # --- third arch-superset wave (gpt2/bloom/mpt/falcon/olmo/olmo2/
+    # nemotron/glm4/cohere2/smollm3/opt; reference src/models/{gpt2,bloom,
+    # mpt,falcon,olmo,olmo2,nemotron,glm4,cohere2,smollm,...}.cpp) --------
+    pos_embed: str = "rope"       # "rope" | "learned" (gpt2/opt absolute
+    # position table) | "alibi" (bloom/mpt per-head linear score bias) |
+    # "none" (pure NoPE)
+    embed_norm: bool = False      # bloom word_embeddings_layernorm after
+    # the embedding lookup (params: embed_norm / embed_norm_b)
+    pre_norms: bool = True        # False: olmo2 norm-after-block ordering —
+    # no pre-norms; post_norms are applied to each branch OUTPUT before
+    # the residual add (combine with post_norms=True)
+    qk_norm_scope: str = "head"   # "head" (qwen3/gemma3 per-head) |
+    # "whole" (olmo2: one RMSNorm over the flattened n_heads*head_dim q/k)
+    qkv_clamp: float = 0.0        # dbrx/olmo clip_qkv: clamp q/k/v to
+    # [-c, +c] after the projection (before rope)
+    swa_layers: tuple[bool, ...] | None = None  # explicit per-layer SWA
+    # flags (HF layer_types) overriding sliding_window_pattern
+    nope_layers: tuple[bool, ...] | None = None  # per-layer "skip rope"
+    # (cohere2 global layers, smollm3 no_rope_layers)
+    attn_sinks: bool = False      # gpt-oss learned per-head sink logits
+    # (params: lp["sinks"]) folded into the softmax denominator
+    swiglu_limit: float = 0.0     # gpt-oss clamped swiglu: gate clamped to
+    # (-inf, limit], up to [-limit, limit], act = gate*sigmoid(1.702*gate)
+    moe_expert_bias: bool = False  # gpt-oss per-expert projection biases
+    # (b_gate/b_up/b_down stacked over experts)
     # --- MLA latent-KV attention (deepseek V2/V3; reference
     # src/models/deepseek2.cpp).  Active when kv_lora_rank > 0: the cache
     # holds ONE (kv_lora_rank + qk_rope_dim)-wide latent row per position

@@ -102,6 +102,36 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
     is_bitnet = any("bitnet" in a.lower() for a in archs) or (
         mt in ("bitnet", "bitllama")
     )
+    # key aliases: gpt2/bloom/mpt serialize their own config key names
+    # (the analog of gguf-py's per-arch hparam lookups)
+    if mt == "gpt2":
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault(
+            "intermediate_size", raw.get("n_inner") or 4 * raw["n_embd"]
+        )
+        raw.setdefault("max_position_embeddings", raw.get("n_positions", 1024))
+    elif mt == "bloom":
+        raw.setdefault("hidden_size", raw.get("n_embed"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault("intermediate_size", 4 * raw["hidden_size"])
+        raw.setdefault("max_position_embeddings", 2048)
+    elif mt == "mpt":
+        raw.setdefault("hidden_size", raw.get("d_model"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layers"))
+        raw.setdefault("num_attention_heads", raw.get("n_heads"))
+        raw.setdefault(
+            "intermediate_size",
+            raw.get("expansion_ratio", 4) * raw["d_model"],
+        )
+        raw.setdefault("max_position_embeddings", raw.get("max_seq_len", 2048))
+        kvh = (raw.get("attn_config") or {}).get("kv_n_heads")
+        if kvh:
+            raw.setdefault("num_key_value_heads", kvh)
+    elif mt == "opt":
+        raw.setdefault("intermediate_size", raw.get("ffn_dim"))
     d_model = raw["hidden_size"]
     extra: dict[str, Any] = {}
     if mt == "qwen2" or mt == "qwen2_moe":
@@ -185,6 +215,96 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             rope_pct=raw.get("partial_rotary_factor", 0.25),
             parallel_residual=raw.get("use_parallel_residual", False),
         )
+    # --- absolute/alibi/NoPE positional wave (reference src/models/{gpt2,
+    # bloom,mpt,olmo,olmo2,nemotron,cohere2,smollm3,gpt-oss}.cpp) ----------
+    if mt == "gpt2":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu", pos_embed="learned",
+        )
+    if mt == "opt":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn={"relu": "relu", "gelu": "gelu_exact"}.get(
+                raw.get("activation_function", "relu"), "relu"),
+            pos_embed="learned",
+        )
+        if not raw.get("do_layer_norm_before", True):
+            raise ValueError("OPT-350m post-LN ordering is not supported")
+    if mt == "bloom":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu", pos_embed="alibi", embed_norm=True,
+        )
+    if mt == "mpt":
+        nb = raw.get("no_bias", False)
+        use_alibi = (raw.get("attn_config") or {}).get("alibi", True)
+        extra.update(
+            norm_type="ln", proj_bias=not nb, qkv_bias=not nb,
+            ffn_gated=False, act_fn="gelu",
+            pos_embed="alibi" if use_alibi else "rope",
+            qkv_clamp=(raw.get("attn_config") or {}).get("clip_qkv") or 0.0,
+        )
+    if mt == "olmo":
+        # non-parametric LayerNorm (weights synthesized =1 at convert time)
+        extra.update(
+            norm_type="ln", qkv_clamp=raw.get("clip_qkv") or 0.0,
+        )
+    if mt == "olmo2":
+        # norm-AFTER-block ordering: no pre-norms, post_attn/post_ffn RMS
+        # norms on each branch output; whole-width q/k RMSNorm
+        extra.update(
+            qk_norm=True, qk_norm_scope="whole",
+            pre_norms=False, post_norms=True,
+        )
+    if mt == "nemotron":
+        extra.update(
+            norm_type="ln", norm_plus_one=True, ffn_gated=False,
+            act_fn="relu2",
+            rope_pct=raw.get("partial_rotary_factor", 0.5),
+        )
+    if mt == "cohere2":
+        nl = raw["num_hidden_layers"]
+        lt = raw.get("layer_types")
+        if lt:
+            swa = [t == "sliding_attention" for t in lt]
+        else:
+            pat = raw.get("sliding_window_pattern", 4)
+            swa = [i % pat != pat - 1 for i in range(nl)]
+        extra.update(
+            norm_type="ln", parallel_residual=True,
+            logit_scale=raw.get("logit_scale", 1.0), rope_interleaved=True,
+            sliding_window=raw.get("sliding_window", 4096),
+            swa_layers=tuple(swa),
+            # global (non-SWA) layers are NoPE (llm_build_cohere2_iswa)
+            nope_layers=tuple(not s for s in swa),
+        )
+    if mt == "smollm3":
+        nrl = raw.get("no_rope_layers")
+        if nrl is None:
+            iv = raw.get("no_rope_layer_interval", 4)
+            # HF semantics: entry 1 = layer USES rope, 0 = NoPE
+            nrl = [int((i + 1) % iv != 0)
+                   for i in range(raw["num_hidden_layers"])]
+        extra.update(nope_layers=tuple(v == 0 for v in nrl))
+    if mt == "gpt_oss":
+        extra.update(
+            qkv_bias=True, proj_bias=True, attn_sinks=True,
+            swiglu_limit=raw.get("swiglu_limit", 7.0) or 0.0,
+            moe_expert_bias=True,
+            sliding_window=raw.get("sliding_window", 128),
+            sliding_window_pattern=2,
+        )
+    if raw.get("layer_types"):
+        lt = raw["layer_types"]
+        if "sliding_attention" in lt and extra.get(
+            "sliding_window", raw.get("sliding_window")
+        ):
+            extra.update(
+                swa_layers=tuple(t == "sliding_attention" for t in lt),
+                sliding_window=extra.get(
+                    "sliding_window", raw.get("sliding_window")),
+            )
     if mt in ("deepseek_v2", "deepseek_v3"):
         # MLA latent-KV attention (src/models/deepseek2.cpp analog);
         # attn scale is 1/sqrt(nope+rope) over the concatenated q head
@@ -249,8 +369,11 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 "norm_epsilon", raw.get("norm_eps", 1e-5))))),
         rope_theta=raw.get("rope_theta", 10000.0),
         rope_scaling=rope_scaling,
-        # cohere omits the key because tied is its config default
-        tie_embeddings=raw.get("tie_word_embeddings", mt == "cohere"),
+        # cohere/gpt2/bloom omit the key because tied is their default
+        tie_embeddings=raw.get(
+            "tie_word_embeddings",
+            mt in ("cohere", "cohere2", "gpt2", "bloom", "mpt", "opt"),
+        ),
         use_subnorms=is_bitnet,
         max_seq_len=min(raw.get("max_position_embeddings", 4096), 131072),
         **extra,
@@ -525,6 +648,56 @@ def convert_hf(
             name = name.replace(".feed_forward.w2.", ".mlp.down_proj.")
             name = name.replace(".attention_norm.", ".input_layernorm.")
             name = name.replace(".ffn_norm.", ".post_attention_layernorm.")
+        elif mt0 == "gpt2":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.wpe.", "model.pos_embed.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.c_attn.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            name = name.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "opt":
+            name = name.replace("model.decoder.embed_tokens.",
+                                "model.embed_tokens.")
+            name = name.replace("model.decoder.embed_positions.",
+                                "model.pos_embed.")
+            # decoder-level final norm BEFORE the per-layer rename
+            name = name.replace("model.decoder.final_layer_norm.",
+                                "model.norm.")
+            name = name.replace("model.decoder.layers.", "model.layers.")
+            name = name.replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+            name = name.replace(".self_attn_layer_norm.",
+                                ".input_layernorm.")
+            name = name.replace(".final_layer_norm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".fc1.", ".mlp.up_proj.")
+            name = name.replace(".fc2.", ".mlp.down_proj.")
+        elif mt0 == "bloom":
+            name = name.replace("transformer.word_embeddings_layernorm.",
+                                "model.embed_norm.")
+            name = name.replace("transformer.word_embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".self_attention.query_key_value.",
+                                ".self_attn.qkv_interleaved.")
+            name = name.replace(".self_attention.dense.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+        elif mt0 == "mpt":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.norm_f.", "model.norm.")
+            name = name.replace("transformer.blocks.", "model.layers.")
+            name = name.replace(".norm_1.", ".input_layernorm.")
+            name = name.replace(".norm_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.Wqkv.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.out_proj.", ".self_attn.o_proj.")
+            name = name.replace(".ffn.up_proj.", ".mlp.up_proj.")
+            name = name.replace(".ffn.down_proj.", ".mlp.down_proj.")
         elif mt0 == "exaone":
             name = name.replace("transformer.wte.", "model.embed_tokens.")
             name = name.replace("transformer.ln_f.", "model.norm.")
@@ -547,6 +720,27 @@ def convert_hf(
     for name, w in _iter_hf_tensors(hf_dir):
         name = canon(name)
         if name.endswith("weight_scale"):
+            continue
+        if mt0 == "gpt2" and name.endswith(".weight") and any(
+            s in name for s in (
+                ".self_attn.qkv_proj.", ".self_attn.o_proj.",
+                ".mlp.up_proj.", ".mlp.down_proj.",
+            )
+        ):
+            # HF GPT2 Conv1D stores weights (in, out); normalize to the
+            # nn.Linear (out, in) convention the packers expect
+            w = np.asarray(w).T
+        if name == "model.pos_embed.weight":
+            pe = np.asarray(w, np.float32)
+            if mt0 == "opt":
+                pe = pe[2:]  # OPT offsets positions by 2 reserved rows
+            top["pos_embed"] = np.asarray(jnp.asarray(pe).astype(hp))
+            continue
+        if name == "model.embed_norm.weight":
+            top["embed_norm"] = np.asarray(w, np.float32)
+            continue
+        if name == "model.embed_norm.bias":
+            top["embed_norm_b"] = np.asarray(w, np.float32)
             continue
         if name.startswith(("vision_tower.", "multi_modal_projector.")):
             vision_raw[name] = np.asarray(w)
@@ -594,6 +788,47 @@ def convert_hf(
             note_layer("router_bias", int(mb.group(1)),
                        np.asarray(w, np.float32))
             continue
+        # gpt-oss tensors that carry no .weight/.bias suffix (sinks,
+        # stacked expert parameters) or fold a bias into the router
+        mg = re.match(r"model\.layers\.(\d+)\.(.+)$", name)
+        if mg and mt0 == "gpt_oss":
+            li_g, sub_g = int(mg.group(1)), mg.group(2)
+            if sub_g == "self_attn.sinks":
+                # learned per-head attention-sink logits
+                note_layer("sinks", li_g, np.asarray(w, np.float32))
+                continue
+            if sub_g == "mlp.router.weight":
+                note_layer("router", li_g, np.asarray(w, np.float32).T)
+                continue
+            if sub_g == "mlp.router.bias":
+                note_layer("router_b", li_g, np.asarray(w, np.float32))
+                continue
+            if sub_g == "mlp.experts.gate_up_proj":
+                # (E, D, 2*ff) with gate/up INTERLEAVED on the last dim
+                wf = np.asarray(w, np.float32)
+                for e in range(wf.shape[0]):
+                    pack_proj("w_gate", wf[e, :, 0::2].T, li_g, expert=e)
+                    pack_proj("w_up", wf[e, :, 1::2].T, li_g, expert=e)
+                continue
+            if sub_g == "mlp.experts.gate_up_proj_bias":
+                bf = np.asarray(w, np.float32)  # (E, 2*ff)
+                note_layer("eb_gate", li_g, np.stack([
+                    scatter_vec(r, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
+                    for r in bf[:, 0::2]
+                ]))
+                note_layer("eb_up", li_g, np.stack([
+                    scatter_vec(r, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
+                    for r in bf[:, 1::2]
+                ]))
+                continue
+            if sub_g == "mlp.experts.down_proj":
+                wf = np.asarray(w, np.float32)  # (E, ff, D)
+                for e in range(wf.shape[0]):
+                    pack_proj("w_down", wf[e].T, li_g, expert=e)
+                continue
+            if sub_g == "mlp.experts.down_proj_bias":
+                note_layer("eb_down", li_g, np.asarray(w, np.float32))
+                continue
         m = layer_re.match(name)
         if not m:
             log.warning("skipping unrecognized tensor %s", name)
@@ -634,12 +869,22 @@ def convert_hf(
                 note_layer(pname, li, pad_vec_heads(
                     v, heads, plan.hd, plan.hd_p))
             elif sub == "self_attn.qkv_interleaved" and cfg.qkv_bias:
-                # gptneox fused qkv bias: per-head [q; k; v] interleave
+                # gptneox/bloom fused qkv bias: per-head [q; k; v] interleave
                 h_, hd_ = cfg.n_heads, plan.hd
                 v3 = v.reshape(h_, 3, hd_)
                 for j, pname in enumerate(("bq", "bk", "bv")):
                     note_layer(pname, li, pad_vec_heads(
                         v3[:, j].reshape(-1), h_, plan.hd, plan.hd_p))
+            elif sub == "self_attn.qkv_proj" and cfg.qkv_bias:
+                # gpt2/mpt fused qkv bias: straight [q; k; v] concat
+                qd, kvd = cfg.q_dim, cfg.kv_dim
+                for pname, seg, heads in (
+                    ("bq", v[:qd], cfg.n_heads),
+                    ("bk", v[qd:qd + kvd], cfg.n_kv_heads),
+                    ("bv", v[qd + kvd:], cfg.n_kv_heads),
+                ):
+                    note_layer(pname, li, pad_vec_heads(
+                        seg, heads, plan.hd, plan.hd_p))
             elif cfg.proj_bias and sub in _PROJ_BIAS_MAP:
                 pname = _PROJ_BIAS_MAP[sub]
                 if pname == "b_up":
@@ -663,7 +908,14 @@ def convert_hf(
             elif pname == "ffn_sub_norm":
                 v = scatter_vec(v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
             elif pname in ("q_norm", "k_norm"):
-                v = np.pad(v, (0, plan.hd_p - v.shape[0]))
+                if cfg.qk_norm_scope == "whole":
+                    # olmo2: ONE norm over heads*head_dim — pad per head so
+                    # the weight reshapes onto the padded (H, hd_p) layout
+                    heads = (cfg.n_heads if pname == "q_norm"
+                             else cfg.n_kv_heads)
+                    v = pad_vec_heads(v, heads, plan.hd, plan.hd_p)
+                else:
+                    v = np.pad(v, (0, plan.hd_p - v.shape[0]))
             note_layer(pname, li, v)
             continue
         # MoE router + experts
@@ -754,6 +1006,15 @@ def convert_hf(
             log.warning("skipping unrecognized layer tensor %s", name)
             continue
         pack_proj(_PROJ_MAP[sub], _maybe_unpack_2bit(name, w, side_scales), li)
+
+    if mt0 == "olmo":
+        # OLMo-1 uses non-parametric LayerNorm (no weight/bias tensors in
+        # the checkpoint): synthesize unit gains so the LN path reproduces
+        # OlmoLayerNorm exactly
+        for i in range(L):
+            note_layer("attn_norm", i, np.ones(cfg.d_model, np.float32))
+            note_layer("ffn_norm", i, np.ones(cfg.d_model, np.float32))
+        top["final_norm"] = np.ones(cfg.d_model, np.float32)
 
     if n_approx:
         log.warning(

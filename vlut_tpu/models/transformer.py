@@ -548,10 +548,21 @@ def _rms(x, weight, eps, n_logical, tp_axis=None, plus_one=False):
     return out.astype(x.dtype)
 
 
-def _layernorm(x, weight, bias, eps, n_logical, tp_axis=None):
+def _rms_whole(z, w, eps, n_logical):
+    """RMSNorm over the last TWO dims jointly (olmo2 whole-q/k norm:
+    Olmo2RMSNorm(n_heads * head_dim) applied before the head split).
+    z: (..., H, hd_p); w: flat (H*hd_p,) head-padded weights."""
+    zf = z.astype(jnp.float32)
+    ms = jnp.sum(zf * zf, axis=(-2, -1), keepdims=True) / n_logical
+    wf = w.astype(jnp.float32).reshape(z.shape[-2], z.shape[-1])
+    return (zf * jax.lax.rsqrt(ms + eps) * wf).astype(z.dtype)
+
+
+def _layernorm(x, weight, bias, eps, n_logical, tp_axis=None,
+               plus_one=False):
     """Mean-centered LayerNorm (gptneox/phi-2/starcoder2/cohere norms;
     reference build_norm LLM_NORM, src/llama-graph.cpp).  bias None for
-    bias-free variants (cohere)."""
+    bias-free variants (cohere); plus_one: nemotron LayerNorm1P (1 + w)."""
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=-1, keepdims=True)
     s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
@@ -560,17 +571,36 @@ def _layernorm(x, weight, bias, eps, n_logical, tp_axis=None):
         s2 = jax.lax.psum(s2, tp_axis)
     mean = s1 / n_logical
     var = s2 / n_logical - mean * mean
-    out = (xf - mean) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = 1.0 + w
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * w
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Per-head ALiBi slopes (bloom/mpt; reference build_alibi in
+    ggml ggml_soft_max_ext's max_bias path).  Matches HF's
+    build_alibi_tensor: geometric 2^(-8i/m) over the closest power of two
+    m, extra heads interleave the doubled schedule."""
+    m = 1 << int(np.floor(np.log2(n_heads)))
+    base = 2.0 ** (-(2.0 ** -(np.log2(m) - 3)))
+    slopes = base ** np.arange(1, m + 1, dtype=np.float64)
+    if m != n_heads:
+        base2 = 2.0 ** (-(2.0 ** -(np.log2(2 * m) - 3)))
+        extra = base2 ** np.arange(1, 2 * (n_heads - m) + 1, 2,
+                                   dtype=np.float64)
+        slopes = np.concatenate([slopes, extra])
+    return slopes.astype(np.float32)
 
 
 ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
 
 
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
-               window=None, mask_override=None):
+               window=None, mask_override=None, alibi=None, sinks=None):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
     semantics); softcap: gemma2 tanh score capping.
@@ -580,6 +610,11 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     (reference: examples/lookahead builds a custom kq mask) and packed
     ragged batches.  The caller owns causality when overriding.
 
+    alibi: (H,) per-head slopes; scores += slope * (k_pos - q_pos)
+    (bloom/mpt — shift-invariant form of HF's slope*arange(S) bias).
+    sinks: (H,) learned sink logits joining the softmax denominator
+    without contributing value rows (gpt-oss attention sinks).
+
     Short KV uses one dense softmax; long KV streams chunks with an
     online softmax (flash-attention recurrence) so the (T, S) score
     matrix never materializes — the TPU replacement for the reference's
@@ -587,7 +622,7 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     if k.shape[1] > ATTN_CHUNK:
         return _attention_chunked(
             q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window,
-            mask_override=mask_override,
+            mask_override=mask_override, alibi=alibi, sinks=sinks,
         )
     b, t, h, hd = q.shape
     hkv = k.shape[2]
@@ -599,16 +634,26 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf)
     if softcap:
         scores = softcap * jnp.tanh(scores / softcap)
+    kp = k_pos[:, None, None, None, :]
+    qp = q_pos[:, None, None, :, None]
+    if alibi is not None:
+        slopes = jnp.asarray(alibi, jnp.float32).reshape(1, hkv, g, 1, 1)
+        scores = scores + slopes * (kp - qp).astype(jnp.float32)
     if mask_override is not None:
         mask = mask_override[:, None, None, :, :]
     else:
-        kp = k_pos[:, None, None, None, :]
-        qp = q_pos[:, None, None, :, None]
         mask = (kp <= qp) & (kp >= 0)
         if window is not None:
             mask &= jnp.where(window > 0, kp > qp - window, True)
     scores = jnp.where(mask, scores, -1e30)
-    p = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1)
+        m = jnp.maximum(scores.max(-1), sk)
+        p = jnp.exp(scores - m[..., None])
+        p = jnp.where(mask, p, 0.0)
+        p = p / (p.sum(-1) + jnp.exp(sk - m))[..., None]
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
     # v width may differ from the q/k width (MLA: scores over the 576-wide
     # latent||k_pe rows, values are the 512-wide latent slice)
@@ -617,9 +662,10 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
 
 def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
                        softcap=0.0, window=None, chunk=ATTN_CHUNK,
-                       mask_override=None):
+                       mask_override=None, alibi=None, sinks=None):
     """Online-softmax attention over KV chunks (same semantics as the dense
-    path; O(T * chunk) live scores instead of O(T * S))."""
+    path; O(T * chunk) live scores instead of O(T * S)).  Sinks enter as
+    the recurrence's initial state (m0 = sink logit, l0 = 1, acc = 0)."""
     b, t, h, hd = q.shape
     hkv = k.shape[2]
     g = h // hkv
@@ -650,13 +696,18 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
         sc = jnp.einsum("bthgd,bshd->bhgts", qf, kc)
         if softcap:
             sc = softcap * jnp.tanh(sc / softcap)
+        kp_ = kpc[:, None, None, None, :]
+        if alibi is not None:
+            slopes = jnp.asarray(alibi, jnp.float32).reshape(
+                1, hkv, g, 1, 1
+            )
+            sc = sc + slopes * (kp_ - qp).astype(jnp.float32)
         if mask_override is not None:
             mc = jax.lax.dynamic_slice_in_dim(
                 mask_override, off, chunk, axis=2
             )
             mask = mc[:, None, None, :, :]
         else:
-            kp_ = kpc[:, None, None, None, :]
             mask = (kp_ <= qp) & (kp_ >= 0)
             if window is not None:
                 mask &= jnp.where(window > 0, kp_ > qp - window, True)
@@ -670,8 +721,15 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
         acc = acc * corr[..., None] + pv
         return (m_new, l, acc), None
 
-    m0 = jnp.full((b, hkv, g, t), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    if sinks is not None:
+        m0 = jnp.broadcast_to(
+            jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1),
+            (b, hkv, g, t),
+        )
+        l0 = jnp.ones((b, hkv, g, t), jnp.float32)
+    else:
+        m0 = jnp.full((b, hkv, g, t), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
     a0 = jnp.zeros((b, hkv, g, t, v.shape[-1]), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(
         body, (m0, l0, a0), jnp.arange(nc, dtype=jnp.int32)
@@ -722,13 +780,28 @@ def forward(
     if cfg.embed_scale:
         # gemma scales embeddings by sqrt(d_model) (src/models/gemma*.cpp)
         x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
+    if cfg.embed_norm:
+        # bloom word_embeddings_layernorm (src/models/bloom.cpp tok_norm)
+        x = _layernorm(
+            x, params["embed_norm"], params.get("embed_norm_b"),
+            cfg.rms_eps, cfg.d_model,
+        )
+    if cfg.pos_embed == "learned":
+        # gpt2 wpe / opt embed_positions absolute position table
+        # (reference: LLM_TENSOR_POS_EMBD, src/models/gpt2.cpp)
+        pe = params["pos_embed"][jnp.maximum(positions, 0)]
+        x = x + pe.astype(x.dtype)
 
-    # per-layer sliding window (0 = global): gemma2-style alternating
-    # pattern — every sliding_window_pattern-th layer is global
+    # per-layer sliding window (0 = global): explicit HF layer_types flags
+    # when present, else the gemma2-style alternating pattern — every
+    # sliding_window_pattern-th layer is global
     if cfg.sliding_window:
         li = np.arange(cfg.n_layers)
-        pat = cfg.sliding_window_pattern
-        is_swa = (li % pat != pat - 1) if pat else np.ones_like(li, bool)
+        if cfg.swa_layers is not None:
+            is_swa = np.asarray(cfg.swa_layers, bool)
+        else:
+            pat = cfg.sliding_window_pattern
+            is_swa = (li % pat != pat - 1) if pat else np.ones_like(li, bool)
         layer_window = jnp.asarray(
             np.where(is_swa, cfg.sliding_window, 0), jnp.int32
         )
@@ -745,7 +818,7 @@ def forward(
     if cfg.norm_type == "ln":
         x = _layernorm(
             x, params["final_norm"], params.get("final_norm_b"),
-            cfg.rms_eps, cfg.d_model,
+            cfg.rms_eps, cfg.d_model, plus_one=cfg.norm_plus_one,
         )
     else:
         x = _rms(
@@ -866,16 +939,50 @@ def run_layers(
             "padded-head layout or a partial-rotary split)"
         )
 
-    def rope_fn(z, pos):
+    def rope_fn(z, pos, on=None):
+        if cfg.pos_embed != "rope":
+            return z  # learned/alibi/none positional schemes skip rope
         if cfg.rope_interleaved:
             # original-GPT pairwise rope: permute even|odd channels, then
             # half-split rope.  The inverse permutation is dropped — it
             # cancels in the q.k dot (see config.rope_interleaved).
             z = jnp.concatenate([z[..., 0::2], z[..., 1::2]], axis=-1)
         if rot == plan.hd:
-            return apply_rope(z, pos, cos, sin)
-        zr = apply_rope(z[..., :rot], pos, cos, sin)
-        return jnp.concatenate([zr, z[..., rot:]], axis=-1)
+            zr = apply_rope(z, pos, cos, sin)
+        else:
+            zr = jnp.concatenate(
+                [apply_rope(z[..., :rot], pos, cos, sin), z[..., rot:]],
+                axis=-1,
+            )
+        if on is None:
+            return zr
+        # per-layer NoPE flag (cohere2 global layers / smollm3
+        # no_rope_layers): traced scalar under lax.scan, so select
+        return jnp.where(on > 0, zr, z)
+
+    # per-layer rope on/off; all-on unless cfg.nope_layers marks NoPE
+    # layers.  NOTE: when cfg.rope_interleaved is set, NoPE layers still
+    # see the (self-cancelling) even|odd permutation via `z` above —
+    # harmless for scores, and k rows stay layout-consistent in the cache.
+    if cfg.nope_layers is not None:
+        if layer_window.shape[0] != cfg.n_layers:
+            raise ValueError(
+                "nope_layers models don't support stage-local layer "
+                "slices yet (pipeline stages can't infer their slice of "
+                "the per-layer rope flags)"
+            )
+        rope_on = jnp.asarray(
+            [0 if f else 1 for f in cfg.nope_layers], jnp.int32
+        )
+    else:
+        # sized to the (possibly stage-local) slice so scan xs line up
+        rope_on = jnp.ones((layer_window.shape[0],), jnp.int32)
+
+    alibi = None
+    if cfg.pos_embed == "alibi":
+        if tp_axis is not None:
+            raise ValueError("alibi attention is not tp-sharded yet")
+        alibi = alibi_slopes(cfg.n_heads)
 
     use_cache = kv is not None
     quant_kv = use_cache and "k_scale" in kv
@@ -1065,7 +1172,7 @@ def run_layers(
             return _rms(z, lp[name], cfg.rms_eps, cfg.d_model,
                         tp_axis=None, plus_one=p1)
         return _layernorm(z, lp[name], lp.get(name + "_b"), cfg.rms_eps,
-                          cfg.d_model)
+                          cfg.d_model, plus_one=p1)
 
     # deepseek heterogeneous-FFN specs (dense first-k layers + shared
     # experts use widths different from the routed experts')
@@ -1170,12 +1277,13 @@ def run_layers(
 
     def layer_step(x, xs):
         # kvio: _LayerKV/_StackedKV or None (cache-less)
-        lp, kvio, window = xs
+        lp, kvio, window, r_on = xs
 
         if cfg.kv_lora_rank:
             h_attn, att = mla_attention(x, lp, kvio, window)
         else:
-            if "wqkv" in lp and can_fuse(lp, "wqkv") and std_norm:
+            if ("wqkv" in lp and can_fuse(lp, "wqkv") and std_norm
+                    and cfg.pre_norms):
                 # attn_norm + activation-quant + qkv GEMM in one kernel
                 qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
                 spec_qkv = TernarySpec(
@@ -1193,7 +1301,9 @@ def run_layers(
                 v = qkv[..., qd + kvd :]
                 h_attn = None  # never materialized on the fused path
             elif "wqkv" in lp:
-                h_attn = h = norm_d(x, lp, "attn_norm")
+                h_attn = h = (
+                    norm_d(x, lp, "attn_norm") if cfg.pre_norms else x
+                )
                 qd, kvd = plan.q_dim_p // tp_size, plan.kv_dim_p // tp_size
                 spec_qkv = TernarySpec(
                     cfg.d_model, qd + 2 * kvd, cfg.weight_fmt, specs["wq"].kb
@@ -1203,7 +1313,9 @@ def run_layers(
                 k = qkv[..., qd : qd + kvd]
                 v = qkv[..., qd + kvd :]
             else:
-                h_attn = h = norm_d(x, lp, "attn_norm")
+                h_attn = h = (
+                    norm_d(x, lp, "attn_norm") if cfg.pre_norms else x
+                )
                 q = proj(h, lp, "wq")
                 k = proj(h, lp, "wk")
                 v = proj(h, lp, "wv")
@@ -1211,15 +1323,32 @@ def run_layers(
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
+            if cfg.qkv_clamp:
+                # dbrx/olmo clip_qkv (llm_build_dbrx clamp)
+                c_ = cfg.qkv_clamp
+                q = jnp.clip(q, -c_, c_)
+                k = jnp.clip(k, -c_, c_)
+                v = jnp.clip(v, -c_, c_)
             q = q.reshape(b, t, heads_l, hd_p)
             k = k.reshape(b, t, kv_heads_l, hd_p)
             v = v.reshape(b, t, kv_heads_l, hd_p)
             if cfg.qk_norm:
-                # per-head RMSNorm over the (logical) head dim (qwen3/gemma3)
-                q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
-                k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd, plus_one=p1)
-            q = rope_fn(q, safe_pos)
-            k = rope_fn(k, safe_pos)
+                if cfg.qk_norm_scope == "whole":
+                    # olmo2: ONE RMSNorm over the flattened heads*head_dim
+                    # vector (weights padded per head at convert; pads are
+                    # zero in q/k so logical-count stats stay exact)
+                    q = _rms_whole(q, lp["q_norm"], cfg.rms_eps,
+                                   cfg.n_heads * plan.hd)
+                    k = _rms_whole(k, lp["k_norm"], cfg.rms_eps,
+                                   cfg.n_kv_heads * plan.hd)
+                else:
+                    # per-head RMSNorm over the head dim (qwen3/gemma3)
+                    q = _rms(q, lp["q_norm"], cfg.rms_eps, plan.hd,
+                             plus_one=p1)
+                    k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd,
+                             plus_one=p1)
+            q = rope_fn(q, safe_pos, r_on)
+            k = rope_fn(k, safe_pos, r_on)
 
             if use_cache:
                 if "no_kv_write" in _ABLATE():
@@ -1243,6 +1372,8 @@ def run_layers(
                     q, k_all, v_all, safe_pos, k_pos_row, plan.hd,
                     scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
                     window=window, mask_override=attn_mask,
+                    alibi=alibi,
+                    sinks=lp["sinks"] if cfg.attn_sinks else None,
                 )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size
@@ -1298,6 +1429,8 @@ def run_layers(
             and tp_axis is None
             and not cfg.post_norms
             and std_norm
+            and cfg.pre_norms
+            and not cfg.swiglu_limit
             and not par
             and not cfg.proj_bias
         )
@@ -1334,6 +1467,10 @@ def run_layers(
                 "qkv path (the fused kernel never materializes h)"
             )
             h = h_attn
+        elif not cfg.pre_norms:
+            # olmo2 norm-after-block: the FFN branch reads the raw
+            # residual; post_ffn_norm normalizes its output below
+            h = x
         else:
             h = norm_d(x, lp, "ffn_norm")
 
@@ -1345,17 +1482,38 @@ def run_layers(
             "gelu": lambda z: jax.nn.gelu(z, approximate=True),
             "gelu_exact": lambda z: jax.nn.gelu(z, approximate=False),
             "relu2": lambda z: jnp.square(jax.nn.relu(z)),  # nemotron
+            "relu": jax.nn.relu,  # opt
         }[cfg.act_fn]
 
-        def dense_ffn(hh, gate_t, up_t, down_t):
+        def glu_combine(gate, up):
+            """act(gate) * up, or the gpt-oss clamped swiglu when
+            cfg.swiglu_limit is set: gate clamped to (-inf, limit], up to
+            [-limit, limit], out = gate*sigmoid(1.702*gate) * (up + 1)
+            (reference ggml_swiglu_oai, src/models/gpt-oss path)."""
+            gate = gate.astype(jnp.float32)
+            up = up.astype(jnp.float32)
+            if cfg.swiglu_limit:
+                lim = cfg.swiglu_limit
+                gate = jnp.minimum(gate, lim)
+                up = jnp.clip(up, -lim, lim)
+                return gate * jax.nn.sigmoid(1.702 * gate) * (up + 1.0)
+            return act_f(gate) * up
+
+        def dense_ffn(hh, gate_t, up_t, down_t, bg=None, bu=None, bd=None):
             gate = mm(hh, gate_t)
             up = mm(hh, up_t)
-            a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+            if bg is not None:
+                gate = gate + bg.astype(gate.dtype)
+                up = up + bu.astype(up.dtype)
+            a = glu_combine(gate, up)
             a = a.astype(x.dtype)
             if cfg.use_subnorms:
                 a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
                          tp_axis)
-            return mm(a, down_t)
+            out = mm(a, down_t)
+            if bd is not None:
+                out = out + bd.astype(out.dtype)
+            return out
 
         # heterogeneous deepseek stacks: layers [0, first_k_dense) carry a
         # plain dense FFN (no router) — structural dispatch on the layer
@@ -1372,6 +1530,10 @@ def run_layers(
                 "btd,de->bte", h.astype(jnp.float32),
                 lp["router"].astype(jnp.float32),
             )
+            if "router_b" in lp:
+                # true router linear bias (gpt-oss) — enters the LOGITS,
+                # unlike deepseek's selection-only e_score_correction_bias
+                r_logits = r_logits + lp["router_b"].astype(jnp.float32)
             k_used = cfg.n_experts_used
             if cfg.moe_score == "sigmoid":  # deepseek V3
                 scores = jax.nn.sigmoid(r_logits)
@@ -1423,8 +1585,14 @@ def run_layers(
                 )
 
             dense_experts = "dense" in lp["w_gate"]
+            # gpt-oss per-expert projection biases ((E, ff_p)/(E, D) stacks
+            # riding the expert scan alongside the weights)
+            e_bias = cfg.moe_expert_bias and "eb_gate" in lp
 
             def expert_step(acc, exs):
+                bg = bu = bd = None
+                if e_bias:
+                    *exs, bg, bu, bd = exs
                 if dense_experts:
                     gt, ut, dt, w_e = exs
                 else:
@@ -1440,7 +1608,7 @@ def run_layers(
                                        specs["w_down"].n,
                                        specs["w_down"].fmt,
                                        specs["w_down"].kb)
-                out_e = dense_ffn(h, gt, ut, dt)
+                out_e = dense_ffn(h, gt, ut, dt, bg=bg, bu=bu, bd=bd)
                 return acc + w_e[..., None] * out_e.astype(jnp.float32), None
 
             comb_e = jnp.moveaxis(comb, -1, 0)  # (E, B, T)
@@ -1454,6 +1622,8 @@ def run_layers(
                     lp["w_down"]["packed"], lp["w_down"]["scale"],
                     comb_e,
                 )
+            if e_bias:
+                exs = (*exs, lp["eb_gate"], lp["eb_up"], lp["eb_down"])
             dn, _ = jax.lax.scan(
                 expert_step, jnp.zeros((b, t, x.shape[-1]), jnp.float32), exs
             )
@@ -1475,7 +1645,7 @@ def run_layers(
                 gate = mm(h, _layer_tensor(
                     lp, "w_gate", specs_dense["w_gate"]))
                 up = mm(h, _layer_tensor(lp, "w_up", specs_dense["w_up"]))
-                a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+                a = glu_combine(gate, up)
                 a = a.astype(x.dtype)
                 dn = mm(a, _layer_tensor(lp, "w_down",
                                          specs_dense["w_down"]))
@@ -1502,7 +1672,11 @@ def run_layers(
                 else:
                     gate = proj(h, lp, "w_gate")
                     up = proj(h, lp, "w_up")
-                a = act_f(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+                    if cfg.proj_bias and "b_gate" in lp:
+                        gate = gate + lp["b_gate"].astype(gate.dtype)
+                    if cfg.proj_bias and "b_up" in lp:
+                        up = up + lp["b_up"].astype(up.dtype)
+                a = glu_combine(gate, up)
                 a = a.astype(x.dtype)
                 if cfg.use_subnorms:
                     a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
@@ -1541,7 +1715,7 @@ def run_layers(
             kv_state = to_layered(kv)
         for i, lp in enumerate(layers):
             kvio = _SlotKV(kv_state, i) if use_cache else None
-            x = layer_step(x, (lp, kvio, layer_window[i]))
+            x = layer_step(x, (lp, kvio, layer_window[i], rope_on[i]))
         return x, kv_state
 
     if use_cache:
@@ -1550,13 +1724,13 @@ def run_layers(
         kv = to_stacked(kv)  # scan needs the stacked layout
         if quant_kv:
             def scan_body(x, xs):
-                lp, kc, vc, ksc, vsc, window = xs
+                lp, kc, vc, ksc, vsc, window, r_on = xs
                 kvio = _LayerKV(kc, vc, ksc, vsc)
-                x = layer_step(x, (lp, kvio, window))
+                x = layer_step(x, (lp, kvio, window, r_on))
                 return x, (kvio.kc, kvio.vc, kvio.ksc, kvio.vsc)
 
             xs = (layers, kv["k"], kv["v"], kv["k_scale"], kv["v_scale"],
-                  layer_window)
+                  layer_window, rope_on)
             x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
                 scan_body, x, xs
             )
@@ -1564,17 +1738,17 @@ def run_layers(
                        "v_scale": new_vs}
 
         def scan_body(x, xs):
-            lp, kc, vc, window = xs
+            lp, kc, vc, window, r_on = xs
             kvio = _LayerKV(kc, vc, None, None)
-            x = layer_step(x, (lp, kvio, window))
+            x = layer_step(x, (lp, kvio, window, r_on))
             return x, (kvio.kc, kvio.vc)
 
-        xs = (layers, kv["k"], kv["v"], layer_window)
+        xs = (layers, kv["k"], kv["v"], layer_window, rope_on)
         x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
         return x, {"k": new_k, "v": new_v}
     x, _ = jax.lax.scan(
-        lambda c, xs_: (layer_step(c, (xs_[0], None, xs_[1])), None),
+        lambda c, xs_: (layer_step(c, (xs_[0], None, xs_[1], xs_[2])), None),
         x,
-        (layers, layer_window),
+        (layers, layer_window, rope_on),
     )
     return x, None
