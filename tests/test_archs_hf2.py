@@ -270,3 +270,45 @@ def test_gpt_oss_parity(tmp_path):
     assert cfg.attn_sinks and cfg.swiglu_limit == 7.0
     assert cfg.moe_expert_bias and cfg.n_experts == 4
     assert cfg.swa_layers == (True, False)
+
+
+def test_qwen2_moe_parity(tmp_path):
+    """qwen2-moe: sigmoid-gated shared expert (shared_expert_gate),
+    explicit shared width, and an mlp_only dense layer (heterogeneous
+    tuple-layers checkpoint); router softmax top-k WITHOUT renorm
+    (norm_topk_prob=False is the HF default and is omitted from the
+    serialized config)."""
+    c = transformers.Qwen2MoeConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, moe_intermediate_size=32,
+        shared_expert_intermediate_size=64,
+        num_experts=4, num_experts_per_tok=2,
+        decoder_sparse_step=1, mlp_only_layers=[1],
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    cfg = _run_pair(
+        transformers.Qwen2MoeForCausalLM(c), tmp_path / "hf",
+        tmp_path / "out",
+    )
+    assert cfg.n_shared_experts == 1 and cfg.d_ff_shared == 64
+    assert cfg.dense_layers == (False, True, False)
+    assert not cfg.moe_norm_topk and cfg.d_ff_dense == 128
+
+
+def test_olmoe_parity(tmp_path):
+    """olmoe: whole-width q/k RMSNorm applied before clip_qkv, plain
+    mixtral-style MoE with norm_topk_prob defaulting to False."""
+    c = transformers.OlmoeConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=32,
+        num_experts=4, num_experts_per_tok=2, clip_qkv=0.003,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(12)
+    cfg = _run_pair(
+        transformers.OlmoeForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.qk_norm and cfg.qk_norm_scope == "whole"
+    assert cfg.qkv_clamp == pytest.approx(0.003) and cfg.n_experts == 4

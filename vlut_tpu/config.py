@@ -111,6 +111,12 @@ class ModelConfig:
     n_shared_experts: int = 0     # always-on shared-expert FFN width mult
     first_k_dense: int = 0        # layers [0, k) use a dense FFN instead
     d_ff_dense: int = 0           # width of those dense FFNs
+    d_ff_shared: int = 0          # explicit shared-expert width (qwen2-moe
+    # shared_expert_intermediate_size) overriding n_shared * d_ff
+    dense_layers: tuple[bool, ...] | None = None  # arbitrary per-layer
+    # dense-FFN flags (qwen2/qwen3-moe mlp_only_layers +
+    # decoder_sparse_step); like first_k_dense but any layer set —
+    # forces the heterogeneous tuple-layers checkpoint layout
     # checkpoints are packed with enough padding to shard evenly over any
     # tensor-parallel degree dividing tp_pack (see models/dims.py)
     tp_pack: int = 8

@@ -257,6 +257,13 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             qk_norm=True, qk_norm_scope="whole",
             pre_norms=False, post_norms=True,
         )
+    if mt == "olmoe":
+        # OLMoE: whole-width q/k RMSNorm applied BEFORE clip_qkv,
+        # mixtral-style MoE (generic num_experts block below)
+        extra.update(
+            qk_norm=True, qk_norm_scope="whole",
+            qkv_clamp=raw.get("clip_qkv") or 0.0,
+        )
     if mt == "nemotron":
         extra.update(
             norm_type="ln", norm_plus_one=True, ffn_gated=False,
@@ -351,9 +358,37 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         extra.update(
             n_experts=n_experts,
             n_experts_used=raw.get("num_experts_per_tok", 2),
-            moe_norm_topk=raw.get("norm_topk_prob", True),
+            # save_pretrained omits default-valued keys: qwen-moe/olmoe
+            # HF configs default norm_topk_prob to FALSE, mixtral-style
+            # models always renormalize
+            moe_norm_topk=raw.get(
+                "norm_topk_prob",
+                mt not in ("qwen2_moe", "qwen3_moe", "olmoe"),
+            ),
             d_ff=raw.get("moe_intermediate_size", raw["intermediate_size"]),
         )
+    if mt in ("qwen2_moe", "qwen3_moe") and n_experts:
+        # qwen-moe heterogeneity: mlp_only_layers + decoder_sparse_step
+        # pick which layers are plain dense MLPs (HF Qwen2MoeDecoderLayer
+        # sparse condition); qwen2-moe adds a sigmoid-gated shared expert
+        step = raw.get("decoder_sparse_step", 1)
+        only = set(raw.get("mlp_only_layers") or [])
+        nl = raw["num_hidden_layers"]
+        dense = [
+            (i in only) or step == 0 or ((i + 1) % step != 0)
+            for i in range(nl)
+        ]
+        if any(dense):
+            extra.update(
+                dense_layers=tuple(dense),
+                d_ff_dense=raw["intermediate_size"],
+            )
+        if mt == "qwen2_moe":
+            extra.update(
+                n_shared_experts=1,
+                d_ff_shared=raw.get(
+                    "shared_expert_intermediate_size", 0) or 0,
+            )
     rope_scaling = raw.get("rope_scaling")
     return ModelConfig(
         arch="bitnet" if is_bitnet else "llama",
@@ -836,22 +871,36 @@ def convert_hf(
         li, sub, kind = int(m.group(1)), m.group(2), m.group(3)
         # deepseek shared experts + dense first-k layers pack at their own
         # FFN widths (cfg_over carries the width; see pack_weight)
-        if cfg.n_shared_experts and sub.startswith("mlp.shared_experts."):
+        if cfg.n_shared_experts and sub.startswith(
+            ("mlp.shared_experts.", "mlp.shared_expert")
+        ):
             import dataclasses as _dc
 
+            if sub == "mlp.shared_expert_gate":
+                # qwen2-moe sigmoid shared gate: (1, D) row -> (D,)
+                note_layer("shared_gate", li,
+                           np.asarray(w, np.float32).reshape(-1))
+                continue
             cfg_s = _dc.replace(
-                cfg, d_ff=cfg.n_shared_experts * cfg.d_ff, n_experts=0
+                cfg,
+                d_ff=cfg.d_ff_shared or cfg.n_shared_experts * cfg.d_ff,
+                n_experts=0,
             )
             pname = {
                 "mlp.shared_experts.gate_proj": "w_shared_gate",
                 "mlp.shared_experts.up_proj": "w_shared_up",
                 "mlp.shared_experts.down_proj": "w_shared_down",
+                # qwen2-moe singular naming
+                "mlp.shared_expert.gate_proj": "w_shared_gate",
+                "mlp.shared_expert.up_proj": "w_shared_up",
+                "mlp.shared_expert.down_proj": "w_shared_down",
             }.get(sub)
             if pname:
                 pack_proj(pname, w, li, cfg_over=cfg_s)
                 continue
         if (
-            cfg.first_k_dense and li < cfg.first_k_dense
+            ((cfg.first_k_dense and li < cfg.first_k_dense)
+             or (cfg.dense_layers and cfg.dense_layers[li]))
             and sub in ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
         ):
             import dataclasses as _dc
@@ -1028,7 +1077,7 @@ def convert_hf(
     # one array per name — emit a TUPLE of per-layer trees instead (the
     # engine's unrolled layer loop consumes it directly; the lax.scan
     # path requires homogeneous stacks and is not used for these models)
-    if cfg.first_k_dense:
+    if cfg.first_k_dense or (cfg.dense_layers and any(cfg.dense_layers)):
         lt: list[dict[str, Any]] = []
         for i in range(L):
             ld: dict[str, Any] = {}

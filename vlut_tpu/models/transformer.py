@@ -1174,13 +1174,15 @@ def run_layers(
         return _layernorm(z, lp[name], lp.get(name + "_b"), cfg.rms_eps,
                           cfg.d_model, plus_one=p1)
 
-    # deepseek heterogeneous-FFN specs (dense first-k layers + shared
+    # deepseek/qwen-moe heterogeneous-FFN specs (dense layers + shared
     # experts use widths different from the routed experts')
     specs_dense = specs_shared = specs_shared_dn = None
-    if cfg.n_experts and (cfg.first_k_dense or cfg.n_shared_experts):
+    if cfg.n_experts and (
+        cfg.first_k_dense or cfg.n_shared_experts or cfg.dense_layers
+    ):
         import dataclasses as _dc
 
-        if cfg.first_k_dense:
+        if cfg.first_k_dense or cfg.dense_layers:
             cfg_d = _dc.replace(
                 cfg, d_ff=cfg.d_ff_dense or cfg.d_ff, n_experts=0
             )
@@ -1188,8 +1190,12 @@ def run_layers(
                 cfg_d, tp=tp_size, plan=make_plan(cfg_d)
             )
         if cfg.n_shared_experts:
+            # deepseek: n_shared * routed width; qwen2-moe: an explicit
+            # shared_expert_intermediate_size (cfg.d_ff_shared)
             cfg_s = _dc.replace(
-                cfg, d_ff=cfg.n_shared_experts * cfg.d_ff, n_experts=0
+                cfg,
+                d_ff=cfg.d_ff_shared or cfg.n_shared_experts * cfg.d_ff,
+                n_experts=0,
             )
             sp_s = weight_specs(cfg_s, tp=tp_size, plan=make_plan(cfg_s))
             specs_shared = sp_s["w_gate"]
@@ -1323,12 +1329,6 @@ def run_layers(
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
-            if cfg.qkv_clamp:
-                # dbrx/olmo clip_qkv (llm_build_dbrx clamp)
-                c_ = cfg.qkv_clamp
-                q = jnp.clip(q, -c_, c_)
-                k = jnp.clip(k, -c_, c_)
-                v = jnp.clip(v, -c_, c_)
             q = q.reshape(b, t, heads_l, hd_p)
             k = k.reshape(b, t, kv_heads_l, hd_p)
             v = v.reshape(b, t, kv_heads_l, hd_p)
@@ -1347,6 +1347,14 @@ def run_layers(
                              plus_one=p1)
                     k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd,
                              plus_one=p1)
+            if cfg.qkv_clamp:
+                # dbrx/olmo/olmoe clip_qkv (llm_build_dbrx clamp);
+                # elementwise, so post-reshape == pre-reshape for the
+                # norm-free archs, and olmoe norms THEN clamps
+                c_ = cfg.qkv_clamp
+                q = jnp.clip(q, -c_, c_)
+                k = jnp.clip(k, -c_, c_)
+                v = jnp.clip(v, -c_, c_)
             q = rope_fn(q, safe_pos, r_on)
             k = rope_fn(k, safe_pos, r_on)
 
@@ -1630,14 +1638,24 @@ def run_layers(
             if ep_axis is not None:
                 dn = jax.lax.psum(dn, ep_axis)
             if "w_shared_gate" in lp:
-                # deepseek always-on shared experts: a plain gated FFN of
-                # width n_shared * moe_d_ff added to the routed output
-                dn = dn + dense_ffn(
+                # always-on shared expert: a plain gated FFN added to the
+                # routed output (deepseek: width n_shared * moe_d_ff;
+                # qwen2-moe: shared_expert_intermediate_size, scaled by a
+                # learned sigmoid gate)
+                sh = dense_ffn(
                     h,
                     _layer_tensor(lp, "w_shared_gate", specs_shared),
                     _layer_tensor(lp, "w_shared_up", specs_shared),
                     _layer_tensor(lp, "w_shared_down", specs_shared_dn),
                 ).astype(jnp.float32)
+                if "shared_gate" in lp:
+                    # qwen2-moe shared_expert_gate: sigmoid(x @ w) in (0,1)
+                    g_sh = jax.nn.sigmoid(jnp.einsum(
+                        "btd,d->bt", h.astype(jnp.float32),
+                        lp["shared_gate"].astype(jnp.float32),
+                    ))
+                    sh = sh * g_sh[..., None]
+                dn = dn + sh
             dn = dn.astype(x.dtype)
         else:
             if cfg.n_experts and not moe_here:

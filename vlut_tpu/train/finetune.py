@@ -49,12 +49,16 @@ def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any]):
     import dataclasses as _dc
 
     specs = dict(weight_specs(cfg))
-    if cfg.n_experts and "router" not in lp and cfg.first_k_dense:
+    if cfg.n_experts and "router" not in lp and (
+        cfg.first_k_dense or cfg.dense_layers
+    ):
         cfg_d = _dc.replace(cfg, d_ff=cfg.d_ff_dense or cfg.d_ff,
                             n_experts=0)
         specs.update(weight_specs(cfg_d))
     if cfg.n_shared_experts:
-        cfg_s = _dc.replace(cfg, d_ff=cfg.n_shared_experts * cfg.d_ff,
+        cfg_s = _dc.replace(cfg,
+                            d_ff=cfg.d_ff_shared
+                            or cfg.n_shared_experts * cfg.d_ff,
                             n_experts=0)
         sp_s = weight_specs(cfg_s)
         specs["w_shared_gate"] = sp_s["w_gate"]
