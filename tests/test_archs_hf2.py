@@ -29,7 +29,8 @@ V, L = 96, 2
 _PROJ_MARKERS = (
     "q_proj", "k_proj", "v_proj", "o_proj", "query_key_value",
     "self_attention.dense", "attn.c_attn", "attn.c_proj", "attn.Wqkv",
-    "attn.out_proj", "out_proj", "fc1", "fc2", "mlp.c_fc", "mlp.c_proj",
+    "attn.out_proj", "out_proj", "fc1", "fc2", "fc_in", "fc_out",
+    "mlp.c_fc", "mlp.c_proj", "attn.dense", "ffn.experts.mlp",
     "gate_proj", "up_proj", "down_proj", "dense_h_to_4h", "dense_4h_to_h",
 )
 
@@ -45,13 +46,18 @@ def _ternarize_model(model, seed=0, scale=0.02):
                 and name.endswith(".weight")
                 and any(m in name for m in _PROJ_MARKERS)
                 and "embed" not in name
-                and "norm" not in name
+                # exclude norm weights by their own component (dbrx nests
+                # projections under a "norm_attn_norm" module)
+                and not name.split(".")[-2].startswith(("norm", "ln"))
                 and "wpe" not in name
                 and "wte" not in name
             )
-            is_expert = p.ndim == 3 and (
+            is_expert = (p.ndim == 3 and (
                 "experts.gate_up_proj" in name or "experts.down_proj" in name
-            ) and not name.endswith("_bias")
+            ) and not name.endswith("_bias")) or (
+                # dbrx flat expert stacks named w1/v1/w2 (no .weight)
+                "ffn.experts.mlp." in name
+            )
             if is_proj or is_expert:
                 trits = rng.integers(-1, 2, size=tuple(p.shape))
                 p.copy_(torch.tensor(trits * scale, dtype=p.dtype))
@@ -312,3 +318,125 @@ def test_olmoe_parity(tmp_path):
     )
     assert cfg.qk_norm and cfg.qk_norm_scope == "whole"
     assert cfg.qkv_clamp == pytest.approx(0.003) and cfg.n_experts == 4
+
+
+def test_gptj_parity(tmp_path):
+    """gpt-j: partial INTERLEAVED rotary (rotary_dim < head_dim,
+    rotate_every_two pairing), single-norm parallel residual, non-gated
+    gelu MLP with fc biases, untied lm_head with bias."""
+    c = transformers.GPTJConfig(
+        vocab_size=V, n_embd=256, n_layer=L, n_head=2, n_inner=None,
+        rotary_dim=32, n_positions=64, activation_function="gelu_new",
+        layer_norm_epsilon=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(13)
+    cfg = _run_pair(
+        transformers.GPTJForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.rope_interleaved and cfg.rope_pct == 0.25
+    assert cfg.parallel_residual and not cfg.ffn_gated
+
+
+def test_gpt_bigcode_parity(tmp_path):
+    """gpt_bigcode (starcoder1/santacoder): MQA (1 kv head) fused c_attn
+    in nn.Linear layout, learned positions, LN+bias, tanh gelu."""
+    c = transformers.GPTBigCodeConfig(
+        vocab_size=V, n_embd=64, n_layer=L, n_head=4, n_inner=128,
+        n_positions=64, activation_function="gelu_pytorch_tanh",
+        layer_norm_epsilon=1e-5, multi_query=True,
+    )
+    torch.manual_seed(14)
+    cfg = _run_pair(
+        transformers.GPTBigCodeForCausalLM(c),
+        tmp_path / "hf", tmp_path / "out",
+    )
+    assert cfg.n_kv_heads == 1 and cfg.pos_embed == "learned"
+
+
+def test_falcon_7b_style_parity(tmp_path):
+    """falcon old decoder arch, multi_query: straight fused qkv with one
+    kv head, single-norm parallel residual, bias-free, exact gelu."""
+    c = transformers.FalconConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=L,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(15)
+    cfg = _run_pair(
+        transformers.FalconForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.n_kv_heads == 1 and cfg.parallel_residual
+    assert cfg.act_fn == "gelu_exact"
+
+
+def test_falcon_40b_style_parity(tmp_path):
+    """falcon new decoder arch: GQA grouped fused qkv, TWO-norm parallel
+    residual (ln_attn + ln_mlp)."""
+    c = transformers.FalconConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=L,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+        alibi=False, layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(16)
+    cfg = _run_pair(
+        transformers.FalconForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.n_kv_heads == 2 and cfg.parallel_residual
+
+
+def test_falcon_rw_alibi_parity(tmp_path):
+    """falcon-rw style: ALiBi positions, sequential residual, per-head
+    interleaved fused qkv, biases on."""
+    c = transformers.FalconConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=L,
+        num_attention_heads=4, multi_query=False, parallel_attn=False,
+        new_decoder_architecture=False, bias=True, alibi=True,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(17)
+    cfg = _run_pair(
+        transformers.FalconForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.pos_embed == "alibi" and not cfg.parallel_residual
+
+
+def test_glm4_parity(tmp_path):
+    """glm4: sandwich norms (post_self_attn/post_mlp on branch outputs,
+    post_attention as the FFN pre-norm), partial interleaved rope, qkv
+    biases, fused gate_up."""
+    c = transformers.Glm4Config(
+        vocab_size=V, hidden_size=256, num_hidden_layers=L,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=128,
+        intermediate_size=128, partial_rotary_factor=0.5,
+        attention_bias=True, rms_norm_eps=1e-5,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    torch.manual_seed(18)
+    cfg = _run_pair(
+        transformers.Glm4ForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.post_norms and cfg.rope_interleaved and cfg.rope_pct == 0.5
+
+
+def test_dbrx_parity(tmp_path):
+    """dbrx: clip_qkv on the fused Wqkv, bias-free LN pair, MoE with
+    flat-stacked w1/v1/w2 expert tensors (w2 stored (in,out)) and
+    L1-renormalized top-k weights."""
+    c = transformers.DbrxConfig(
+        vocab_size=V, d_model=64, n_layers=L, n_heads=4, max_seq_len=64,
+        attn_config={"clip_qkv": 0.003, "kv_n_heads": 2,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 32, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0,
+                    "moe_jitter_eps": None},
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(19)
+    cfg = _run_pair(
+        transformers.DbrxForCausalLM(c), tmp_path / "hf", tmp_path / "out"
+    )
+    assert cfg.qkv_clamp == pytest.approx(0.003)
+    assert cfg.n_experts == 4 and cfg.moe_norm_topk

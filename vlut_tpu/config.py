@@ -83,6 +83,8 @@ class ModelConfig:
     # flags (HF layer_types) overriding sliding_window_pattern
     nope_layers: tuple[bool, ...] | None = None  # per-layer "skip rope"
     # (cohere2 global layers, smollm3 no_rope_layers)
+    alibi_scaled: bool = False    # falcon folds 1/sqrt(head_dim) into the
+    # alibi bias ((scores + alibi) * inv_norm); bloom/mpt add it unscaled
     attn_sinks: bool = False      # gpt-oss learned per-head sink logits
     # (params: lp["sinks"]) folded into the softmax denominator
     swiglu_limit: float = 0.0     # gpt-oss clamped swiglu: gate clamped to

@@ -132,6 +132,44 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             raw.setdefault("num_key_value_heads", kvh)
     elif mt == "opt":
         raw.setdefault("intermediate_size", raw.get("ffn_dim"))
+    elif mt in ("gptj", "gpt_bigcode"):
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault(
+            "intermediate_size", raw.get("n_inner") or 4 * raw["n_embd"]
+        )
+        raw.setdefault("max_position_embeddings", raw.get("n_positions", 2048))
+        if mt == "gpt_bigcode":
+            raw.setdefault(
+                "num_key_value_heads",
+                1 if raw.get("multi_query", True) else raw["n_head"],
+            )
+    elif mt == "falcon":
+        if raw.get("new_decoder_architecture"):
+            nkv = raw.get("num_kv_heads") or raw["num_attention_heads"]
+        else:
+            nkv = (1 if raw.get("multi_query", True)
+                   else raw["num_attention_heads"])
+        raw.setdefault("num_key_value_heads", nkv)
+        raw.setdefault(
+            "intermediate_size",
+            raw.get("ffn_hidden_size") or 4 * raw["hidden_size"],
+        )
+        raw.setdefault("max_position_embeddings", 2048)
+    elif mt == "dbrx":
+        ac = raw.get("attn_config") or {}
+        fc = raw.get("ffn_config") or {}
+        raw.setdefault("hidden_size", raw.get("d_model"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layers"))
+        raw.setdefault("num_attention_heads", raw.get("n_heads"))
+        raw.setdefault("num_key_value_heads",
+                       ac.get("kv_n_heads") or raw["n_heads"])
+        raw.setdefault("intermediate_size",
+                       fc.get("ffn_hidden_size") or 4 * raw["d_model"])
+        raw.setdefault("rope_theta", ac.get("rope_theta", 10000.0))
+        raw.setdefault("max_position_embeddings",
+                       raw.get("max_seq_len", 2048))
     d_model = raw["hidden_size"]
     extra: dict[str, Any] = {}
     if mt == "qwen2" or mt == "qwen2_moe":
@@ -256,6 +294,51 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         extra.update(
             qk_norm=True, qk_norm_scope="whole",
             pre_norms=False, post_norms=True,
+        )
+    if mt == "gptj":
+        hd_ = raw["hidden_size"] // raw["num_attention_heads"]
+        extra.update(
+            norm_type="ln", proj_bias=True, ffn_gated=False, act_fn="gelu",
+            parallel_residual=True, rope_interleaved=True,
+            rope_pct=raw.get("rotary_dim", hd_) / hd_,
+        )
+    if mt == "gpt_bigcode":
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu", pos_embed="learned",
+        )
+    if mt == "falcon":
+        extra.update(
+            norm_type="ln", ffn_gated=False,
+            # HF "gelu" activation string = the exact (erf) form
+            act_fn={"gelu": "gelu_exact"}.get(
+                raw.get("activation", "gelu"), "gelu"),
+            parallel_residual=raw.get("parallel_attn", True),
+            proj_bias=raw.get("bias", False),
+            qkv_bias=raw.get("bias", False),
+            pos_embed="alibi" if raw.get("alibi", False) else "rope",
+            alibi_scaled=bool(raw.get("alibi", False)),
+        )
+    if mt == "glm4":
+        # sandwich norms (post_self_attn/post_mlp on branch outputs) +
+        # partial INTERLEAVED rope; canon() renames the norms to the
+        # gemma-style keys the postnorm map understands
+        extra.update(
+            post_norms=True,
+            qkv_bias=raw.get("attention_bias", True),
+            rope_pct=raw.get("partial_rotary_factor", 0.5),
+            rope_interleaved=True,
+        )
+    if mt == "dbrx":
+        ac = raw.get("attn_config") or {}
+        fc = raw.get("ffn_config") or {}
+        extra.update(
+            norm_type="ln", qkv_clamp=ac.get("clip_qkv") or 0.0,
+            n_experts=fc.get("moe_num_experts", 0) or 0,
+            n_experts_used=fc.get("moe_top_k", 1),
+            # moe_normalize_expert_weights is an Lp exponent; p=1 over
+            # positive softmax weights == top-k renormalization
+            moe_norm_topk=bool(fc.get("moe_normalize_expert_weights")),
         )
     if mt == "olmoe":
         # OLMoE: whole-width q/k RMSNorm applied BEFORE clip_qkv,
@@ -407,7 +490,8 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         # cohere/gpt2/bloom omit the key because tied is their default
         tie_embeddings=raw.get(
             "tie_word_embeddings",
-            mt in ("cohere", "cohere2", "gpt2", "bloom", "mpt", "opt"),
+            mt in ("cohere", "cohere2", "gpt2", "bloom", "mpt", "opt",
+                   "falcon", "gpt_bigcode"),
         ),
         use_subnorms=is_bitnet,
         max_seq_len=min(raw.get("max_position_embeddings", 4096), 131072),
@@ -723,6 +807,70 @@ def convert_hf(
                                 ".self_attn.o_proj.")
             name = name.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
             name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+        elif mt0 == "gptj":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".attn.out_proj.", ".self_attn.o_proj.")
+            name = name.replace(".attn.q_proj.", ".self_attn.q_proj.")
+            name = name.replace(".attn.k_proj.", ".self_attn.k_proj.")
+            name = name.replace(".attn.v_proj.", ".self_attn.v_proj.")
+            name = name.replace(".mlp.fc_in.", ".mlp.up_proj.")
+            name = name.replace(".mlp.fc_out.", ".mlp.down_proj.")
+        elif mt0 == "gpt_bigcode":
+            # gpt2-style names but nn.Linear (out,in) layout — no transpose
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.wpe.", "model.pos_embed.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.c_attn.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            name = name.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "falcon":
+            name = name.replace("transformer.word_embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            # two-norm parallel residual (40B/180B new_decoder_arch)
+            name = name.replace(".ln_attn.", ".input_layernorm.")
+            name = name.replace(".ln_mlp.", ".post_attention_layernorm.")
+            if raw0.get("new_decoder_architecture"):
+                qkv = ".self_attn.qkv_grouped."  # (kvh, g+2, hd, D)
+            elif raw0.get("multi_query", True):
+                qkv = ".self_attn.qkv_proj."     # straight [q*H; k; v]
+            else:
+                qkv = ".self_attn.qkv_interleaved."  # per-head [q; k; v]
+            name = name.replace(".self_attention.query_key_value.", qkv)
+            name = name.replace(".self_attention.dense.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
+            name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+        elif mt0 == "glm4":
+            # rename the sandwich norms to the gemma-style postnorm keys
+            # (order matters: the FFN pre-norm shares HF's usual name)
+            name = name.replace(".post_attention_layernorm.",
+                                ".pre_feedforward_layernorm.")
+            name = name.replace(".post_self_attn_layernorm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".post_mlp_layernorm.",
+                                ".post_feedforward_layernorm.")
+        elif mt0 == "dbrx":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.norm_f.", "model.norm.")
+            name = name.replace("transformer.blocks.", "model.layers.")
+            name = name.replace(".norm_attn_norm.norm_1.",
+                                ".input_layernorm.")
+            name = name.replace(".norm_attn_norm.norm_2.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".norm_attn_norm.attn.Wqkv.",
+                                ".self_attn.qkv_proj.")
+            name = name.replace(".norm_attn_norm.attn.out_proj.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".ffn.router.layer.", ".mlp.gate.")
         elif mt0 == "mpt":
             name = name.replace("transformer.wte.", "model.embed_tokens.")
             name = name.replace("transformer.norm_f.", "model.norm.")
@@ -823,9 +971,26 @@ def convert_hf(
             note_layer("router_bias", int(mb.group(1)),
                        np.asarray(w, np.float32))
             continue
-        # gpt-oss tensors that carry no .weight/.bias suffix (sinks,
-        # stacked expert parameters) or fold a bias into the router
+        # gpt-oss / dbrx tensors that carry no .weight/.bias suffix
+        # (sinks, stacked expert parameters) or fold a bias into the router
         mg = re.match(r"model\.layers\.(\d+)\.(.+)$", name)
+        if mg and mt0 == "dbrx":
+            li_g, sub_g = int(mg.group(1)), mg.group(2)
+            if sub_g in ("ffn.experts.mlp.w1", "ffn.experts.mlp.v1",
+                         "ffn.experts.mlp.w2"):
+                # (E*ff, D) flat stacks; w1=gate, v1=up are (out,in) per
+                # expert, w2=down is (in,out) per expert (DbrxExpertGLU
+                # applies it untransposed)
+                wf = np.asarray(w, np.float32).reshape(
+                    cfg.n_experts, -1, w.shape[-1]
+                )
+                pname = {"ffn.experts.mlp.w1": "w_gate",
+                         "ffn.experts.mlp.v1": "w_up",
+                         "ffn.experts.mlp.w2": "w_down"}[sub_g]
+                for e in range(cfg.n_experts):
+                    we = wf[e].T if pname == "w_down" else wf[e]
+                    pack_proj(pname, we, li_g, expert=e)
+                continue
         if mg and mt0 == "gpt_oss":
             li_g, sub_g = int(mg.group(1)), mg.group(2)
             if sub_g == "self_attn.sinks":

@@ -932,11 +932,11 @@ def run_layers(
     )
     safe_pos = jnp.maximum(positions, 0)
 
-    if cfg.rope_interleaved and (plan.hd != hd_p or rot != plan.hd):
+    if cfg.rope_interleaved and plan.hd != hd_p:
         raise ValueError(
-            "rope_interleaved requires an unpadded head dim and full "
-            "rope (the even|odd permutation does not commute with the "
-            "padded-head layout or a partial-rotary split)"
+            "rope_interleaved requires an unpadded head dim (the "
+            "even|odd permutation does not commute with the padded-head "
+            "layout)"
         )
 
     def rope_fn(z, pos, on=None):
@@ -946,7 +946,15 @@ def run_layers(
             # original-GPT pairwise rope: permute even|odd channels, then
             # half-split rope.  The inverse permutation is dropped — it
             # cancels in the q.k dot (see config.rope_interleaved).
-            z = jnp.concatenate([z[..., 0::2], z[..., 1::2]], axis=-1)
+            # Partial rotary (gptj rotary_dim / glm4): permute WITHIN the
+            # rotated prefix only; pass-through dims stay in place.
+            if rot == plan.hd:
+                z = jnp.concatenate([z[..., 0::2], z[..., 1::2]], axis=-1)
+            else:
+                zp = z[..., :rot]
+                z = jnp.concatenate(
+                    [zp[..., 0::2], zp[..., 1::2], z[..., rot:]], axis=-1
+                )
         if rot == plan.hd:
             zr = apply_rope(z, pos, cos, sin)
         else:
@@ -983,6 +991,10 @@ def run_layers(
         if tp_axis is not None:
             raise ValueError("alibi attention is not tp-sharded yet")
         alibi = alibi_slopes(cfg.n_heads)
+        if cfg.alibi_scaled:
+            # falcon: (scores + alibi) * 1/sqrt(hd) — our q is pre-scaled,
+            # so fold the factor into the slopes
+            alibi = alibi / np.sqrt(plan.hd)
 
     use_cache = kv is not None
     quant_kv = use_cache and "k_scale" in kv
