@@ -77,6 +77,8 @@ class ModelConfig:
     # the residual add (combine with post_norms=True)
     qk_norm_scope: str = "head"   # "head" (qwen3/gemma3 per-head) |
     # "whole" (olmo2: one RMSNorm over the flattened n_heads*head_dim q/k)
+    qk_norm_post_rope: bool = False  # hunyuan-v1: per-head q/k RMSNorm is
+    # applied AFTER rope (qwen3/gemma3 norm before rope)
     qkv_clamp: float = 0.0        # dbrx/olmo clip_qkv: clamp q/k/v to
     # [-c, +c] after the projection (before rope)
     swa_layers: tuple[bool, ...] | None = None  # explicit per-layer SWA

@@ -197,6 +197,122 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             sliding_window=raw.get("sliding_window", 1024),
             sliding_window_pattern=raw.get("sliding_window_pattern", 6),
         )
+    if mt == "arcee":
+        # arcee AFM: llama body with an UNGATED relu^2 MLP
+        # (reference src/models/arcee.cpp)
+        extra.update(ffn_gated=False, act_fn="relu2")
+    if mt in ("ernie4_5", "ernie4_5_moe"):
+        # ernie 4.5: llama graph; HF omits default keys (theta 5e5, tied)
+        raw.setdefault("rope_theta", 500000.0)
+        raw.setdefault("tie_word_embeddings", True)
+        if raw.get("use_bias"):
+            extra.update(qkv_bias=True, proj_bias=True)
+    if mt == "ernie4_5_moe":
+        # softmax scoring with a selection-only correction bias
+        # (Ernie4_5_MoeStatics), always-renormalized top-k, shared experts
+        # at n_shared * moe_intermediate_size, dense layers below
+        # moe_layer_start_index / off the moe_layer_interval grid
+        nl = raw["num_hidden_layers"]
+        start = raw.get("moe_layer_start_index", 1)
+        step = raw.get("moe_layer_interval", 1)
+        dense = [i < start or ((i + 1) % step != 0) for i in range(nl)]
+        n_sh = raw.get("moe_num_shared_experts", 2)
+        mi = raw.get("moe_intermediate_size", 1536)
+        extra.update(
+            n_experts=raw.get("moe_num_experts", 64),
+            n_experts_used=raw.get("moe_k", 6),
+            moe_score="softmax", moe_norm_topk=True,
+            d_ff=mi, d_ff_dense=raw["intermediate_size"],
+            n_shared_experts=n_sh, d_ff_shared=n_sh * mi,
+        )
+        if any(dense):
+            extra.update(dense_layers=tuple(dense))
+    if mt == "seed_oss":
+        # q/k/v biases (attention_bias defaults True, o bias stays off)
+        extra.update(qkv_bias=raw.get("attention_bias", True))
+        raw.setdefault("head_dim", 128)
+    if mt == "exaone4":
+        # olmo2-style norm-after-block + per-head qk-norm; hybrid SWA via
+        # layer_types with NoPE on the global layers (Exaone4Attention
+        # applies rope only when is_sliding or no sliding_window)
+        extra.update(qk_norm=True, pre_norms=False, post_norms=True)
+        sw = raw.get("sliding_window", 4096)
+        lt = raw.get("layer_types")
+        if lt is None and sw:
+            pat = raw.get("sliding_window_pattern", 4)
+            if isinstance(pat, str):
+                pat = len(pat)
+            lt = ["sliding_attention"
+                  if (pat and (i + 1) % pat != 0) else "full_attention"
+                  for i in range(raw["num_hidden_layers"])]
+            raw["layer_types"] = lt
+        if sw and lt and "sliding_attention" in lt:
+            extra.update(
+                sliding_window=sw,
+                swa_layers=tuple(t == "sliding_attention" for t in lt),
+                nope_layers=tuple(t == "full_attention" for t in lt),
+            )
+    if mt in ("dots1", "glm4_moe"):
+        # deepseek-V3-style router on a STANDARD attention body: sigmoid
+        # scores, selection-only correction bias, grouped top-k, shared
+        # experts, dense first-k layers (reference src/models/dots1.cpp,
+        # glm4-moe.cpp)
+        nre = raw.get("n_routed_experts") or (128 if mt == "glm4_moe"
+                                              else 0)
+        fkd = raw.get("first_k_dense_replace",
+                      1 if mt == "glm4_moe" else 0)
+        if nre:
+            extra.update(
+                n_experts=nre,
+                n_experts_used=raw.get(
+                    "num_experts_per_tok", 8 if mt == "glm4_moe" else 0),
+                d_ff=raw.get("moe_intermediate_size", 1408),
+                d_ff_dense=raw["intermediate_size"],
+                first_k_dense=fkd,
+                n_shared_experts=raw.get(
+                    "n_shared_experts", 1 if mt == "glm4_moe" else 0) or 0,
+                routed_scale=raw.get("routed_scaling_factor", 1.0),
+                moe_score="sigmoid",
+                n_expert_groups=raw.get("n_group", 1) or 0,
+                topk_groups=raw.get("topk_group", 1) or 0,
+                moe_norm_topk=raw.get("norm_topk_prob", mt == "glm4_moe"),
+            )
+            if extra.get("n_expert_groups") == 1:
+                extra.update(n_expert_groups=0, topk_groups=0)
+        if mt == "dots1":
+            extra.update(qk_norm=True)
+        else:  # glm4_moe: split-half partial rope (NOT interleaved)
+            extra.update(
+                qk_norm=raw.get("use_qk_norm", False),
+                qkv_bias=raw.get("attention_bias", False),
+                rope_pct=raw.get("partial_rotary_factor", 0.5),
+            )
+    if mt in ("hunyuan_v1_dense", "hunyuan_v1_moe"):
+        # hunyuan v1: per-head q/k RMSNorm applied AFTER rope
+        # (HunYuanMoEV1Attention), plain softmax top-k MoE with an
+        # always-on shared expert at intermediate_size
+        extra.update(
+            qk_norm=True, qk_norm_post_rope=True,
+            qkv_bias=raw.get("attention_bias", False),
+        )
+        hd_hy = raw.get("head_dim") or raw.get("attention_head_dim")
+        if hd_hy:
+            raw.setdefault("head_dim", hd_hy)
+        if mt == "hunyuan_v1_moe":
+            topk = raw.get("moe_topk", 1)
+            if isinstance(topk, (list, tuple)):
+                if len(set(topk)) != 1:
+                    raise ValueError(
+                        "per-layer moe_topk lists are not supported"
+                    )
+                topk = topk[0]
+            extra.update(
+                n_experts=raw.get("num_experts", 1),
+                n_experts_used=topk,
+                moe_score="softmax", moe_norm_topk=True,
+                n_shared_experts=1,
+                d_ff_shared=raw["intermediate_size"],
+            )
     if mt == "granite":
         # granite's four multipliers (llm_build_granite): embedding and
         # attention map onto existing knobs; logits_scaling DIVIDES the
@@ -437,7 +553,7 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 moe_norm_topk=raw.get("norm_topk_prob", True),
             )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
-    if n_experts:
+    if n_experts and "n_experts" not in extra:
         extra.update(
             n_experts=n_experts,
             n_experts_used=raw.get("num_experts_per_tok", 2),
@@ -881,6 +997,17 @@ def convert_hf(
             name = name.replace(".attn.out_proj.", ".self_attn.o_proj.")
             name = name.replace(".ffn.up_proj.", ".mlp.up_proj.")
             name = name.replace(".ffn.down_proj.", ".mlp.down_proj.")
+        elif mt0 in ("hunyuan_v1_dense", "hunyuan_v1_moe"):
+            name = name.replace(".self_attn.query_layernorm.",
+                                ".self_attn.q_norm.")
+            name = name.replace(".self_attn.key_layernorm.",
+                                ".self_attn.k_norm.")
+            name = name.replace(".mlp.gate.wg.", ".mlp.gate.")
+            name = name.replace(".mlp.shared_mlp.", ".mlp.shared_experts.")
+        elif mt0 == "ernie4_5_moe":
+            # Ernie4_5_MoeStatics stores the selection bias as (1, E)
+            name = name.replace(".mlp.moe_statics.e_score_correction_bias",
+                                ".mlp.gate.e_score_correction_bias")
         elif mt0 == "exaone":
             name = name.replace("transformer.wte.", "model.embed_tokens.")
             name = name.replace("transformer.ln_f.", "model.norm.")
@@ -967,9 +1094,10 @@ def convert_hf(
             name,
         )
         if mb:
-            # deepseek V3 selection bias (noaux_tc routing)
+            # deepseek V3 selection bias (noaux_tc routing); ernie stores
+            # it (1, E) inside moe_statics — flatten either way
             note_layer("router_bias", int(mb.group(1)),
-                       np.asarray(w, np.float32))
+                       np.asarray(w, np.float32).reshape(-1))
             continue
         # gpt-oss / dbrx tensors that carry no .weight/.bias suffix
         # (sinks, stacked expert parameters) or fold a bias into the router
@@ -1129,7 +1257,11 @@ def convert_hf(
                              else cfg.n_kv_heads)
                     v = pad_vec_heads(v, heads, plan.hd, plan.hd_p)
                 else:
-                    v = np.pad(v, (0, plan.hd_p - v.shape[0]))
+                    # per-head gains ride the rope-aware scattered layout
+                    # (dims.head_positions): half-pair j >= hd/2 lives at
+                    # hd_p/2 + (j - hd/2), NOT at j — a tail zero-pad would
+                    # zero the second half-pair's gains
+                    v = pad_vec_heads(v, 1, plan.hd, plan.hd_p)
             note_layer(pname, li, v)
             continue
         # MoE router + experts

@@ -1344,7 +1344,7 @@ def run_layers(
             q = q.reshape(b, t, heads_l, hd_p)
             k = k.reshape(b, t, kv_heads_l, hd_p)
             v = v.reshape(b, t, kv_heads_l, hd_p)
-            if cfg.qk_norm:
+            def qk_norm_fn(q, k):
                 if cfg.qk_norm_scope == "whole":
                     # olmo2: ONE RMSNorm over the flattened heads*head_dim
                     # vector (weights padded per head at convert; pads are
@@ -1359,6 +1359,10 @@ def run_layers(
                              plus_one=p1)
                     k = _rms(k, lp["k_norm"], cfg.rms_eps, plan.hd,
                              plus_one=p1)
+                return q, k
+
+            if cfg.qk_norm and not cfg.qk_norm_post_rope:
+                q, k = qk_norm_fn(q, k)
             if cfg.qkv_clamp:
                 # dbrx/olmo/olmoe clip_qkv (llm_build_dbrx clamp);
                 # elementwise, so post-reshape == pre-reshape for the
@@ -1369,6 +1373,10 @@ def run_layers(
                 v = jnp.clip(v, -c_, c_)
             q = rope_fn(q, safe_pos, r_on)
             k = rope_fn(k, safe_pos, r_on)
+            if cfg.qk_norm and cfg.qk_norm_post_rope:
+                # hunyuan-v1 ordering: rope first, per-head RMSNorm second
+                # (HunYuanMoEV1Attention.forward)
+                q, k = qk_norm_fn(q, k)
 
             if use_cache:
                 if "no_kv_write" in _ABLATE():

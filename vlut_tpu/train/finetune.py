@@ -110,7 +110,9 @@ def float_twin_params(
             k: (jnp.asarray(v) if k != "layers" else out_t)
             for k, v in params.items()
         }
-    specs = weight_specs(cfg)
+    # stacked checkpoints can still carry shared experts (hunyuan-moe:
+    # every layer is MoE + shared, so the layout stays homogeneous)
+    specs = _tuple_layer_specs(cfg, {"router": True} if cfg.n_experts else {})
     out_layers: dict[str, Any] = {}
     for name, val in params["layers"].items():
         if isinstance(val, dict) and "packed" not in val:
