@@ -95,12 +95,12 @@ def save_checkpoint(
     flat = _flatten(params)
     save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
               str(path / "model.safetensors"))
-    family = type(cfg).__name__  # ModelConfig | MambaConfig
+    family = type(cfg).__name__  # ModelConfig | MambaConfig | EncoderConfig
     meta = {
         "format_version": FORMAT_VERSION,
-        "model_family": (
-            "mamba" if family == "MambaConfig" else "transformer"
-        ),
+        "model_family": {
+            "MambaConfig": "mamba", "EncoderConfig": "encoder",
+        }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
         **(extra_meta or {}),
@@ -127,6 +127,10 @@ def load_checkpoint(
         from vlut_tpu.models.ssm import MambaConfig
 
         cfg = MambaConfig(**meta["model_config"])
+    elif meta.get("model_family") == "encoder":
+        from vlut_tpu.models.encoder import EncoderConfig
+
+        cfg = EncoderConfig(**meta["model_config"])
     else:
         cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))

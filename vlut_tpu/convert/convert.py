@@ -791,6 +791,10 @@ def convert_hf(
     raw0 = json.loads((hf_dir / "config.json").read_text())
     if raw0.get("model_type") in ("mamba", "falcon_mamba"):
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
+    if raw0.get("model_type") in ("bert", "modernbert"):
+        from vlut_tpu.convert.encoder import convert_encoder
+
+        return convert_encoder(hf_dir, out_dir)
     cfg0 = config_from_hf(hf_dir)
     cfg = ModelConfig(**{**cfg0.__dict__, "weight_fmt": fmt})
     L = cfg.n_layers

@@ -1,0 +1,176 @@
+"""Bidirectional text encoders (embedding models): BERT and ModernBERT.
+
+The reference serves encoder-only embedding models through the same
+llama_decode path with non-causal attention and a pooling type read from
+GGUF metadata (reference: src/models/bert.cpp, src/models/modern-bert.cpp,
+`llama_pooling_type`, tools/server `/embedding` + `--embedding`).  Here the
+encoder is its own small functional model: a fixed-shape jitted forward
+over (tokens, mask) that returns pooled embeddings — serving batches them
+like any other request, no KV cache involved.
+
+Two graph families cover the reference's four encoder archs:
+
+* ``bert`` — post-LN, learned absolute positions + token-type embeddings,
+  biased projections, exact-gelu MLP (also covers neo-bert-style checkpoints
+  converted with the same tensor names).
+* ``modernbert`` — pre-LN (bias-free LayerNorm), fused qkv, rope with
+  per-layer theta, alternating local (bidirectional sliding window) /
+  global attention every `global_every` layers, GeGLU MLP.
+
+Weights stay dense (bf16/f32): encoder checkpoints are small and never
+ternary in the wild; the ternary path stays the decoder engine's job.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    arch: str                    # "bert" | "modernbert"
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    d_ff: int
+    max_seq_len: int = 512
+    ln_eps: float = 1e-12
+    pooling: str = "mean"        # "mean" | "cls" | "none"
+    type_vocab_size: int = 2     # bert segment embeddings
+    # modernbert
+    local_window: int = 128      # total bidirectional window (±window/2)
+    global_every: int = 3        # layer_id % global_every == 0 -> global
+    rope_theta_global: float = 160000.0
+    rope_theta_local: float = 10000.0
+    normalize: bool = True       # L2-normalize pooled embeddings
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def _ln(x, w, b, eps):
+    x = x.astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    v = (xc * xc).mean(-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(v + eps) * w
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _attend(q, k, v, mask_bias):
+    """(B, T, H, hd) bidirectional attention with additive mask bias
+    (B, 1, T, T) or (1, 1, T, T)."""
+    hd = q.shape[-1]
+    sc = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * (hd ** -0.5)
+    sc = sc + mask_bias
+    p = jax.nn.softmax(sc, axis=-1)
+    return jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
+
+
+def _rope(x, pos, theta):
+    """NEOX split-half rope over the full head dim."""
+    hd = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = pos[..., None].astype(jnp.float32) * inv  # (B, T, hd/2)
+    cos, sin = jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
+def forward_encoder(
+    params: dict[str, Any],
+    cfg: EncoderConfig,
+    tokens: jax.Array,          # (B, T) int32
+    mask: jax.Array,            # (B, T) 1 = real token, 0 = pad
+) -> jax.Array:
+    """Returns token-level hidden states (B, T, D), float32."""
+    B, T = tokens.shape
+    L = params["layers"]
+    pad_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30)
+
+    if cfg.arch == "bert":
+        x = params["embed"][tokens]
+        x = x + params["pos_embed"][jnp.arange(T)][None]
+        if "type_embed" in params:
+            x = x + params["type_embed"][0][None, None]
+        x = _ln(x, params["embed_norm"], params.get("embed_norm_b"),
+                cfg.ln_eps)
+        H, hd = cfg.n_heads, cfg.head_dim
+
+        def layer(x, lp):
+            q = (x @ lp["wq"] + lp["bq"]).reshape(B, T, H, hd)
+            k = (x @ lp["wk"] + lp["bk"]).reshape(B, T, H, hd)
+            v = (x @ lp["wv"] + lp["bv"]).reshape(B, T, H, hd)
+            att = _attend(q, k, v, pad_bias).reshape(B, T, -1)
+            o = att @ lp["wo"] + lp["bo"]
+            x = _ln(x + o, lp["attn_norm"], lp["attn_norm_b"], cfg.ln_eps)
+            up = x @ lp["w_up"] + lp["b_up"]
+            a = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
+            dn = a @ lp["w_down"] + lp["b_down"]
+            x = _ln(x + dn, lp["ffn_norm"], lp["ffn_norm_b"], cfg.ln_eps)
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x.astype(jnp.float32), L)
+        return x
+
+    if cfg.arch == "modernbert":
+        x = _ln(params["embed"][tokens], params["embed_norm"], None,
+                cfg.ln_eps)
+        H, hd = cfg.n_heads, cfg.head_dim
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        # bidirectional sliding-window bias for the local layers
+        rel = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+        local_ok = jnp.abs(rel) <= cfg.local_window // 2
+        local_bias = pad_bias + jnp.where(local_ok, 0.0, -1e30)[None, None]
+
+        x = x.astype(jnp.float32)
+        for i in range(cfg.n_layers):
+            lp = jax.tree.map(lambda a: a[i], L)
+            is_global = i % cfg.global_every == 0
+            h = x if i == 0 else _ln(x, lp["attn_norm"], None, cfg.ln_eps)
+            qkv = (h @ lp["wqkv"]).reshape(B, T, 3, H, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            theta = (cfg.rope_theta_global if is_global
+                     else cfg.rope_theta_local)
+            q, k = _rope(q, pos, theta), _rope(k, pos, theta)
+            bias = pad_bias if is_global else local_bias
+            att = _attend(q, k, v, bias).reshape(B, T, -1)
+            x = x + att @ lp["wo"]
+            h = _ln(x, lp["mlp_norm"], None, cfg.ln_eps)
+            wi = h @ lp["w_in"]
+            inp, gate = wi[..., : cfg.d_ff], wi[..., cfg.d_ff:]
+            a = jax.nn.gelu(inp.astype(jnp.float32), approximate=False)
+            x = x + (a * gate) @ lp["w_out"]
+        x = _ln(x, params["final_norm"], None, cfg.ln_eps)
+        return x
+
+    raise ValueError(f"unknown encoder arch {cfg.arch!r}")
+
+
+def embed(
+    params: dict[str, Any],
+    cfg: EncoderConfig,
+    tokens: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Pooled (B, D) embeddings (reference llama_pooling_type MEAN/CLS)."""
+    x = forward_encoder(params, cfg, tokens, mask)
+    if cfg.pooling == "cls":
+        e = x[:, 0]
+    else:
+        m = mask.astype(jnp.float32)[..., None]
+        e = (x * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+    if cfg.normalize:
+        e = e / jnp.maximum(
+            jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12
+        )
+    return e

@@ -43,9 +43,13 @@ from vlut_tpu.utils.tokenizer import Tokenizer
 
 
 class ServerState:
-    def __init__(self, engine: Engine, tokenizer: Tokenizer,
-                 model_name: str = "vlut-tpu"):
+    def __init__(self, engine: Engine | None, tokenizer: Tokenizer,
+                 model_name: str = "vlut-tpu", encoder=None):
+        # encoder: (EncoderConfig, params) for encoder-only (embedding)
+        # checkpoints — BERT/ModernBERT served through /embedding with no
+        # engine loop (reference: llama-server --embedding on bert archs)
         self.engine = engine
+        self.encoder = encoder
         self.tok = tokenizer
         self.model_name = model_name
         self.lock = threading.Lock()
@@ -63,7 +67,8 @@ class ServerState:
         self._rerank_fns: dict[tuple[int, int], Any] = {}
 
     def start(self):
-        self.thread.start()
+        if self.engine is not None:
+            self.thread.start()
 
     def stop(self):
         self.running = False
@@ -138,6 +143,8 @@ class ServerState:
 
         from vlut_tpu.models.transformer import forward
 
+        if self.encoder is not None:
+            return self._embed_encoder(ids_list)
         cfg = self.engine.cfg
         t_max = max(1, max(len(x) for x in ids_list))
         # pad to a bucket to bound recompiles
@@ -182,6 +189,35 @@ class ServerState:
         # L2-normalize (reference: embd_normalize default 2 in server)
         norms = np.linalg.norm(out, axis=-1, keepdims=True)
         return out / np.maximum(norms, 1e-12)
+
+    def _embed_encoder(self, ids_list: list[list[int]]):
+        """Encoder-checkpoint embedding: bidirectional forward + the
+        checkpoint's pooling (models/encoder.py)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.encoder import embed as enc_embed
+
+        cfg, params = self.encoder
+        t_max = max(1, max(len(x) for x in ids_list))
+        bucket = 16
+        while bucket < t_max:
+            bucket *= 2
+        bucket = min(bucket, cfg.max_seq_len)
+        b = len(ids_list)
+        toks = np.zeros((b, bucket), np.int32)
+        mask = np.zeros((b, bucket), np.int32)
+        for i, ids in enumerate(ids_list):
+            ids = ids[:bucket]
+            toks[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1
+        if self._embed_fn is None:
+            self._embed_fn = jax.jit(
+                lambda p, t, m: enc_embed(p, cfg, t, m)
+            )
+        out = self._embed_fn(params, jnp.asarray(toks), jnp.asarray(mask))
+        return np.asarray(out)
 
     def rerank(self, query_ids, doc_ids_list):
         """Relevance score per (query, doc): mean log-prob of the document
@@ -639,6 +675,18 @@ def make_handler(router: Router):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif path == "/slots" and self.st.engine is None:
+                self._json(200, [])
+            elif path == "/props" and self.st.engine is None:
+                cfg = self.st.encoder[0]
+                self._json(200, {
+                    "model": self.st.model_name,
+                    "arch": cfg.arch,
+                    "embedding_only": True,
+                    "pooling": cfg.pooling,
+                    "n_embd": cfg.d_model,
+                    "vocab_size": cfg.vocab_size,
+                })
             elif path == "/slots":
                 slots = [
                     {
@@ -691,6 +739,14 @@ def make_handler(router: Router):
                 return
             parsed = urlparse(self.path)
             path = parsed.path
+            if self.st.engine is None and path not in (
+                "/embedding", "/embeddings", "/v1/embeddings",
+                "/tokenize", "/detokenize",
+            ):
+                self._json(400, {"error": {
+                    "message": "this model is embedding-only",
+                    "type": "invalid_request_error"}})
+                return
             try:
                 if path in ("/completion", "/completions", "/v1/completions"):
                     self._completion(body)
@@ -1153,8 +1209,10 @@ def serve_multi(
     """Multi-model server: one engine loop per model, routed by the
     request's "model" field (server-models.cpp analog)."""
     router = Router()
-    for name, (engine, tok) in models.items():
-        st = ServerState(engine, tok, model_name=name)
+    for name, spec in models.items():
+        engine, tok = spec[0], spec[1]
+        encoder = spec[2] if len(spec) > 2 else None
+        st = ServerState(engine, tok, model_name=name, encoder=encoder)
         st.start()
         router.add(name, st, default=(name == default))
     httpd = ThreadingHTTPServer((host, port), make_handler(router))
@@ -1204,6 +1262,16 @@ def main(argv=None):
         name, _, path = spec.rpartition("=")
         if not name:
             name, path = path, path
+        import json as _json
+        import pathlib as _pl
+        fam = _json.loads(
+            (_pl.Path(path) / "vlut_config.json").read_text()
+        ).get("model_family", "transformer")
+        if fam == "encoder":
+            cfg, params, _ = load_checkpoint(path)
+            models[name] = (None, Tokenizer(path),
+                            (cfg, jax.device_put(params)))
+            continue
         cfg, params, _ = load_checkpoint(path)
         if args.promote and cfg.weight_fmt != args.promote:
             from vlut_tpu.convert.quantize import requantize_params
