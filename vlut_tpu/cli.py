@@ -101,6 +101,28 @@ def cmd_generate(args):
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model, overrides=args.override)
+    if type(cfg).__name__ == "T5Config":
+        # encoder-decoder path (reference: llama-cli on T5 = llama_encode
+        # then the decoder loop)
+        import time as _time
+
+        import jax
+
+        from vlut_tpu.models.t5 import generate as t5_generate
+        from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
+
+        tok = _Tok(args.model)
+        ids = tok.encode(args.prompt, add_bos=False)
+        if cfg.eos_id is not None:
+            ids = ids + [cfg.eos_id]
+        params = jax.device_put(params)
+        t0 = _time.time()
+        out = t5_generate(params, cfg, ids, n_new=args.n_predict,
+                          temp=args.temp, seed=getattr(args, 'seed', 0))
+        dt = _time.time() - t0
+        print(tok.decode(out))
+        print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
+        return
     if getattr(args, "promote", None) and cfg.weight_fmt != args.promote:
         # serve-time format promotion (convert/quantize.py rationale):
         # i1 storage, i2 decode speed — exact trit repack at load

@@ -100,6 +100,7 @@ def save_checkpoint(
         "format_version": FORMAT_VERSION,
         "model_family": {
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
+            "T5Config": "t5",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -131,6 +132,10 @@ def load_checkpoint(
         from vlut_tpu.models.encoder import EncoderConfig
 
         cfg = EncoderConfig(**meta["model_config"])
+    elif meta.get("model_family") == "t5":
+        from vlut_tpu.models.t5 import T5Config
+
+        cfg = T5Config(**meta["model_config"])
     else:
         cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))

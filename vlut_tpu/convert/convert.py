@@ -795,6 +795,10 @@ def convert_hf(
         from vlut_tpu.convert.encoder import convert_encoder
 
         return convert_encoder(hf_dir, out_dir)
+    if raw0.get("model_type") in ("t5", "mt5"):
+        from vlut_tpu.convert.t5 import convert_t5
+
+        return convert_t5(hf_dir, out_dir)
     cfg0 = config_from_hf(hf_dir)
     cfg = ModelConfig(**{**cfg0.__dict__, "weight_fmt": fmt})
     L = cfg.n_layers
