@@ -123,6 +123,44 @@ def cmd_generate(args):
         print(tok.decode(out))
         print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
         return
+    if type(cfg).__name__ == "Mamba2Config":
+        # standalone mamba2 LM (codestral-mamba-style): recurrent greedy/
+        # sampled decode, O(1) state per token
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.ssm import forward2, init_state2
+        from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
+
+        tok = _Tok(args.model)
+        ids = tok.encode(args.prompt)
+        st = init_state2(cfg, 1)
+        lg, st = forward2(params, cfg, jnp.asarray([ids], jnp.int32), st,
+                          logits_last_only=True)
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        out = []
+        t0 = _time.time()
+        cur = lg[:, -1, : cfg.vocab_size]
+        for _ in range(args.n_predict):
+            if args.temp > 0:
+                key, sub = jax.random.split(key)
+                nxt = int(jax.random.categorical(sub, cur[0] / args.temp))
+            else:
+                nxt = int(jnp.argmax(cur[0]))
+            out.append(nxt)
+            if nxt == tok.eos_id:
+                break
+            lg, st = forward2(
+                params, cfg, jnp.asarray([[nxt]], jnp.int32), st
+            )
+            cur = lg[:, -1, : cfg.vocab_size]
+        dt = _time.time() - t0
+        print(tok.decode(out))
+        print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
+        return
     if getattr(args, "promote", None) and cfg.weight_fmt != args.promote:
         # serve-time format promotion (convert/quantize.py rationale):
         # i1 storage, i2 decode speed — exact trit repack at load

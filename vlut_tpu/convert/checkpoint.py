@@ -100,7 +100,7 @@ def save_checkpoint(
         "format_version": FORMAT_VERSION,
         "model_family": {
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
-            "T5Config": "t5",
+            "T5Config": "t5", "Mamba2Config": "mamba2",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -136,6 +136,12 @@ def load_checkpoint(
         from vlut_tpu.models.t5 import T5Config
 
         cfg = T5Config(**meta["model_config"])
+    elif meta.get("model_family") == "mamba2":
+        from vlut_tpu.models.ssm import Mamba2Config
+
+        mc = dict(meta["model_config"])
+        mc["time_limit"] = tuple(mc.get("time_limit", (0.0, float("inf"))))
+        cfg = Mamba2Config(**mc)
     else:
         cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))

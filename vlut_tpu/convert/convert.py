@@ -778,6 +778,121 @@ def convert_mamba(
     return cfg
 
 
+def convert_mamba2(
+    hf_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    dtype_hp: str = "bfloat16",
+):
+    """HF Mamba2ForCausalLM (codestral-mamba-style) -> packed checkpoint.
+    in/out projections ternarize (exact or absmean); conv kernel, dt_bias,
+    A_log, D, norms stay float (quantizer policy as convert_mamba)."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.models.ssm import Mamba2Config
+    from vlut_tpu.ops.packing import pack_ternary
+
+    hf_dir = pathlib.Path(hf_dir)
+    raw = json.loads((hf_dir / "config.json").read_text())
+    hidden = raw["hidden_size"]
+    n_heads = raw.get("num_heads", 128)
+    cfg = Mamba2Config(
+        vocab_size=raw["vocab_size"],
+        d_model=hidden,
+        n_layers=raw["num_hidden_layers"],
+        n_heads=n_heads,
+        head_dim=raw.get("head_dim", 64),
+        d_state=raw.get("state_size", 128),
+        d_conv=raw.get("conv_kernel", 4),
+        expand=raw.get("expand", 2),
+        n_groups=raw.get("n_groups", 1),
+        rms_eps=raw.get("layer_norm_epsilon", 1e-5),
+        tie_embeddings=raw.get("tie_word_embeddings", False),
+        max_seq_len=raw.get("max_position_embeddings", 2048),
+        time_limit=tuple(raw.get("time_step_limit",
+                                 (0.0, float("inf")))),
+    )
+    hp = jnp.bfloat16 if dtype_hp == "bfloat16" else jnp.float32
+    L = cfg.n_layers
+    top: dict[str, Any] = {}
+    per: dict[str, dict[int, Any]] = {}
+    n_approx = 0
+
+    def tern_pack(wf: np.ndarray):
+        nonlocal n_approx
+        exact, s = _is_exact_ternary(wf)
+        if exact:
+            trits = np.sign(wf).astype(np.int8)
+            scale = np.float32(s if s > 0 else 1.0)
+        else:
+            n_approx += 1
+            trits, scale = ternarize(wf)
+        t = pack_ternary(trits, scale, "i2")
+        return {"packed": np.asarray(t.packed),
+                "scale": np.asarray(t.scale).reshape(())}
+
+    lre = re.compile(r"backbone\.layers\.(\d+)\.(.+)$")
+    name_map = {
+        "mixer.in_proj.weight": ("in_proj", "tern"),
+        "mixer.out_proj.weight": ("out_proj", "tern"),
+        "norm.weight": ("norm", "raw"),
+        "mixer.norm.weight": ("norm_w", "raw"),
+        "mixer.conv1d.weight": ("conv_w", "conv"),
+        "mixer.conv1d.bias": ("conv_b", "raw"),
+        "mixer.dt_bias": ("dt_bias", "raw"),
+        "mixer.A_log": ("A_log", "raw"),
+        "mixer.D": ("D", "raw"),
+    }
+    for name, w in _iter_hf_tensors(hf_dir):
+        w = np.asarray(w, np.float32)
+        if name == "backbone.embeddings.weight":
+            top["embed"] = np.asarray(jnp.asarray(w).astype(hp))
+            continue
+        if name == "backbone.norm_f.weight":
+            top["final_norm"] = w
+            continue
+        if name == "lm_head.weight":
+            top["lm_head"] = np.asarray(jnp.asarray(w.T).astype(hp))
+            continue
+        m = lre.match(name)
+        if not m:
+            log.warning("skipping unrecognized mamba2 tensor %s", name)
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        entry = name_map.get(sub)
+        if entry is None:
+            log.warning("skipping mamba2 layer tensor %s", name)
+            continue
+        pname, kind = entry
+        if kind == "tern":
+            per.setdefault(pname, {})[li] = tern_pack(w.T)
+        elif kind == "conv":
+            per.setdefault(pname, {})[li] = w[:, 0, :].T  # (cd,1,dc)->(dc,cd)
+        else:
+            per.setdefault(pname, {})[li] = w
+
+    layers: dict[str, Any] = {}
+    for pname, by_layer in per.items():
+        vals = [by_layer[i] for i in range(L)]
+        if isinstance(vals[0], dict):
+            layers[pname] = {
+                "packed": np.stack([v["packed"] for v in vals]),
+                "scale": np.stack([v["scale"] for v in vals]),
+            }
+        else:
+            layers[pname] = np.stack(vals)
+    if n_approx:
+        log.warning(
+            "%d mamba2 projections were NOT exactly ternary — absmean "
+            "ternarized (lossy).", n_approx,
+        )
+    save_checkpoint(
+        out_dir, cfg, {**top, "layers": layers}, tokenizer_src=hf_dir,
+        extra_meta={"source": str(hf_dir),
+                    "ternarized_tensors": n_approx},
+    )
+    return cfg
+
+
 def convert_hf(
     hf_dir: str | pathlib.Path,
     out_dir: str | pathlib.Path,
@@ -791,6 +906,8 @@ def convert_hf(
     raw0 = json.loads((hf_dir / "config.json").read_text())
     if raw0.get("model_type") in ("mamba", "falcon_mamba"):
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
+    if raw0.get("model_type") == "mamba2":
+        return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") in ("bert", "modernbert"):
         from vlut_tpu.convert.encoder import convert_encoder
 

@@ -248,6 +248,206 @@ def forward(
     return logits, new_state
 
 
+# --- Mamba2 (SSD) ----------------------------------------------------------
+#
+# Mamba2 replaces mamba1's per-channel (d_inner, d_state) A matrix with one
+# SCALAR decay per head (multi-head state (H, head_dim, d_state)), fuses
+# x/B/C into one conv, and applies a gated RMSNorm before out_proj
+# (reference: the mamba2-based hybrid graphs — src/models/{jamba,falcon-h1,
+# granite-hybrid,nemotron-h}.cpp all build this mixer).  Same TPU design as
+# mamba1: prefill = log-depth associative scan, decode = one state update.
+
+
+@dataclasses.dataclass(frozen=True)
+class Mamba2Dims:
+    d_inner: int
+    n_heads: int
+    head_dim: int
+    n_groups: int
+    d_state: int
+    d_conv: int
+    rms_eps: float = 1e-5
+    gated_norm: bool = True      # Mamba2 rms_norm flag (norm(y * silu(z)))
+    time_limit: tuple[float, float] = (0.0, float("inf"))
+
+
+def mamba2_core(
+    zxbcdt: jax.Array,           # (B, T, d_inner + conv_dim + n_heads)
+    conv_state: jax.Array,       # (B, d_conv-1, conv_dim)
+    ssm_state: jax.Array,        # (B, n_heads, head_dim, d_state)
+    lp: dict[str, Any],          # conv_w (dc, conv_dim), conv_b, dt_bias,
+                                 # A_log, D (n_heads,), norm_w (d_inner,)?
+    md: Mamba2Dims,
+    valid: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """SSD mixer given the in_proj output; returns (y pre-out_proj,
+    new_conv_state, new_ssm_state).  Matmul-agnostic so ternary (standalone
+    mamba2) and dense (hybrid archs) callers share the math."""
+    b, t, _ = zxbcdt.shape
+    di, H, hd = md.d_inner, md.n_heads, md.head_dim
+    G, N, dc = md.n_groups, md.d_state, md.d_conv
+    conv_dim = di + 2 * G * N
+    z = zxbcdt[..., :di].astype(jnp.float32)
+    xbc = zxbcdt[..., di : di + conv_dim].astype(jnp.float32)
+    dt = zxbcdt[..., di + conv_dim :].astype(jnp.float32)  # (B, T, H)
+    if valid is not None:
+        xbc = jnp.where(valid[..., None], xbc, 0.0)
+
+    win = jnp.concatenate([conv_state.astype(jnp.float32), xbc], axis=1)
+    new_conv = win[:, -(dc - 1):]
+    taps = [
+        win[:, i : i + t] * lp["conv_w"][i][None, None, :]
+        for i in range(dc)
+    ]
+    xbc = sum(taps)
+    if "conv_b" in lp:
+        xbc = xbc + lp["conv_b"][None, None, :]
+    xbc = jax.nn.silu(xbc)
+    if valid is not None:
+        xbc = jnp.where(valid[..., None], xbc, 0.0)
+
+    x = xbc[..., :di].reshape(b, t, H, hd)
+    B = xbc[..., di : di + G * N].reshape(b, t, G, N)
+    C = xbc[..., di + G * N :].reshape(b, t, G, N)
+    rep = H // G
+    B = jnp.repeat(B, rep, axis=2)   # (B, T, H, N)
+    C = jnp.repeat(C, rep, axis=2)
+
+    dt = jax.nn.softplus(dt + lp["dt_bias"][None, None, :])
+    lo, hi = md.time_limit
+    if lo > 0.0 or hi != float("inf"):
+        dt = jnp.clip(dt, lo, hi)
+    if valid is not None:
+        # padded steps must be identity recurrences: exp(dt*A) -> 1 needs
+        # dt = 0 there (softplus(bias) != 0)
+        dt = jnp.where(valid[..., None], dt, 0.0)
+    A = -jnp.exp(lp["A_log"].astype(jnp.float32))        # (H,)
+    dA = jnp.exp(dt * A[None, None, :])                  # (B, T, H) scalar
+    dBx = (dt[..., None] * B)[..., None, :] * x[..., None]  # (B,T,H,hd,N)
+
+    # fold the incoming state into step 0, then scalar-decay scan
+    dBx = dBx.at[:, 0].add(dA[:, 0][..., None, None] * ssm_state)
+
+    def combine(a, b_):
+        a1, a2 = a
+        b1, b2 = b_
+        return a1 * b1, b1[..., None, None] * a2 + b2
+
+    _, hs = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+    y = jnp.einsum("bthdn,bthn->bthd", hs, C)
+    y = y + lp["D"].astype(jnp.float32)[None, None, :, None] * x
+    y = y.reshape(b, t, di)
+    if md.gated_norm:
+        # MambaRMSNormGated: gate BEFORE the norm
+        y = y * jax.nn.silu(z)
+        yf = y * jax.lax.rsqrt(
+            jnp.mean(y * y, axis=-1, keepdims=True) + md.rms_eps
+        )
+        y = yf * lp["norm_w"].astype(jnp.float32)
+    else:
+        y = y * jax.nn.silu(z)
+    return y, new_conv, hs[:, -1]
+
+
+@dataclasses.dataclass(frozen=True)
+class Mamba2Config:
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    head_dim: int = 64
+    d_state: int = 128
+    d_conv: int = 4
+    expand: int = 2
+    n_groups: int = 1
+    rms_eps: float = 1e-5
+    weight_fmt: str = "i2"
+    max_seq_len: int = 2048
+    tie_embeddings: bool = False
+    time_limit: tuple[float, float] = (0.0, float("inf"))
+
+    @property
+    def d_inner(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return self.d_inner + 2 * self.n_groups * self.d_state
+
+    def dims(self) -> Mamba2Dims:
+        return Mamba2Dims(
+            d_inner=self.d_inner, n_heads=self.n_heads,
+            head_dim=self.head_dim, n_groups=self.n_groups,
+            d_state=self.d_state, d_conv=self.d_conv,
+            rms_eps=self.rms_eps, time_limit=tuple(self.time_limit),
+        )
+
+
+def init_state2(cfg: Mamba2Config, batch: int) -> dict[str, jax.Array]:
+    return {
+        "conv": jnp.zeros(
+            (cfg.n_layers, batch, cfg.d_conv - 1, cfg.conv_dim), jnp.float32
+        ),
+        "ssm": jnp.zeros(
+            (cfg.n_layers, batch, cfg.n_heads, cfg.head_dim, cfg.d_state),
+            jnp.float32,
+        ),
+    }
+
+
+def forward2(
+    params: dict[str, Any],
+    cfg: Mamba2Config,
+    tokens: jax.Array,
+    state: dict[str, jax.Array] | None = None,
+    logits_last_only: bool = False,
+    valid: jax.Array | None = None,
+    impl: str = "auto",
+) -> tuple[jax.Array, dict[str, jax.Array] | None]:
+    """Standalone Mamba2 LM forward (codestral-mamba-style checkpoints).
+    impl="dequant" is the no-activation-quant lossless lane (parity
+    tests), as in ops.matmul.ternary_matmul."""
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    carry_state = state is not None
+    st = state or init_state2(cfg, b)
+    md = cfg.dims()
+    proj_in = cfg.d_inner + cfg.conv_dim + cfg.n_heads
+
+    def layer_step(x, xs):
+        lp, conv_s, ssm_s = xs
+        h = _rms(x, lp["norm"], cfg.rms_eps)
+        zxbcdt = ternary_matmul(
+            h, _tt(lp["in_proj"], cfg.d_model, proj_in), impl=impl
+        )
+        y, new_conv, new_ssm = mamba2_core(
+            zxbcdt, conv_s, ssm_s, lp, md, valid=valid
+        )
+        out = ternary_matmul(
+            y.astype(x.dtype), _tt(lp["out_proj"], cfg.d_inner, cfg.d_model),
+            impl=impl,
+        )
+        return x + out.astype(x.dtype), (new_conv, new_ssm)
+
+    x, (new_conv, new_ssm) = jax.lax.scan(
+        layer_step, x, (params["layers"], st["conv"], st["ssm"])
+    )
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    if logits_last_only:
+        x = x[:, -1:]
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = jnp.dot(
+        x.astype(jnp.float32), head.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    new_state = (
+        {"conv": new_conv, "ssm": new_ssm} if carry_state else None
+    )
+    return logits, new_state
+
+
 def make_generate_fn(cfg: MambaConfig, n_steps: int):
     """Jitted greedy generation: prefill once, then n_steps single-token
     recurrent updates (no KV, O(1) state per token)."""
