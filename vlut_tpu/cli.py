@@ -123,6 +123,39 @@ def cmd_generate(args):
         print(tok.decode(out))
         print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
         return
+    if type(cfg).__name__ == "HybridConfig":
+        # hybrid SSM+attention archs (jamba/falcon-h1/granite-hybrid):
+        # full-recompute decode (parity-first; stateful decode would carry
+        # conv/ssm state + KV like ssm.forward2)
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from vlut_tpu.models.hybrid import forward as hybrid_forward
+        from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
+
+        tok = _Tok(args.model)
+        ids = tok.encode(args.prompt)
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        out = []
+        t0 = _time.time()
+        for _ in range(args.n_predict):
+            lg = hybrid_forward(
+                params, cfg, jnp.asarray([ids + out], jnp.int32)
+            )[0, -1, : cfg.vocab_size]
+            if args.temp > 0:
+                key, sub = jax.random.split(key)
+                nxt = int(jax.random.categorical(sub, lg / args.temp))
+            else:
+                nxt = int(jnp.argmax(lg))
+            out.append(nxt)
+            if nxt == tok.eos_id:
+                break
+        dt = _time.time() - t0
+        print(tok.decode(out))
+        print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
+        return
     if type(cfg).__name__ == "Mamba2Config":
         # standalone mamba2 LM (codestral-mamba-style): recurrent greedy/
         # sampled decode, O(1) state per token

@@ -101,6 +101,7 @@ def save_checkpoint(
         "model_family": {
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
             "T5Config": "t5", "Mamba2Config": "mamba2",
+            "HybridConfig": "hybrid",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -142,6 +143,13 @@ def load_checkpoint(
         mc = dict(meta["model_config"])
         mc["time_limit"] = tuple(mc.get("time_limit", (0.0, float("inf"))))
         cfg = Mamba2Config(**mc)
+    elif meta.get("model_family") == "hybrid":
+        from vlut_tpu.models.hybrid import HybridConfig
+
+        mc = dict(meta["model_config"])
+        for k in ("layer_types", "ffn_types"):
+            mc[k] = tuple(mc[k])
+        cfg = HybridConfig(**mc)
     else:
         cfg = ModelConfig(**meta["model_config"])
     flat = load_file(str(path / "model.safetensors"))

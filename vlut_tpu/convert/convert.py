@@ -908,6 +908,10 @@ def convert_hf(
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") == "mamba2":
         return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
+    if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid"):
+        from vlut_tpu.convert.hybrid import convert_hybrid
+
+        return convert_hybrid(hf_dir, out_dir)
     if raw0.get("model_type") in ("bert", "modernbert"):
         from vlut_tpu.convert.encoder import convert_encoder
 

@@ -1,0 +1,313 @@
+"""HF hybrid SSM+attention checkpoints -> vlut_tpu hybrid format.
+
+Covers JambaForCausalLM, FalconH1ForCausalLM, GraniteMoeHybridForCausalLM
+(reference: src/models/{jamba,falcon-h1,granite-hybrid}.cpp graph
+builders).  Falcon-H1's muP multipliers are all linear-side and are folded
+into the weights here (attention_in/key/attention_out, ssm_in/mup-vector/
+ssm_out, mlp gate/down, lm_head), so the forward graph carries no
+multiplier ops; granite's residual_multiplier folds into each branch's
+final projection the same way (as the main converter does for dense
+granite), while attention_multiplier (a score scale) and logits_scaling
+stay config fields.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import re
+from typing import Any
+
+import numpy as np
+
+from vlut_tpu.convert.checkpoint import save_checkpoint
+from vlut_tpu.models.hybrid import HybridConfig
+
+log = logging.getLogger("vlut_tpu.convert.hybrid")
+
+
+def _iter_tensors(hf_dir: pathlib.Path):
+    from safetensors import safe_open
+
+    files = sorted(hf_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {hf_dir}")
+    for f in files:
+        with safe_open(str(f), framework="numpy") as sf:
+            for name in sf.keys():
+                yield name, np.asarray(sf.get_tensor(name), np.float32)
+
+
+def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
+    mt = raw["model_type"]
+    nl = raw["num_hidden_layers"]
+    hidden = raw["hidden_size"]
+    aux: dict[str, Any] = {}
+    if mt == "jamba":
+        ap, ao = raw.get("attn_layer_period", 8), raw.get(
+            "attn_layer_offset", 4)
+        ep, eo = raw.get("expert_layer_period", 2), raw.get(
+            "expert_layer_offset", 1)
+        n_exp = raw.get("num_experts", 16)
+        lt = tuple(
+            "attention" if i % ap == ao else "mamba" for i in range(nl)
+        )
+        ft = tuple(
+            "moe" if (n_exp > 1 and i % ep == eo) else "dense"
+            for i in range(nl)
+        )
+        expand = raw.get("mamba_expand", 2)
+        dtr = raw.get("mamba_dt_rank")
+        if dtr in (None, "auto"):
+            dtr = -(-hidden // 16)
+        cfg = HybridConfig(
+            arch="jamba", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl, n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            d_ff=raw["intermediate_size"], layer_types=lt, ffn_types=ft,
+            rms_eps=raw.get("rms_norm_eps", 1e-6),
+            rope=False,  # jamba is NoPE
+            m1_d_inner=expand * hidden,
+            m1_state=raw.get("mamba_d_state", 16),
+            m1_conv=raw.get("mamba_d_conv", 4),
+            m1_dt_rank=dtr,
+            n_experts=n_exp if any(f == "moe" for f in ft) else 0,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_renorm=False,  # JambaSparseMoeBlock never renormalizes
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
+    elif mt == "falcon_h1":
+        d_ssm = raw.get("mamba_d_ssm") or (
+            raw.get("mamba_expand", 2) * hidden
+        )
+        m2h = raw.get("mamba_n_heads", 128)
+        cfg = HybridConfig(
+            arch="falcon_h1", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl, n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            head_dim=raw.get("head_dim") or None,
+            d_ff=raw["intermediate_size"],
+            layer_types=("parallel",) * nl,
+            ffn_types=("dense",) * nl,
+            rms_eps=raw.get("rms_norm_eps", 1e-5),
+            rope=True, rope_theta=raw.get("rope_theta", 100000.0),
+            m2_heads=m2h,
+            m2_head_dim=raw.get("mamba_d_head") or d_ssm // m2h,
+            m2_groups=raw.get("mamba_n_groups", 1),
+            m2_state=raw.get("mamba_d_state", 256),
+            m2_conv=raw.get("mamba_d_conv", 4),
+            m2_norm_mode=(
+                ("norm_first" if raw.get("mamba_norm_before_gate", True)
+                 else "gated")
+                if raw.get("mamba_rms_norm", False) else "gate_only"
+            ),
+            embed_scale=raw.get("embedding_multiplier", 1.0),
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
+        gss = cfg.m2_groups * cfg.m2_state
+        mup = np.ones(d_ssm * 2 + 2 * gss + m2h, np.float32)
+        zx = raw.get("ssm_multipliers", [1.0] * 5)
+        mup[:d_ssm] *= zx[0]
+        mup[d_ssm : 2 * d_ssm] *= zx[1]
+        mup[2 * d_ssm : 2 * d_ssm + gss] *= zx[2]
+        mup[2 * d_ssm + gss : 2 * d_ssm + 2 * gss] *= zx[3]
+        mup[2 * d_ssm + 2 * gss :] *= zx[4]
+        aux = {
+            "mup": mup,
+            "ssm_in": raw.get("ssm_in_multiplier", 1.0),
+            "ssm_out": raw.get("ssm_out_multiplier", 1.0),
+            "attn_in": raw.get("attention_in_multiplier", 1.0),
+            "attn_out": raw.get("attention_out_multiplier", 1.0),
+            "key": raw.get("key_multiplier", 1.0),
+            "mlp": raw.get("mlp_multipliers", [1.0, 1.0]),
+            "head": raw.get("lm_head_multiplier", 1.0),
+        }
+    elif mt == "granitemoehybrid":
+        lt_raw = raw.get("layer_types") or raw.get(
+            "layers_block_type", ["mamba"] * nl
+        )
+        lt = tuple(
+            "attention" if t == "attention" else "mamba2" for t in lt_raw
+        )
+        n_exp = raw.get("num_local_experts", 0) or 0
+        ft = (("shared_moe" if n_exp else "shared"),) * nl
+        m2h = raw.get("mamba_n_heads", 128)
+        cfg = HybridConfig(
+            arch="granite_hybrid", vocab_size=raw["vocab_size"],
+            d_model=hidden, n_layers=nl,
+            n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            d_ff=raw["intermediate_size"], layer_types=lt, ffn_types=ft,
+            rms_eps=raw.get("rms_norm_eps", 1e-5),
+            rope=raw.get("position_embedding_type") == "rope",
+            rope_theta=raw.get("rope_theta", 10000.0),
+            attn_scale=raw.get("attention_multiplier", 0.0) or 0.0,
+            m2_heads=m2h,
+            m2_head_dim=raw.get("mamba_d_head")
+            or (raw.get("mamba_expand", 2) * hidden) // m2h,
+            m2_groups=raw.get("mamba_n_groups", 1),
+            m2_state=raw.get("mamba_d_state", 128),
+            m2_conv=raw.get("mamba_d_conv", 4),
+            n_experts=n_exp,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_renorm=True,  # softmax over the top-k logits
+            d_ff_shared=raw.get("shared_intermediate_size",
+                                raw["intermediate_size"]),
+            embed_scale=raw.get("embedding_multiplier", 1.0),
+            logit_scale=1.0 / raw.get("logits_scaling", 1.0),
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
+        aux = {"residual": raw.get("residual_multiplier", 1.0)}
+    else:
+        raise ValueError(f"not a hybrid checkpoint: {mt!r}")
+    return cfg, aux
+
+
+def convert_hybrid(
+    hf_dir: str | pathlib.Path, out_dir: str | pathlib.Path
+) -> HybridConfig:
+    hf_dir = pathlib.Path(hf_dir)
+    raw = json.loads((hf_dir / "config.json").read_text())
+    cfg, aux = _config(raw)
+    mt = raw["model_type"]
+    res_mult = aux.get("residual", 1.0)
+
+    top: dict[str, Any] = {}
+    per: list[dict[str, Any]] = [{} for _ in range(cfg.n_layers)]
+    experts: list[dict[str, dict[int, np.ndarray]]] = [
+        {} for _ in range(cfg.n_layers)
+    ]
+    lre = re.compile(r"model\.layers\.(\d+)\.(.+)$")
+
+    for name, w in _iter_tensors(hf_dir):
+        if name == "model.embed_tokens.weight":
+            top["embed"] = w
+            continue
+        if name == "lm_head.weight":
+            top["lm_head"] = w.T * aux.get("head", 1.0)
+            continue
+        if name in ("model.final_layernorm.weight", "model.norm.weight"):
+            top["final_norm"] = w
+            continue
+        m = lre.match(name)
+        if not m:
+            log.warning("skipping unrecognized tensor %s", name)
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        lp = per[li]
+        # --- norms -------------------------------------------------------
+        if sub == "input_layernorm.weight":
+            lp["attn_norm"] = w
+            continue
+        if sub in ("pre_ff_layernorm.weight",
+                   "post_attention_layernorm.weight"):
+            lp["ffn_norm"] = w
+            continue
+        # --- attention ----------------------------------------------------
+        amap = {
+            "self_attn.q_proj.weight": ("wq", aux.get("attn_in", 1.0)),
+            "self_attn.k_proj.weight": (
+                "wk", aux.get("attn_in", 1.0) * aux.get("key", 1.0)),
+            "self_attn.v_proj.weight": ("wv", aux.get("attn_in", 1.0)),
+            "self_attn.o_proj.weight": (
+                "wo", aux.get("attn_out", 1.0) * res_mult),
+        }
+        if sub in amap:
+            pname, mult = amap[sub]
+            lp[pname] = w.T * mult
+            continue
+        # --- mamba mixer ---------------------------------------------------
+        if sub.startswith("mamba."):
+            key = sub[len("mamba."):]
+            if key == "in_proj.weight":
+                wi = w.T * aux.get("ssm_in", 1.0)
+                if "mup" in aux:
+                    wi = wi * aux["mup"][None, :]
+                lp["in_proj"] = wi
+            elif key == "out_proj.weight":
+                lp["out_proj"] = w.T * aux.get("ssm_out", 1.0) * res_mult
+            elif key == "conv1d.weight":
+                lp["conv_w"] = w[:, 0, :].T  # (cd, 1, dc) -> (dc, cd)
+            elif key == "conv1d.bias":
+                lp["conv_b"] = w
+            elif key == "norm.weight":
+                lp["norm_w"] = w
+            elif key == "dt_bias":
+                lp["dt_bias"] = w
+            elif key in ("A_log", "D"):
+                lp[key] = w
+            elif key == "x_proj.weight":
+                lp["x_proj"] = w.T
+            elif key == "dt_proj.weight":
+                lp["dt_proj_w"] = w.T
+            elif key == "dt_proj.bias":
+                lp["dt_proj_b"] = w
+            elif key == "dt_layernorm.weight":
+                lp["dt_norm"] = w
+            elif key == "b_layernorm.weight":
+                lp["b_norm"] = w
+            elif key == "c_layernorm.weight":
+                lp["c_norm"] = w
+            else:
+                log.warning("skipping mamba tensor %s", name)
+            continue
+        # --- FFN -----------------------------------------------------------
+        fmap = {
+            "feed_forward.gate_proj.weight": (
+                "w_gate", aux.get("mlp", [1.0, 1.0])[0]),
+            "feed_forward.up_proj.weight": ("w_up", 1.0),
+            "feed_forward.down_proj.weight": (
+                "w_down", aux.get("mlp", [1.0, 1.0])[1] * res_mult),
+        }
+        if sub in fmap:
+            pname, mult = fmap[sub]
+            lp[pname] = w.T * mult
+            continue
+        if sub == "feed_forward.router.weight":
+            lp["router"] = w.T
+            continue
+        if sub == "block_sparse_moe.router.layer.weight":
+            lp["router"] = w.T
+            continue
+        em = re.match(
+            r"feed_forward\.experts\.(\d+)\.(gate|up|down)_proj\.weight$",
+            sub,
+        )
+        if em:
+            experts[li].setdefault(
+                "e_" + em.group(2), {}
+            )[int(em.group(1))] = w.T
+            continue
+        if sub == "shared_mlp.input_linear.weight":
+            lp["w_shared_in"] = w.T
+            continue
+        if sub == "shared_mlp.output_linear.weight":
+            lp["w_shared_out"] = w.T * res_mult
+            continue
+        if sub == "block_sparse_moe.input_linear.weight":
+            # granite stacked experts (E, 2*ff, D) -> (E, D, 2*ff)
+            lp["e_in"] = np.ascontiguousarray(w.transpose(0, 2, 1))
+            continue
+        if sub == "block_sparse_moe.output_linear.weight":
+            lp["e_out"] = np.ascontiguousarray(
+                w.transpose(0, 2, 1)
+            ) * res_mult
+            continue
+        log.warning("skipping unrecognized layer tensor %s", name)
+
+    for li, ex in enumerate(experts):
+        for pname, by in ex.items():
+            E = cfg.n_experts
+            per[li][pname] = np.stack([by[e] for e in range(E)])
+
+    params = {**top, "layers": tuple(per)}
+    save_checkpoint(out_dir, cfg, params, tokenizer_src=hf_dir,
+                    extra_meta={"source": str(hf_dir)})
+    return cfg

@@ -1,0 +1,257 @@
+"""Hybrid SSM + attention decoder LMs: Jamba, Falcon-H1, Granite-hybrid.
+
+Reference analogs: src/models/jamba.cpp, src/models/falcon-h1.cpp,
+src/models/granite-hybrid.cpp (+ nemotron-h.cpp, the same mamba2/attention
+interleave) served through llama-memory-hybrid (attention KV cells + one
+recurrent cell per sequence).
+
+Layer topologies covered by one config-driven graph:
+
+* ``jamba`` — per-layer mixer is mamba1 (with extra dt/B/C RMSNorms) or
+  attention (NoPE), FFN is dense or MoE (softmax top-k, NO renorm) by the
+  period/offset grids.
+* ``falcon_h1`` — EVERY layer runs attention and mamba2 in PARALLEL off
+  the same pre-norm, summed into the residual; all muP multipliers are
+  folded into weights at convert time (see convert/hybrid.py).
+* ``granite_hybrid`` — per-layer mamba2 or attention (rope optional —
+  granite-4 ships NoPE), FFN = always-on shared GLU (+ optional MoE with
+  softmax-over-top-k gating), granite multipliers (attention_multiplier
+  as the score scale; residual_multiplier folded into weights).
+
+Weights are dense (bf16/f32): these checkpoints are never ternary in the
+wild.  Forward is stateless full-sequence (parity/scoring); a generate
+loop with carried conv/ssm state + KV can reuse mamba2_core/_ssm_scan
+like ssm.forward2 does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vlut_tpu.models.ssm import Mamba2Dims, _ssm_scan, mamba2_core
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridConfig:
+    arch: str                    # "jamba" | "falcon_h1" | "granite_hybrid"
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    d_ff: int
+    layer_types: tuple[str, ...]  # "attention" | "mamba" | "mamba2" |
+    # "parallel" (attention + mamba2 summed, falcon-h1)
+    ffn_types: tuple[str, ...]    # "dense" | "moe" | "shared" | "shared_moe"
+    head_dim: int | None = None
+    rms_eps: float = 1e-5
+    rope: bool = True
+    rope_theta: float = 10000.0
+    attn_scale: float = 0.0       # 0 = 1/sqrt(head_dim)
+    # mamba2 dims
+    m2_heads: int = 0
+    m2_head_dim: int = 64
+    m2_groups: int = 1
+    m2_state: int = 128
+    m2_conv: int = 4
+    m2_norm_mode: str = "gated"   # see ssm.Mamba2Dims.norm_mode
+    # mamba1 dims (jamba)
+    m1_d_inner: int = 0
+    m1_state: int = 16
+    m1_conv: int = 4
+    m1_dt_rank: int = 0
+    # MoE
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_renorm: bool = True       # False: jamba (softmax-all, no renorm)
+    d_ff_shared: int = 0
+    # scales kept as graph constants (everything foldable is folded into
+    # the weights at convert time)
+    embed_scale: float = 0.0
+    logit_scale: float = 1.0
+    tie_embeddings: bool = False
+    max_seq_len: int = 4096
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.d_model // self.n_heads
+
+    def m2_dims(self) -> Mamba2Dims:
+        return Mamba2Dims(
+            d_inner=self.m2_heads * self.m2_head_dim,
+            n_heads=self.m2_heads, head_dim=self.m2_head_dim,
+            n_groups=self.m2_groups, d_state=self.m2_state,
+            d_conv=self.m2_conv, rms_eps=self.rms_eps,
+            norm_mode=self.m2_norm_mode,
+        )
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ss = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(ss + eps) * w
+
+
+def _rope_tab(t, hd, theta):
+    inv = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x, cos, sin):
+    h = x.shape[-1] // 2
+    x1, x2 = x[..., :h], x[..., h:]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+
+
+def _attention(cfg: HybridConfig, lp, h, cos, sin):
+    b, t, _ = h.shape
+    H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim_
+    q = (h @ lp["wq"]).reshape(b, t, H, hd)
+    k = (h @ lp["wk"]).reshape(b, t, KV, hd)
+    v = (h @ lp["wv"]).reshape(b, t, KV, hd)
+    if cfg.rope:
+        q, k = _apply_rope(q, cos, sin), _apply_rope(k, cos, sin)
+    rep = H // KV
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    scale = cfg.attn_scale or hd ** -0.5
+    sc = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+    causal = jnp.where(
+        jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -1e30
+    )
+    p = jax.nn.softmax(sc + causal[None, None], axis=-1)
+    att = jnp.einsum("bhts,bshd->bthd", p, v).reshape(b, t, H * hd)
+    return att @ lp["wo"]
+
+
+def _jamba_mamba(cfg: HybridConfig, lp, h):
+    """Jamba's mamba1 mixer: mamba1 + RMSNorms on dt, B, C
+    (JambaMambaMixer dt_layernorm/b_layernorm/c_layernorm)."""
+    b, t, _ = h.shape
+    di, ds, dr, dc = cfg.m1_d_inner, cfg.m1_state, cfg.m1_dt_rank, cfg.m1_conv
+    xz = h @ lp["in_proj"]
+    xi, z = xz[..., :di], xz[..., di:]
+    win = jnp.concatenate([jnp.zeros((b, dc - 1, di), xi.dtype), xi], axis=1)
+    taps = [
+        win[:, i : i + t] * lp["conv_w"][i][None, None, :]
+        for i in range(dc)
+    ]
+    xc = sum(taps)
+    if "conv_b" in lp:
+        xc = xc + lp["conv_b"][None, None, :]
+    xc = jax.nn.silu(xc)
+    proj = xc @ lp["x_proj"]
+    dt_in = _rms(proj[..., :dr], lp["dt_norm"], cfg.rms_eps)
+    B = _rms(proj[..., dr : dr + ds], lp["b_norm"], cfg.rms_eps)
+    C = _rms(proj[..., dr + ds :], lp["c_norm"], cfg.rms_eps)
+    dt = jax.nn.softplus(dt_in @ lp["dt_proj_w"] + lp["dt_proj_b"])
+    A = -jnp.exp(lp["A_log"].astype(jnp.float32))
+    dA = jnp.exp(dt[..., None] * A[None, None])
+    dBx = dt[..., None] * B[:, :, None, :] * xc[..., None]
+    hs = _ssm_scan(dA, dBx, jnp.zeros((b, di, ds), jnp.float32))
+    y = jnp.einsum("btds,bts->btd", hs, C) + lp["D"][None, None, :] * xc
+    y = y * jax.nn.silu(z)
+    return y @ lp["out_proj"]
+
+
+def _mamba2(cfg: HybridConfig, lp, h):
+    b, t, _ = h.shape
+    md = cfg.m2_dims()
+    conv_dim = md.d_inner + 2 * md.n_groups * md.d_state
+    zxbcdt = (h @ lp["in_proj"]).astype(jnp.float32)
+    conv0 = jnp.zeros((b, md.d_conv - 1, conv_dim), jnp.float32)
+    ssm0 = jnp.zeros(
+        (b, md.n_heads, md.head_dim, md.d_state), jnp.float32
+    )
+    y, _, _ = mamba2_core(zxbcdt, conv0, ssm0, lp, md)
+    return y @ lp["out_proj"]
+
+
+def _glu(h, w_in, w_out, ff):
+    """Granite fused GLU: input_linear -> chunk2 -> silu(a)*b -> out."""
+    z = h @ w_in
+    return (jax.nn.silu(z[..., :ff]) * z[..., ff:]) @ w_out
+
+
+def _ffn(cfg: HybridConfig, lp, h, kind):
+    if kind == "dense":
+        g = h @ lp["w_gate"]
+        u = h @ lp["w_up"]
+        return (jax.nn.silu(g) * u) @ lp["w_down"]
+    out = 0.0
+    if kind in ("shared", "shared_moe"):
+        out = _glu(h, lp["w_shared_in"], lp["w_shared_out"],
+                   cfg.d_ff_shared or cfg.d_ff)
+    if kind in ("moe", "shared_moe"):
+        logits = (h @ lp["router"]).astype(jnp.float32)
+        scores = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(scores, cfg.n_experts_used)
+        if cfg.moe_renorm:
+            top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
+        comb = jnp.zeros_like(logits)
+        t = h.shape[1]
+        comb = jax.vmap(
+            lambda c, i, w: c.at[jnp.arange(t)[:, None], i].add(w)
+        )(comb, top_i, top_w)
+
+        def expert_step(acc, exs):
+            if "e_in" in lp:  # granite fused stacks
+                ein, eout, w_e = exs
+                out_e = _glu(h, ein, eout, cfg.d_ff)
+            else:             # jamba per-expert gate/up/down
+                g_, u_, d_, w_e = exs
+                out_e = (jax.nn.silu(h @ g_) * (h @ u_)) @ d_
+            return acc + w_e[..., None] * out_e, None
+
+        comb_e = jnp.moveaxis(comb, -1, 0)
+        if "e_in" in lp:
+            exs = (lp["e_in"], lp["e_out"], comb_e)
+        else:
+            exs = (lp["e_gate"], lp["e_up"], lp["e_down"], comb_e)
+        moe_out, _ = jax.lax.scan(
+            expert_step, jnp.zeros(h.shape, jnp.float32), exs
+        )
+        out = out + moe_out
+    return out
+
+
+def forward(
+    params: dict[str, Any],
+    cfg: HybridConfig,
+    tokens: jax.Array,           # (B, T)
+) -> jax.Array:
+    """Full-sequence logits (B, T, V), float32."""
+    x = params["embed"][tokens].astype(jnp.float32)
+    if cfg.embed_scale:
+        x = x * cfg.embed_scale
+    t = tokens.shape[1]
+    cos, sin = _rope_tab(t, cfg.head_dim_, cfg.rope_theta)
+    for i, lp in enumerate(params["layers"]):
+        kind = cfg.layer_types[i]
+        h = _rms(x, lp["attn_norm"], cfg.rms_eps)
+        if kind == "parallel":
+            mix = _attention(cfg, lp, h, cos, sin) + _mamba2(cfg, lp, h)
+        elif kind == "attention":
+            mix = _attention(cfg, lp, h, cos, sin)
+        elif kind == "mamba2":
+            mix = _mamba2(cfg, lp, h)
+        else:
+            mix = _jamba_mamba(cfg, lp, h)
+        x = x + mix
+        h = _rms(x, lp["ffn_norm"], cfg.rms_eps)
+        x = x + _ffn(cfg, lp, h, cfg.ffn_types[i])
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T.astype(jnp.float32)
+    logits = x @ head
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits

@@ -267,7 +267,10 @@ class Mamba2Dims:
     d_state: int
     d_conv: int
     rms_eps: float = 1e-5
-    gated_norm: bool = True      # Mamba2 rms_norm flag (norm(y * silu(z)))
+    # "gated": norm(y * silu(z)) (mamba2/granite); "norm_first": norm(y) *
+    # silu(z) (falcon-h1 mamba_norm_before_gate); "gate_only": y * silu(z)
+    # with no norm weight (falcon-h1 mamba_rms_norm=False)
+    norm_mode: str = "gated"
     time_limit: tuple[float, float] = (0.0, float("inf"))
 
 
@@ -337,14 +340,19 @@ def mamba2_core(
     y = jnp.einsum("bthdn,bthn->bthd", hs, C)
     y = y + lp["D"].astype(jnp.float32)[None, None, :, None] * x
     y = y.reshape(b, t, di)
-    if md.gated_norm:
+    if md.norm_mode == "gated":
         # MambaRMSNormGated: gate BEFORE the norm
         y = y * jax.nn.silu(z)
         yf = y * jax.lax.rsqrt(
             jnp.mean(y * y, axis=-1, keepdims=True) + md.rms_eps
         )
         y = yf * lp["norm_w"].astype(jnp.float32)
-    else:
+    elif md.norm_mode == "norm_first":
+        yf = y * jax.lax.rsqrt(
+            jnp.mean(y * y, axis=-1, keepdims=True) + md.rms_eps
+        )
+        y = yf * lp["norm_w"].astype(jnp.float32) * jax.nn.silu(z)
+    else:  # "gate_only"
         y = y * jax.nn.silu(z)
     return y, new_conv, hs[:, -1]
 
