@@ -113,3 +113,61 @@ def test_granite_hybrid_parity(tmp_path):
     assert cfg.ffn_types[0] == "shared_moe"
     assert not cfg.rope and cfg.attn_scale == 0.1
     assert cfg.logit_scale == 0.25 and cfg.embed_scale == 2.0
+
+
+def test_lfm2_parity(tmp_path):
+    """lfm2: gated short-conv mixer (B*x conv, C gate, no activation),
+    attention layers with per-head q/k RMSNorm, embedding_norm final."""
+    c = transformers.Lfm2Config(
+        vocab_size=V, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=64, conv_L_cache=3,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(84)
+    cfg = _run(transformers.Lfm2ForCausalLM(c), tmp_path)
+    assert cfg.layer_types == ("conv", "attention", "conv", "attention")
+    assert cfg.qk_norm and cfg.tie_embeddings
+
+
+def test_qwen3next_dense_parity(tmp_path):
+    """qwen3next: gated-delta-net linear attention (l2-normed q/k, decay
+    from A_log/dt_bias, beta-weighted delta rule, norm-then-gate RMSNorm)
+    + gated full attention (per-head sigmoid output gate, partial rope)."""
+    c = transformers.Qwen3NextConfig(
+        vocab_size=V, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, linear_num_value_heads=4,
+        linear_num_key_heads=2, linear_key_head_dim=8,
+        linear_value_head_dim=8, linear_conv_kernel_dim=3,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        num_experts=0, max_position_embeddings=64,
+    )
+    torch.manual_seed(85)
+    cfg = _run(transformers.Qwen3NextForCausalLM(c), tmp_path)
+    assert cfg.layer_types == (
+        "deltanet", "attention", "deltanet", "attention")
+    assert cfg.attn_gate and cfg.rope_pct == 0.25
+
+
+def test_qwen3next_moe_parity(tmp_path):
+    """qwen3next with the sparse block: renormalized top-k experts + the
+    sigmoid-gated shared expert."""
+    c = transformers.Qwen3NextConfig(
+        vocab_size=V, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, moe_intermediate_size=32,
+        shared_expert_intermediate_size=48,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=3,
+        layer_types=["linear_attention", "full_attention"],
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(86)
+    cfg = _run(transformers.Qwen3NextForCausalLM(c), tmp_path)
+    assert cfg.ffn_types == ("moe_qwen", "moe_qwen")
+    assert cfg.d_ff == 32 and cfg.n_experts == 4

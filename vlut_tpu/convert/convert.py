@@ -908,7 +908,8 @@ def convert_hf(
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") == "mamba2":
         return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
-    if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid"):
+    if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
+                                  "lfm2", "qwen3_next"):
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)

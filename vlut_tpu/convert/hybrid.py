@@ -165,6 +165,62 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
             max_seq_len=raw.get("max_position_embeddings", 4096),
         )
         aux = {"residual": raw.get("residual_multiplier", 1.0)}
+    elif mt == "lfm2":
+        lt = tuple(
+            "attention" if t == "full_attention" else "conv"
+            for t in raw.get("layer_types", ["conv"] * nl)
+        )
+        cfg = HybridConfig(
+            arch="lfm2", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl, n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            # ff width is auto-adjusted by HF (block_auto_adjust_ff_dim);
+            # read the real width from w2's shape at tensor time
+            d_ff=raw["intermediate_size"],
+            layer_types=lt, ffn_types=("dense",) * nl,
+            rms_eps=raw.get("norm_eps", 1e-5),
+            rope=True, rope_theta=raw.get("rope_theta", 1000000.0),
+            qk_norm=True,
+            conv_l=raw.get("conv_L_cache", 3),
+            tie_embeddings=raw.get("tie_word_embeddings", True),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
+    elif mt == "qwen3_next":
+        lt = tuple(
+            "attention" if t == "full_attention" else "deltanet"
+            for t in raw.get("layer_types", [])
+        ) or tuple(
+            "attention" if (i + 1) % 4 == 0 else "deltanet"
+            for i in range(nl)
+        )
+        n_exp = raw.get("num_experts", 0) or 0
+        ft = ("moe_qwen" if n_exp else "dense",) * nl
+        cfg = HybridConfig(
+            arch="qwen3next", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl, n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            head_dim=raw.get("head_dim") or None,
+            d_ff=(raw.get("moe_intermediate_size")
+                  if n_exp else raw["intermediate_size"]),
+            layer_types=lt, ffn_types=ft,
+            rms_eps=raw.get("rms_norm_eps", 1e-6),
+            rope=True, rope_theta=raw.get("rope_theta", 10000.0),
+            rope_pct=raw.get("partial_rotary_factor", 0.25),
+            qk_norm=True, attn_gate=True,
+            dn_v_heads=raw.get("linear_num_value_heads", 32),
+            dn_k_heads=raw.get("linear_num_key_heads", 16),
+            dn_k_dim=raw.get("linear_key_head_dim", 128),
+            dn_v_dim=raw.get("linear_value_head_dim", 128),
+            dn_conv=raw.get("linear_conv_kernel_dim", 4),
+            n_experts=n_exp,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_renorm=raw.get("norm_topk_prob", True),
+            d_ff_shared=raw.get("shared_expert_intermediate_size", 0) or 0,
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
     else:
         raise ValueError(f"not a hybrid checkpoint: {mt!r}")
     return cfg, aux
@@ -178,6 +234,10 @@ def convert_hybrid(
     cfg, aux = _config(raw)
     mt = raw["model_type"]
     res_mult = aux.get("residual", 1.0)
+
+    # qwen3next's Qwen3NextRMSNorm is zero-init (1 + w): fold the +1 into
+    # the stored gains (the gated deltanet norm is a plain ones-init norm)
+    plus_one = 1.0 if mt == "qwen3_next" else 0.0
 
     top: dict[str, Any] = {}
     per: list[dict[str, Any]] = [{} for _ in range(cfg.n_layers)]
@@ -193,8 +253,9 @@ def convert_hybrid(
         if name == "lm_head.weight":
             top["lm_head"] = w.T * aux.get("head", 1.0)
             continue
-        if name in ("model.final_layernorm.weight", "model.norm.weight"):
-            top["final_norm"] = w
+        if name in ("model.final_layernorm.weight", "model.norm.weight",
+                    "model.embedding_norm.weight"):
+            top["final_norm"] = w + plus_one
             continue
         m = lre.match(name)
         if not m:
@@ -203,12 +264,93 @@ def convert_hybrid(
         li, sub = int(m.group(1)), m.group(2)
         lp = per[li]
         # --- norms -------------------------------------------------------
-        if sub == "input_layernorm.weight":
-            lp["attn_norm"] = w
+        if sub in ("input_layernorm.weight", "operator_norm.weight"):
+            lp["attn_norm"] = w + plus_one
             continue
         if sub in ("pre_ff_layernorm.weight",
-                   "post_attention_layernorm.weight"):
-            lp["ffn_norm"] = w
+                   "post_attention_layernorm.weight",
+                   "ffn_norm.weight"):
+            lp["ffn_norm"] = w + plus_one
+            continue
+        # --- lfm2 short conv ------------------------------------------------
+        if sub == "conv.conv.weight":
+            lp["conv_w"] = w[:, 0, :].T  # (D, 1, L) -> (L, D)
+            continue
+        if sub == "conv.conv.bias":
+            lp["conv_b"] = w
+            continue
+        if sub == "conv.in_proj.weight":
+            lp["in_proj"] = w.T
+            continue
+        if sub == "conv.out_proj.weight":
+            lp["out_proj"] = w.T
+            continue
+        if sub in ("self_attn.q_layernorm.weight",
+                   "self_attn.q_norm.weight"):
+            lp["q_norm"] = w + plus_one
+            continue
+        if sub in ("self_attn.k_layernorm.weight",
+                   "self_attn.k_norm.weight"):
+            lp["k_norm"] = w + plus_one
+            continue
+        if sub == "self_attn.out_proj.weight":
+            lp["wo"] = w.T
+            continue
+        # --- qwen3next gated delta net --------------------------------------
+        if sub.startswith("linear_attn."):
+            key = sub[len("linear_attn."):]
+            if key == "in_proj_qkvz.weight":
+                # permute grouped-per-k-head rows [q|k|v|z]_g -> flat
+                # [q | k | v | z] so the graph splits contiguously
+                dk, dv = cfg.dn_k_dim, cfg.dn_v_dim
+                Hk, Hv = cfg.dn_k_heads, cfg.dn_v_heads
+                rep = Hv // Hk
+                blk = 2 * dk + 2 * rep * dv
+                idx_q, idx_k, idx_v, idx_z = [], [], [], []
+                for gi in range(Hk):
+                    base = gi * blk
+                    idx_q += list(range(base, base + dk))
+                    idx_k += list(range(base + dk, base + 2 * dk))
+                    idx_v += list(range(base + 2 * dk,
+                                        base + 2 * dk + rep * dv))
+                    idx_z += list(range(base + 2 * dk + rep * dv,
+                                        base + blk))
+                perm = np.asarray(idx_q + idx_k + idx_v + idx_z)
+                lp["in_proj_qkvz"] = w[perm].T
+            elif key == "in_proj_ba.weight":
+                Hk, Hv = cfg.dn_k_heads, cfg.dn_v_heads
+                rep = Hv // Hk
+                idx_b, idx_a = [], []
+                for gi in range(Hk):
+                    base = gi * 2 * rep
+                    idx_b += list(range(base, base + rep))
+                    idx_a += list(range(base + rep, base + 2 * rep))
+                perm = np.asarray(idx_b + idx_a)
+                lp["in_proj_ba"] = w[perm].T
+            elif key == "conv1d.weight":
+                lp["conv_w"] = w[:, 0, :].T
+            elif key == "conv1d.bias":
+                lp["conv_b"] = w
+            elif key == "norm.weight":
+                lp["norm_w"] = w
+            elif key in ("A_log", "dt_bias"):
+                lp[key] = w
+            elif key == "out_proj.weight":
+                lp["out_proj"] = w.T
+            else:
+                log.warning("skipping deltanet tensor %s", name)
+            continue
+        if sub == "mlp.gate.weight":
+            lp["router"] = w.T
+            continue
+        if sub == "mlp.shared_expert_gate.weight":
+            lp["shared_gate"] = w.T  # (1, D) -> (D, 1)
+            continue
+        sm = re.match(
+            r"mlp\.shared_expert\.(gate|up|down)_proj\.weight$", sub
+        )
+        if sm:
+            lp["w_shared_" + sm.group(1)] = w.T
             continue
         # --- attention ----------------------------------------------------
         amap = {
@@ -265,6 +407,13 @@ def convert_hybrid(
             "feed_forward.up_proj.weight": ("w_up", 1.0),
             "feed_forward.down_proj.weight": (
                 "w_down", aux.get("mlp", [1.0, 1.0])[1] * res_mult),
+            # lfm2 (w1/w3/w2) and qwen3next dense naming
+            "feed_forward.w1.weight": ("w_gate", 1.0),
+            "feed_forward.w3.weight": ("w_up", 1.0),
+            "feed_forward.w2.weight": ("w_down", 1.0),
+            "mlp.gate_proj.weight": ("w_gate", 1.0),
+            "mlp.up_proj.weight": ("w_up", 1.0),
+            "mlp.down_proj.weight": ("w_down", 1.0),
         }
         if sub in fmap:
             pname, mult = fmap[sub]
@@ -277,7 +426,8 @@ def convert_hybrid(
             lp["router"] = w.T
             continue
         em = re.match(
-            r"feed_forward\.experts\.(\d+)\.(gate|up|down)_proj\.weight$",
+            r"(?:feed_forward|mlp)\.experts\.(\d+)\."
+            r"(gate|up|down)_proj\.weight$",
             sub,
         )
         if em:

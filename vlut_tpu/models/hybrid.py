@@ -64,6 +64,18 @@ class HybridConfig:
     m1_state: int = 16
     m1_conv: int = 4
     m1_dt_rank: int = 0
+    # gated delta net (qwen3next "linear_attention" layers)
+    dn_v_heads: int = 0
+    dn_k_heads: int = 0
+    dn_k_dim: int = 128
+    dn_v_dim: int = 128
+    dn_conv: int = 4
+    # lfm2 short conv
+    conv_l: int = 3
+    # attention extras
+    qk_norm: bool = False         # per-head RMSNorm on q/k
+    rope_pct: float = 1.0         # partial rope (qwen3next 0.25)
+    attn_gate: bool = False       # qwen3next per-head sigmoid output gate
     # MoE
     n_experts: int = 0
     n_experts_used: int = 0
@@ -110,14 +122,40 @@ def _apply_rope(x, cos, sin):
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
 
 
+def _rms_head(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ss = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(ss + eps) * w
+
+
+def _rope_partial(x, cos, sin, rot):
+    if rot == x.shape[-1]:
+        return _apply_rope(x, cos, sin)
+    return jnp.concatenate(
+        [_apply_rope(x[..., :rot], cos, sin), x[..., rot:]], -1
+    )
+
+
 def _attention(cfg: HybridConfig, lp, h, cos, sin):
     b, t, _ = h.shape
     H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim_
-    q = (h @ lp["wq"]).reshape(b, t, H, hd)
+    gate = None
+    if cfg.attn_gate:
+        # qwen3next: q_proj emits (q | gate) per head, chunked on the
+        # last per-head dim
+        qg = (h @ lp["wq"]).reshape(b, t, H, 2 * hd)
+        q, gate = qg[..., :hd], qg[..., hd:].reshape(b, t, H * hd)
+    else:
+        q = (h @ lp["wq"]).reshape(b, t, H, hd)
     k = (h @ lp["wk"]).reshape(b, t, KV, hd)
     v = (h @ lp["wv"]).reshape(b, t, KV, hd)
+    if cfg.qk_norm:
+        q = _rms_head(q, lp["q_norm"], cfg.rms_eps)
+        k = _rms_head(k, lp["k_norm"], cfg.rms_eps)
     if cfg.rope:
-        q, k = _apply_rope(q, cos, sin), _apply_rope(k, cos, sin)
+        rot = int(hd * cfg.rope_pct) // 2 * 2
+        q = _rope_partial(q, cos, sin, rot)
+        k = _rope_partial(k, cos, sin, rot)
     rep = H // KV
     k = jnp.repeat(k, rep, axis=2)
     v = jnp.repeat(v, rep, axis=2)
@@ -128,6 +166,8 @@ def _attention(cfg: HybridConfig, lp, h, cos, sin):
     )
     p = jax.nn.softmax(sc + causal[None, None], axis=-1)
     att = jnp.einsum("bhts,bshd->bthd", p, v).reshape(b, t, H * hd)
+    if gate is not None:
+        att = att * jax.nn.sigmoid(gate)
     return att @ lp["wo"]
 
 
@@ -174,6 +214,96 @@ def _mamba2(cfg: HybridConfig, lp, h):
     return y @ lp["out_proj"]
 
 
+def _lfm2_conv(cfg: HybridConfig, lp, h):
+    """LFM2 gated short conv: in_proj -> (B, C, x); depthwise causal conv
+    (NO activation) over B*x; y = C * conv; out_proj."""
+    b, t, d = h.shape
+    bcx = h @ lp["in_proj"]
+    Bg, Cg, xg = bcx[..., :d], bcx[..., d : 2 * d], bcx[..., 2 * d :]
+    bx = Bg * xg
+    L = cfg.conv_l
+    win = jnp.concatenate([jnp.zeros((b, L - 1, d), bx.dtype), bx], axis=1)
+    conv = sum(
+        win[:, i : i + t] * lp["conv_w"][i][None, None, :] for i in range(L)
+    )
+    if "conv_b" in lp:
+        conv = conv + lp["conv_b"][None, None, :]
+    return (Cg * conv) @ lp["out_proj"]
+
+
+def _l2norm(x, eps=1e-6):
+    return x * jax.lax.rsqrt(
+        jnp.sum(x * x, axis=-1, keepdims=True) + eps
+    )
+
+
+def _deltanet(cfg: HybridConfig, lp, h):
+    """Qwen3Next gated delta rule (torch_recurrent_gated_delta_rule):
+    S_t = S_{t-1} * exp(g_t) + k_t (beta_t (v_t - k_t.S_{t-1} exp(g_t)))^T,
+    out_t = q_t . S_t, with l2-normed q/k and a norm-then-gate RMSNorm.
+    Sequential lax.scan over T (the chunked SSD form is a perf follow-up).
+    """
+    b, t, _ = h.shape
+    Hv, Hk = cfg.dn_v_heads, cfg.dn_k_heads
+    dk, dv = cfg.dn_k_dim, cfg.dn_v_dim
+    kd, vd = Hk * dk, Hv * dv
+    # converter permutes in_proj rows to flat [q | k | v | z] and ba to
+    # [b | a] (HF stores them interleaved per k-head group)
+    qkvz = h @ lp["in_proj_qkvz"]
+    ba = h @ lp["in_proj_ba"]
+    z = qkvz[..., 2 * kd + vd :].reshape(b, t, Hv, dv)
+    bgate = jax.nn.sigmoid(ba[..., :Hv].astype(jnp.float32))
+    a = ba[..., Hv:].astype(jnp.float32)
+    g = -jnp.exp(lp["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a + lp["dt_bias"].astype(jnp.float32)
+    )  # (b, t, Hv)
+
+    # depthwise causal conv (silu) over the flat [q | k | v] channels
+    qkv = qkvz[..., : 2 * kd + vd]
+    L = cfg.dn_conv
+    win = jnp.concatenate(
+        [jnp.zeros((b, L - 1, qkv.shape[-1]), qkv.dtype), qkv], axis=1
+    )
+    conv = sum(
+        win[:, i : i + t] * lp["conv_w"][i][None, None, :]
+        for i in range(L)
+    )
+    qkv = jax.nn.silu(conv)
+    q = qkv[..., :kd].reshape(b, t, Hk, dk)
+    k = qkv[..., kd : 2 * kd].reshape(b, t, Hk, dk)
+    v = qkv[..., 2 * kd :].reshape(b, t, Hv, dv).astype(jnp.float32)
+    rep = Hv // Hk
+    q = jnp.repeat(q, rep, axis=2)
+    k = jnp.repeat(k, rep, axis=2)
+    q = _l2norm(q.astype(jnp.float32)) * dk ** -0.5
+    k = _l2norm(k.astype(jnp.float32))
+
+    def step(S, xs):
+        q_t, k_t, v_t, g_t, b_t = xs  # (b,Hv,dk) (b,Hv,dv) (b,Hv)
+        S = S * jnp.exp(g_t)[..., None, None]
+        kv = jnp.einsum("bhkv,bhk->bhv", S, k_t)
+        delta = (v_t - kv) * b_t[..., None]
+        S = S + k_t[..., :, None] * delta[..., None, :]
+        out = jnp.einsum("bhkv,bhk->bhv", S, q_t)
+        return S, out
+
+    xs = tuple(
+        jnp.moveaxis(u, 1, 0)
+        for u in (q, k, v, g, bgate)
+    )
+    S0 = jnp.zeros((b, Hv, dk, dv), jnp.float32)
+    _, outs = jax.lax.scan(step, S0, xs)
+    core = jnp.moveaxis(outs, 0, 1)  # (b, t, Hv, dv)
+    # norm-then-gate RMSNorm per v-head (Qwen3NextRMSNormGated)
+    cf = core * jax.lax.rsqrt(
+        jnp.mean(core * core, axis=-1, keepdims=True) + cfg.rms_eps
+    )
+    core = cf * lp["norm_w"].astype(jnp.float32) * jax.nn.silu(
+        z.astype(jnp.float32)
+    )
+    return core.reshape(b, t, vd) @ lp["out_proj"]
+
+
 def _glu(h, w_in, w_out, ff):
     """Granite fused GLU: input_linear -> chunk2 -> silu(a)*b -> out."""
     z = h @ w_in
@@ -185,6 +315,36 @@ def _ffn(cfg: HybridConfig, lp, h, kind):
         g = h @ lp["w_gate"]
         u = h @ lp["w_up"]
         return (jax.nn.silu(g) * u) @ lp["w_down"]
+    if kind == "moe_qwen":
+        # qwen3next sparse block: softmax -> top-k -> renorm routed
+        # experts + a sigmoid-gated shared expert (qwen2-moe style)
+        logits = (h @ lp["router"]).astype(jnp.float32)
+        scores = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(scores, cfg.n_experts_used)
+        if cfg.moe_renorm:
+            top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
+        comb = jnp.zeros_like(logits)
+        t = h.shape[1]
+        comb = jax.vmap(
+            lambda c, i, w: c.at[jnp.arange(t)[:, None], i].add(w)
+        )(comb, top_i, top_w)
+
+        def q_expert(acc, exs):
+            g_, u_, d_, w_e = exs
+            out_e = (jax.nn.silu(h @ g_) * (h @ u_)) @ d_
+            return acc + w_e[..., None] * out_e, None
+
+        moe_out, _ = jax.lax.scan(
+            q_expert, jnp.zeros(h.shape, jnp.float32),
+            (lp["e_gate"], lp["e_up"], lp["e_down"],
+             jnp.moveaxis(comb, -1, 0)),
+        )
+        sh = (jax.nn.silu(h @ lp["w_shared_gate"])
+              * (h @ lp["w_shared_up"])) @ lp["w_shared_down"]
+        g_sh = jax.nn.sigmoid(
+            (h @ lp["shared_gate"]).astype(jnp.float32)
+        )
+        return moe_out + sh * g_sh
     out = 0.0
     if kind in ("shared", "shared_moe"):
         out = _glu(h, lp["w_shared_in"], lp["w_shared_out"],
@@ -232,7 +392,8 @@ def forward(
     if cfg.embed_scale:
         x = x * cfg.embed_scale
     t = tokens.shape[1]
-    cos, sin = _rope_tab(t, cfg.head_dim_, cfg.rope_theta)
+    rot = int(cfg.head_dim_ * cfg.rope_pct) // 2 * 2
+    cos, sin = _rope_tab(t, rot, cfg.rope_theta)
     for i, lp in enumerate(params["layers"]):
         kind = cfg.layer_types[i]
         h = _rms(x, lp["attn_norm"], cfg.rms_eps)
@@ -242,6 +403,10 @@ def forward(
             mix = _attention(cfg, lp, h, cos, sin)
         elif kind == "mamba2":
             mix = _mamba2(cfg, lp, h)
+        elif kind == "deltanet":
+            mix = _deltanet(cfg, lp, h)
+        elif kind == "conv":
+            mix = _lfm2_conv(cfg, lp, h)
         else:
             mix = _jamba_mamba(cfg, lp, h)
         x = x + mix
