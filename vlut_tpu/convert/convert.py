@@ -157,6 +157,28 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             raw.get("ffn_hidden_size") or 4 * raw["hidden_size"],
         )
         raw.setdefault("max_position_embeddings", 2048)
+    elif mt == "qwen":
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        # qwen v1 serializes DOUBLE the SwiGLU width in intermediate_size
+        raw["intermediate_size"] = (
+            raw.get("ffn_hidden_size")
+            or raw.get("intermediate_size", 4 * raw["hidden_size"])
+        ) // 2
+        raw.setdefault("rope_theta", raw.get("rotary_emb_base", 10000.0))
+        raw.setdefault("max_position_embeddings",
+                       raw.get("seq_length", 2048))
+        raw.setdefault("rms_norm_eps", raw.get("layer_norm_epsilon", 1e-6))
+    elif mt == "jais":
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault(
+            "intermediate_size", raw.get("n_inner") or 4 * raw["hidden_size"]
+        )
+        raw.setdefault("max_position_embeddings",
+                       raw.get("n_positions", 2048))
     elif mt == "dbrx":
         ac = raw.get("attn_config") or {}
         fc = raw.get("ffn_config") or {}
@@ -196,6 +218,55 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             post_norms=True, qk_norm=True,
             sliding_window=raw.get("sliding_window", 1024),
             sliding_window_pattern=raw.get("sliding_window_pattern", 6),
+        )
+    if mt == "baichuan":
+        # baichuan 7B = llama + fused W_pack; 13B (hidden 5120) = ALiBi
+        # (reference src/models/baichuan.cpp: rope only for LLM_TYPE_7B,
+        # 13B relies on max_alibi_bias)
+        if raw.get("position_embedding_type") == "alibi" or (
+            "position_embedding_type" not in raw and d_model >= 5120
+        ):
+            extra.update(pos_embed="alibi")
+    if mt == "orion":
+        # orion: llama body with biased LayerNorms
+        # (src/models/orion.cpp LLM_NORM + *_norm_b)
+        extra.update(norm_type="ln")
+    if mt == "qwen":
+        # qwen v1: fused biased c_attn, RMSNorm under gpt2-ish names,
+        # w2=gate / w1=up SwiGLU (src/models/qwen.cpp)
+        extra.update(qkv_bias=True)
+    if mt == "jais":
+        # jais: gpt2 body + ALiBi + biased SwiGLU + muP scales
+        # (src/models/jais.cpp: LLM_NORM + bqkv + 1/n_embd_head attn scale;
+        # embeddings/logit scales folded per convert_hf_to_gguf JaisModel)
+        hd_j = d_model // raw["num_attention_heads"]
+        emb_s = raw.get("mup_embeddings_scale",
+                        raw.get("embeddings_scale", 1.0))
+        out_s = raw.get("mup_output_alpha", raw.get(
+            "output_logits_scale", 1.0))
+        if "mup_output_alpha" in raw:
+            out_s = out_s * raw.get("mup_width_scale", 1.0)
+        extra.update(
+            norm_type="ln", qkv_bias=True, proj_bias=True,
+            pos_embed="alibi",
+            embed_scale=emb_s, logit_scale=out_s,
+            attn_scale=(1.0 / hd_j) if raw.get(
+                "mup_scale_qk_dot_by_d", raw.get("scale_qk_dot_by_d", True)
+            ) else 0.0,
+        )
+    if mt == "minicpm3":
+        # minicpm3: deepseek-V2 MLA attention + minicpm multipliers
+        # (reference src/models/minicpm3.cpp)
+        dn = raw.get("qk_nope_head_dim", 64)
+        dr = raw.get("qk_rope_head_dim", 32)
+        extra.update(
+            q_lora_rank=raw.get("q_lora_rank") or 0,
+            kv_lora_rank=raw.get("kv_lora_rank", 256),
+            qk_nope_dim=dn, qk_rope_dim=dr,
+            head_dim=raw.get("v_head_dim", dn),
+            attn_scale=(dn + dr) ** -0.5,
+            embed_scale=raw.get("scale_emb", 1.0),
+            logit_scale=raw.get("dim_model_base", d_model) / d_model,
         )
     if mt == "arcee":
         # arcee AFM: llama body with an UNGATED relu^2 MLP
@@ -932,7 +1003,7 @@ def convert_hf(
     res_mult = 1.0
     if raw0.get("model_type") == "granite":
         res_mult = float(raw0.get("residual_multiplier", 1.0))
-    elif raw0.get("model_type") == "minicpm":
+    elif raw0.get("model_type") in ("minicpm", "minicpm3"):
         res_mult = float(raw0.get("scale_depth", L ** 0.5)) / L ** 0.5
 
     # First pass: collect side scales (HF1BitLLM weight_scale tensors).
@@ -981,7 +1052,33 @@ def convert_hf(
         """Arch-specific HF tensor names -> the llama-style canonical names
         the mapping tables below understand (the analog of the reference's
         per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
-        if mt0 == "gpt_neox":
+        if mt0 == "baichuan":
+            name = name.replace(".self_attn.W_pack.", ".self_attn.qkv_proj.")
+        elif mt0 == "qwen":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.c_attn.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            # qwen v1 SwiGLU: w2 is the gate, w1 the up (QWenMLP)
+            name = name.replace(".mlp.w2.", ".mlp.gate_proj.")
+            name = name.replace(".mlp.w1.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "jais":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.c_attn.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            # jais SwiGLU: act(c_fc) * c_fc2 -> c_fc is the gate
+            name = name.replace(".mlp.c_fc2.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_fc.", ".mlp.gate_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "gpt_neox":
             name = name.replace("gpt_neox.embed_in.", "model.embed_tokens.")
             name = name.replace("gpt_neox.final_layer_norm.", "model.norm.")
             if name.startswith("embed_out."):
@@ -1161,10 +1258,10 @@ def convert_hf(
         name = canon(name)
         if name.endswith("weight_scale"):
             continue
-        if mt0 == "gpt2" and name.endswith(".weight") and any(
+        if mt0 in ("gpt2", "jais") and name.endswith(".weight") and any(
             s in name for s in (
                 ".self_attn.qkv_proj.", ".self_attn.o_proj.",
-                ".mlp.up_proj.", ".mlp.down_proj.",
+                ".mlp.up_proj.", ".mlp.down_proj.", ".mlp.gate_proj.",
             )
         ):
             # HF GPT2 Conv1D stores weights (in, out); normalize to the
@@ -1193,6 +1290,13 @@ def convert_hf(
             ).astype(hp))
             continue
         if name == "lm_head.weight":
+            if mt0 == "baichuan" and cfg.vocab_size == 125696:
+                # Baichuan2 NormHead: inference uses the row-normalized
+                # head (upstream convert_hf_to_gguf BaichuanModel analog)
+                wf = np.asarray(w, np.float32)
+                w = wf / np.maximum(
+                    np.linalg.norm(wf, axis=-1, keepdims=True), 1e-12
+                )
             head = np.asarray(w, np.float32).T  # (D, V)
             plan = make_plan(cfg)
             head = np.pad(head, ((0, 0), (0, plan.vocab_p - head.shape[1])))

@@ -1291,6 +1291,14 @@ def run_layers(
         )  # (b, t, H, r_kv)
         wuv = lp["w_uv"]["dense"].astype(jnp.float32)  # (H, r_kv, v_hd)
         att = jnp.einsum("bthr,hrv->bthv", ctx, wuv)
+        if plan.hd != plan.hd_p:
+            # v_head_dim not lane-aligned (minicpm3: 16/64): scatter the
+            # head dims to head_positions so att matches wo's padded-row
+            # layout (pack_weight pad_heads_rows)
+            from vlut_tpu.models.dims import head_positions
+
+            att_p = jnp.zeros((b, t, cfg.n_heads, plan.hd_p), att.dtype)
+            att = att_p.at[..., head_positions(plan.hd, plan.hd_p)].set(att)
         return h_attn, att
 
     def layer_step(x, xs):
