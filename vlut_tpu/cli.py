@@ -123,6 +123,33 @@ def cmd_generate(args):
         print(tok.decode(out))
         print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
         return
+    if getattr(cfg, "causal_attn", True) is False:
+        # diffusion LM (llada/dream/rnd1): iterative mask denoising
+        # (reference examples/diffusion/diffusion-cli.cpp)
+        import time as _time
+
+        from vlut_tpu.runtime.diffusion import (
+            DiffusionParams,
+            diffusion_generate,
+        )
+        from vlut_tpu.train.finetune import float_twin_params
+        from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
+
+        tok = _Tok(args.model)
+        ids = tok.encode(args.prompt)
+        pf = float_twin_params(params, cfg)
+        dp = DiffusionParams(
+            steps=getattr(args, "diffusion_steps", 0) or args.n_predict,
+            alg=getattr(args, "diffusion_alg", "low_confidence"),
+            temp=args.temp, seed=getattr(args, "seed", 0),
+        )
+        t0 = _time.time()
+        out = diffusion_generate(pf, cfg, ids, args.n_predict, dp)
+        dt = _time.time() - t0
+        print(tok.decode(out))
+        print(f"\n[{len(out)} tokens (diffusion, {dp.steps} steps), "
+              f"{len(out) / max(dt, 1e-9):.1f} tok/s]")
+        return
     if type(cfg).__name__ == "HybridConfig":
         # hybrid SSM+attention archs (jamba/falcon-h1/granite-hybrid):
         # full-recompute decode (parity-first; stateful decode would carry
@@ -645,6 +672,13 @@ def main(argv=None):
                    help="Jacobi window branches (lookahead W)")
     p.add_argument("--lookahead-ngram", type=int, default=3,
                    help="n-gram length (lookahead N)")
+    p.add_argument("--diffusion-steps", type=int, default=0,
+                   help="denoise iterations for diffusion checkpoints "
+                        "(0 = n_predict)")
+    p.add_argument("--diffusion-alg", default="low_confidence",
+                   choices=("low_confidence", "entropy", "margin",
+                            "random"),
+                   help="unmask-ranking rule (examples/diffusion algs)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")

@@ -121,6 +121,15 @@ class ModelConfig:
     # dense-FFN flags (qwen2/qwen3-moe mlp_only_layers +
     # decoder_sparse_step); like first_k_dense but any layer set —
     # forces the heterogeneous tuple-layers checkpoint layout
+    # --- diffusion LMs (llada/dream/rnd1; reference examples/diffusion +
+    # src/models/{llada,dream,rnd1}.cpp): bidirectional attention +
+    # iterative mask denoising (runtime/diffusion.py) ---------------------
+    causal_attn: bool = True      # False: diffusion archs (GGUF
+    # add_causal_attention(False))
+    mask_token_id: int = 0        # the [MASK] the denoiser fills
+    diffusion_shift_logits: bool = True  # dream/rnd1 predict position i+1
+    # from logits[i]; llada predicts position i in place (GGUF
+    # add_diffusion_shift_logits(False))
     # checkpoints are packed with enough padding to shard evenly over any
     # tensor-parallel degree dividing tp_pack (see models/dims.py)
     tp_pack: int = 8

@@ -157,6 +157,15 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             raw.get("ffn_hidden_size") or 4 * raw["hidden_size"],
         )
         raw.setdefault("max_position_embeddings", 2048)
+    elif mt == "llada":
+        raw.setdefault("hidden_size", raw.get("d_model"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layers"))
+        raw.setdefault("num_attention_heads", raw.get("n_heads"))
+        raw.setdefault("num_key_value_heads",
+                       raw.get("n_kv_heads") or raw.get("n_heads"))
+        raw.setdefault("intermediate_size", raw.get("mlp_hidden_size"))
+        raw.setdefault("max_position_embeddings",
+                       raw.get("max_sequence_length", 4096))
     elif mt == "qwen":
         raw.setdefault("hidden_size", raw.get("n_embd"))
         raw.setdefault("num_hidden_layers", raw.get("n_layer"))
@@ -219,6 +228,20 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             sliding_window=raw.get("sliding_window", 1024),
             sliding_window_pattern=raw.get("sliding_window_pattern", 6),
         )
+    if mt in ("llada", "dream", "rnd1"):
+        # masked-diffusion LMs: bidirectional attention + a mask token
+        # (reference examples/diffusion; GGUF add_causal_attention(False)).
+        # llada predicts in place (no logit shift); dream/rnd1 keep the
+        # next-token shift (LLaDAModel add_diffusion_shift_logits(False))
+        extra.update(
+            causal_attn=False,
+            mask_token_id=raw.get("mask_token_id", 0) or 0,
+            diffusion_shift_logits=(mt != "llada"),
+        )
+        if mt == "dream":
+            extra.update(qkv_bias=True)
+        if mt == "rnd1":
+            extra.update(qkv_bias=True)  # qwen2-moe body
     if mt == "baichuan":
         # baichuan 7B = llama + fused W_pack; 13B (hidden 5120) = ALiBi
         # (reference src/models/baichuan.cpp: rope only for LLM_TYPE_7B,
@@ -633,11 +656,11 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             # models always renormalize
             moe_norm_topk=raw.get(
                 "norm_topk_prob",
-                mt not in ("qwen2_moe", "qwen3_moe", "olmoe"),
+                mt not in ("qwen2_moe", "qwen3_moe", "olmoe", "rnd1"),
             ),
             d_ff=raw.get("moe_intermediate_size", raw["intermediate_size"]),
         )
-    if mt in ("qwen2_moe", "qwen3_moe") and n_experts:
+    if mt in ("qwen2_moe", "qwen3_moe", "rnd1") and n_experts:
         # qwen-moe heterogeneity: mlp_only_layers + decoder_sparse_step
         # pick which layers are plain dense MLPs (HF Qwen2MoeDecoderLayer
         # sparse condition); qwen2-moe adds a sigmoid-gated shared expert
@@ -653,7 +676,7 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 dense_layers=tuple(dense),
                 d_ff_dense=raw["intermediate_size"],
             )
-        if mt == "qwen2_moe":
+        if mt in ("qwen2_moe", "rnd1"):
             extra.update(
                 n_shared_experts=1,
                 d_ff_shared=raw.get(
@@ -1052,7 +1075,24 @@ def convert_hf(
         """Arch-specific HF tensor names -> the llama-style canonical names
         the mapping tables below understand (the analog of the reference's
         per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
-        if mt0 == "baichuan":
+        if mt0 == "llada":
+            name = name.replace("model.transformer.wte.",
+                                "model.embed_tokens.")
+            name = name.replace("model.transformer.ln_f.", "model.norm.")
+            if name.startswith("model.transformer.ff_out."):
+                name = "lm_head." + name[len("model.transformer.ff_out."):]
+            name = name.replace("model.transformer.blocks.",
+                                "model.layers.")
+            name = name.replace(".attn_norm.", ".input_layernorm.")
+            name = name.replace(".q_proj.", ".self_attn.q_proj.")
+            name = name.replace(".k_proj.", ".self_attn.k_proj.")
+            name = name.replace(".v_proj.", ".self_attn.v_proj.")
+            name = name.replace(".attn_out.", ".self_attn.o_proj.")
+            name = name.replace(".ff_norm.", ".post_attention_layernorm.")
+            name = name.replace(".ff_proj.", ".mlp.gate_proj.")
+            name = name.replace(".up_proj.", ".mlp.up_proj.")
+            name = name.replace(".ff_out.", ".mlp.down_proj.")
+        elif mt0 == "baichuan":
             name = name.replace(".self_attn.W_pack.", ".self_attn.qkv_proj.")
         elif mt0 == "qwen":
             name = name.replace("transformer.wte.", "model.embed_tokens.")
