@@ -162,6 +162,31 @@ def load_checkpoint(
     return cfg, params, meta
 
 
+def load_qwen_vision(path: str | pathlib.Path):
+    """Load the optional Qwen2-VL vision tower.  Returns
+    (QwenVisionConfig, params, meta-extras) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    qv = meta.get("qwen_vision_config")
+    if not qv or not (path / "qwen_vision.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.qwen_vision import QwenVisionConfig
+
+    flat = load_file(str(path / "qwen_vision.safetensors"))
+    layers: dict[str, Any] = {}
+    params: dict[str, Any] = {"layers": layers}
+    for k, v in flat.items():
+        if k.startswith("layers."):
+            layers[k[len("layers."):]] = v
+        else:
+            params[k] = v
+    extras = {
+        "image_token_id": meta.get("image_token_id"),
+        "vision_start_token_id": meta.get("vision_start_token_id"),
+    }
+    return QwenVisionConfig(**qv), params, extras
+
+
 def load_vision(path: str | pathlib.Path):
     """Load the optional vision tower (llava-style checkpoints).  Returns
     (VisionConfig, params) or (None, None) when the checkpoint is

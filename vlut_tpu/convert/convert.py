@@ -203,7 +203,7 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                        raw.get("max_seq_len", 2048))
     d_model = raw["hidden_size"]
     extra: dict[str, Any] = {}
-    if mt == "qwen2" or mt == "qwen2_moe":
+    if mt in ("qwen2", "qwen2_moe", "qwen2_vl_text", "qwen2_vl"):
         extra.update(qkv_bias=True)
     if mt in ("qwen3", "qwen3_moe"):
         extra.update(qk_norm=True)
@@ -1069,13 +1069,16 @@ def convert_hf(
 
     layer_re = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)$")
     vision_raw: dict[str, np.ndarray] = {}
+    qwen_vis_raw: dict[str, np.ndarray] = {}
     mt0 = raw0.get("model_type", "")
 
     def canon(name: str) -> str:
         """Arch-specific HF tensor names -> the llama-style canonical names
         the mapping tables below understand (the analog of the reference's
         per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
-        if mt0 == "llada":
+        if mt0 == "qwen2_vl":
+            name = name.replace("model.language_model.", "model.")
+        elif mt0 == "llada":
             name = name.replace("model.transformer.wte.",
                                 "model.embed_tokens.")
             name = name.replace("model.transformer.ln_f.", "model.norm.")
@@ -1321,6 +1324,9 @@ def convert_hf(
             continue
         if name.startswith(("vision_tower.", "multi_modal_projector.")):
             vision_raw[name] = np.asarray(w)
+            continue
+        if name.startswith(("model.visual.", "visual.")):
+            qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
             continue
         if name.startswith("language_model."):
             name = name[len("language_model."):]
@@ -1745,9 +1751,85 @@ def convert_hf(
             vision_raw, hf_dir, pathlib.Path(out_dir)
         )
         extra_meta["vision_config"] = vcfg
+    if qwen_vis_raw:
+        qvcfg = _convert_qwen_vision(
+            qwen_vis_raw, raw0, pathlib.Path(out_dir)
+        )
+        extra_meta["qwen_vision_config"] = qvcfg
+        extra_meta["image_token_id"] = raw0.get("image_token_id")
+        extra_meta["vision_start_token_id"] = raw0.get(
+            "vision_start_token_id")
     save_checkpoint(out_dir, cfg, params, tokenizer_src=hf_dir,
                     extra_meta=extra_meta)
     return cfg
+
+
+def _convert_qwen_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Qwen2-VL vision tower -> qwen_vision.safetensors
+    (models/qwen_vision.py layout).  Returns the QwenVisionConfig dict."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    embed = v.get("embed_dim", v.get("hidden_size", 1280))
+    depth = v.get("depth", 32)
+    qvcfg = {
+        "depth": depth,
+        "embed_dim": embed,
+        "n_heads": v.get("num_heads", 16),
+        "mlp_dim": int(embed * v.get("mlp_ratio", 4)),
+        "patch_size": v.get("patch_size", 14),
+        "temporal_patch_size": v.get("temporal_patch_size", 2),
+        "spatial_merge_size": v.get("spatial_merge_size", 2),
+        "in_channels": v.get("in_channels", 3),
+        "out_dim": v.get("hidden_size", embed),
+    }
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g("patch_embed.proj.weight")  # (D, C, tp, p, p)
+    out: dict[str, np.ndarray] = {
+        # matmul over rows flattened (C, tp, p, p) — models/qwen_vision
+        # patchify emits exactly that order
+        "patch_w": pw.reshape(pw.shape[0], -1).T,
+        "merge_ln_w": g("merger.ln_q.weight"),
+        "merge_ln_b": g("merger.ln_q.bias"),
+        "merge_w1": g("merger.mlp.0.weight").T,
+        "merge_b1": g("merger.mlp.0.bias"),
+        "merge_w2": g("merger.mlp.2.weight").T,
+        "merge_b2": g("merger.mlp.2.bias"),
+    }
+    name_map = {
+        "norm1.weight": "ln1_w", "norm1.bias": "ln1_b",
+        "norm2.weight": "ln2_w", "norm2.bias": "ln2_b",
+        "attn.qkv.weight": "wqkv", "attn.qkv.bias": "bqkv",
+        "attn.proj.weight": "wo", "attn.proj.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    stacks: dict[str, list] = {nm: [None] * depth
+                               for nm in name_map.values()}
+    lre = re.compile(r"blocks\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            log.warning("skipping qwen vision tensor %s", name)
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):  # weights: (out, in) -> (in, out)
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    # safetensors silently serializes the UNDERLYING buffer of
+    # non-contiguous arrays (transposed views) — force contiguity
+    save_file({k: np.ascontiguousarray(v) for k, v in out.items()},
+              str(out_dir / "qwen_vision.safetensors"))
+    return qvcfg
 
 
 def _convert_vision_tower(
@@ -1823,7 +1905,8 @@ def _convert_vision_tower(
         stacks[nm][li] = arr
     for nm, vals in stacks.items():
         out[f"layers.{nm}"] = np.stack([x for x in vals if x is not None])
-    save_file(out, str(out_dir / "vision.safetensors"))
+    save_file({k: np.ascontiguousarray(v) for k, v in out.items()},
+              str(out_dir / "vision.safetensors"))
     return vcfg
 
 

@@ -757,6 +757,8 @@ def forward(
     output: str = "logits",  # "logits" | "hidden" (post-final-norm states)
     token_embeds: jax.Array | None = None,  # (B, T, D) replaces embed lookup
     attn_mask: jax.Array | None = None,  # (B, T, S) full mask override
+    mrope_pos: jax.Array | None = None,  # (B, 3, T) qwen2-vl M-RoPE rows;
+    # None = standard rope from `positions` (equal rows are equivalent)
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -812,7 +814,7 @@ def forward(
         params["layers"], x, positions, layer_window, kv_cache,
         cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
         ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
-        attn_mask=attn_mask,
+        attn_mask=attn_mask, mrope_pos=mrope_pos,
     )
 
     if cfg.norm_type == "ln":
@@ -892,6 +894,7 @@ def run_layers(
     ep_size: int = 1,
     sp_axis: str | None = None,
     attn_mask: jax.Array | None = None,  # (B, T, S) override, see _attention
+    mrope_pos: jax.Array | None = None,  # (B, 3, T) M-RoPE rows
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Scan the transformer stack over a (possibly stage-local) layers tree.
 
@@ -931,6 +934,9 @@ def run_layers(
         pad_to=hd_p if rot == plan.hd else None,
     )
     safe_pos = jnp.maximum(positions, 0)
+    mrope_sections = tuple(
+        (cfg.rope_scaling or {}).get("mrope_section") or ()
+    )
 
     if cfg.rope_interleaved and plan.hd != hd_p:
         raise ValueError(
@@ -955,7 +961,12 @@ def run_layers(
                 z = jnp.concatenate(
                     [zp[..., 0::2], zp[..., 1::2], z[..., rot:]], axis=-1
                 )
-        if rot == plan.hd:
+        if mrope_sections and mrope_pos is not None:
+            # qwen2-vl M-RoPE: 3-row positions with per-section freq rows
+            from vlut_tpu.ops.rope import apply_mrope
+
+            zr = apply_mrope(z, mrope_pos, cos, sin, mrope_sections)
+        elif rot == plan.hd:
             zr = apply_rope(z, pos, cos, sin)
         else:
             zr = jnp.concatenate(

@@ -26,6 +26,10 @@ def _inv_freq(
     if not scaling:
         return inv, 1.0
     kind = scaling.get("rope_type", scaling.get("type"))
+    if kind in ("default", "mrope"):
+        # qwen2-vl: unscaled frequencies; the mrope_section key is consumed
+        # by apply_mrope (positions-side, not frequency-side)
+        return inv, 1.0
     if kind == "llama3":
         factor = scaling.get("factor", 8.0)
         lo = scaling.get("low_freq_factor", 1.0)
@@ -118,6 +122,36 @@ def rope_table(
         cos = jnp.pad(cos, ((0, 0), (0, extra)), constant_values=1.0)
         sin = jnp.pad(sin, ((0, 0), (0, extra)), constant_values=0.0)
     return cos, sin
+
+
+def apply_mrope(
+    x: jax.Array,            # (B, T, H, head_dim)
+    mrope_pos: jax.Array,    # (B, 3, T) int32 — temporal/height/width rows
+    cos: jax.Array,          # (max_len, head_dim // 2)
+    sin: jax.Array,
+    sections: tuple[int, ...],  # freq-pair counts per position row,
+    # cycled i % 3 (HF apply_multimodal_rotary_pos_emb; qwen2-vl
+    # mrope_section, summing to head_dim // 2)
+) -> jax.Array:
+    half = x.shape[-1] // 2
+    cs, ss, lo = [], [], 0
+    for i, n in enumerate(sections):
+        p = mrope_pos[:, i % 3]                   # (B, T)
+        cs.append(cos[p][..., lo : lo + n])
+        ss.append(sin[p][..., lo : lo + n])
+        lo += n
+    if lo < cos.shape[-1]:
+        # lane-padded head dims append identity rotations (cos=1/sin=0),
+        # position-independent — gather with any row
+        p = mrope_pos[:, 0]
+        cs.append(cos[p][..., lo:])
+        ss.append(sin[p][..., lo:])
+    c = jnp.concatenate(cs, -1)[..., None, :]     # (B, T, 1, half)
+    s = jnp.concatenate(ss, -1)[..., None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
 
 
 def apply_rope(
