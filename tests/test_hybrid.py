@@ -171,3 +171,133 @@ def test_qwen3next_moe_parity(tmp_path):
     cfg = _run(transformers.Qwen3NextForCausalLM(c), tmp_path)
     assert cfg.ffn_types == ("moe_qwen", "moe_qwen")
     assert cfg.d_ff == 32 and cfg.n_experts == 4
+
+
+def test_nemotron_h_mamba_twin(tmp_path):
+    """nemotron-h all-'M' pattern == a standalone Mamba2 LM with the same
+    weights (the standalone path is HF-verified in test_mamba2.py); plus a
+    mixed M/*/- pattern runs with relu^2 FFN blocks and NoPE attention."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from vlut_tpu.convert.convert import convert_hf
+    from vlut_tpu.models.ssm import forward2
+
+    rng = np.random.default_rng(14)
+    D, NL, M2H, HD2, G, ST, DC = 32, 2, 8, 8, 2, 16, 4
+    di = M2H * HD2
+    conv_dim = di + 2 * G * ST
+    proj_in = di + conv_dim + M2H
+
+    def t2(k, n):
+        return rng.integers(-1, 2, (n, k)).astype(np.float32) * 0.02
+
+    common = {}
+    for i in range(NL):
+        p = f"backbone.layers.{i}."
+        common[p + "norm.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        common[p + "mixer.in_proj.weight"] = t2(D, proj_in)
+        common[p + "mixer.out_proj.weight"] = t2(di, D)
+        common[p + "mixer.conv1d.weight"] = rng.standard_normal(
+            (conv_dim, 1, DC)).astype(np.float32) * 0.2
+        common[p + "mixer.conv1d.bias"] = rng.standard_normal(
+            conv_dim).astype(np.float32) * 0.1
+        common[p + "mixer.norm.weight"] = np.abs(
+            rng.standard_normal(di)).astype(np.float32) + 0.5
+        common[p + "mixer.A_log"] = rng.uniform(
+            0, 1, M2H).astype(np.float32)
+        common[p + "mixer.dt_bias"] = rng.standard_normal(
+            M2H).astype(np.float32) * 0.2
+        common[p + "mixer.D"] = np.ones(M2H, np.float32)
+    common["backbone.embeddings.weight"] = rng.standard_normal(
+        (V, D)).astype(np.float32) * 0.02
+    common["backbone.norm_f.weight"] = np.ones(D, np.float32)
+    common["lm_head.weight"] = t2(D, V)
+
+    cfg_nh = {
+        "model_type": "nemotron_h", "architectures": ["NemotronHForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": NL,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "intermediate_size": 48, "hybrid_override_pattern": "M" * NL,
+        "mamba_num_heads": M2H, "mamba_head_dim": HD2, "n_groups": G,
+        "ssm_state_size": ST, "conv_kernel": DC, "rms_norm_eps": 1e-5,
+        "hidden_act": "relu2", "tie_word_embeddings": False,
+        "max_position_embeddings": 64,
+    }
+    (tmp_path / "nh").mkdir()
+    (tmp_path / "nh" / "config.json").write_text(json.dumps(cfg_nh))
+    save_file({k: np.ascontiguousarray(v) for k, v in common.items()},
+              str(tmp_path / "nh" / "model.safetensors"))
+    cfg = convert_hf(tmp_path / "nh", tmp_path / "out_nh")
+    assert cfg.layer_types == ("mamba2",) * NL
+    assert cfg.ffn_types == ("none",) * NL and not cfg.rope
+
+    # mamba2-standalone twin (codestral naming)
+    m2 = {
+        "backbone.embeddings.weight": common["backbone.embeddings.weight"],
+        "backbone.norm_f.weight": common["backbone.norm_f.weight"],
+        "lm_head.weight": common["lm_head.weight"],
+    }
+    for i in range(NL):
+        pn, po = f"backbone.layers.{i}.", f"backbone.layers.{i}."
+        m2[po + "norm.weight"] = common[pn + "norm.weight"]
+        for sub in ("in_proj.weight", "out_proj.weight", "conv1d.weight",
+                    "conv1d.bias", "A_log", "dt_bias", "D"):
+            m2[po + "mixer." + sub] = common[pn + "mixer." + sub]
+        m2[po + "mixer.norm.weight"] = common[pn + "mixer.norm.weight"]
+    cfg2_raw = {
+        "model_type": "mamba2", "architectures": ["Mamba2ForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": NL,
+        "num_heads": M2H, "head_dim": HD2, "n_groups": G,
+        "state_size": ST, "conv_kernel": DC, "expand": 2,
+        "layer_norm_epsilon": 1e-5, "tie_word_embeddings": False,
+    }
+    (tmp_path / "m2").mkdir()
+    (tmp_path / "m2" / "config.json").write_text(json.dumps(cfg2_raw))
+    save_file({k: np.ascontiguousarray(v) for k, v in m2.items()},
+              str(tmp_path / "m2" / "model.safetensors"))
+    convert_hf(tmp_path / "m2", tmp_path / "out_m2", dtype_hp="float32")
+
+    from vlut_tpu.convert.checkpoint import load_checkpoint
+    from vlut_tpu.models.hybrid import forward as hybrid_forward
+
+    toks = rng.integers(0, V, (1, 9))
+    cfg_h, p_h, _ = load_checkpoint(tmp_path / "out_nh")
+    p_h = jax.tree.map(jnp.asarray, p_h)
+    lg_h = np.asarray(hybrid_forward(
+        cfg=cfg_h, params=p_h, tokens=jnp.asarray(toks, jnp.int32)))
+    cfg_m, p_m, _ = load_checkpoint(tmp_path / "out_m2")
+    p_m = jax.tree.map(jnp.asarray, p_m)
+    lg_m, _ = forward2(p_m, cfg_m, jnp.asarray(toks, jnp.int32),
+                       impl="dequant")
+    np.testing.assert_allclose(
+        lg_h[..., :V], np.asarray(lg_m)[..., :V], rtol=2e-4, atol=2e-4)
+
+    # mixed pattern: M * - must convert and run
+    cfg_mixed = dict(cfg_nh, hybrid_override_pattern="M*-"[:NL] + "M" * 0,
+                     num_hidden_layers=NL)
+    mixed = dict(common)
+    # layer 1 becomes attention, layer... NL=2 -> pattern "M*"
+    cfg_mixed["hybrid_override_pattern"] = "M*"
+    p1 = "backbone.layers.1."
+    for sub in list(mixed):
+        if sub.startswith(p1 + "mixer."):
+            del mixed[sub]
+    mixed[p1 + "mixer.q_proj.weight"] = t2(D, D)
+    mixed[p1 + "mixer.k_proj.weight"] = t2(D, 16)
+    mixed[p1 + "mixer.v_proj.weight"] = t2(D, 16)
+    mixed[p1 + "mixer.o_proj.weight"] = t2(D, D)
+    (tmp_path / "mx").mkdir()
+    (tmp_path / "mx" / "config.json").write_text(json.dumps(cfg_mixed))
+    save_file({k: np.ascontiguousarray(v) for k, v in mixed.items()},
+              str(tmp_path / "mx" / "model.safetensors"))
+    cfgx = convert_hf(tmp_path / "mx", tmp_path / "out_mx")
+    assert cfgx.layer_types == ("mamba2", "attention")
+    cfg_x, p_x, _ = load_checkpoint(tmp_path / "out_mx")
+    p_x = jax.tree.map(jnp.asarray, p_x)
+    out = hybrid_forward(cfg=cfg_x, params=p_x,
+                         tokens=jnp.asarray(toks, jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()

@@ -1003,7 +1003,7 @@ def convert_hf(
     if raw0.get("model_type") == "mamba2":
         return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
-                                  "lfm2", "qwen3_next"):
+                                  "lfm2", "qwen3_next", "nemotron_h"):
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)

@@ -165,6 +165,35 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
             max_seq_len=raw.get("max_position_embeddings", 4096),
         )
         aux = {"residual": raw.get("residual_multiplier", 1.0)}
+    elif mt == "nemotron_h":
+        # nemotron-h (reference src/models/nemotron-h.cpp): each layer is
+        # ONE norm + one of {mamba2, NoPE attention, relu^2 ungated MLP}
+        # + residual, chosen by hybrid_override_pattern (M / * / -)
+        pat = raw.get("hybrid_override_pattern", "M" * nl)
+        kind = {"M": "mamba2", "*": "attention", "-": "ffn"}
+        lt = tuple(kind[c] for c in pat)
+        m2h = raw.get("mamba_num_heads", 128)
+        cfg = HybridConfig(
+            arch="nemotron_h", vocab_size=raw["vocab_size"],
+            d_model=hidden, n_layers=nl,
+            n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            head_dim=raw.get("attention_head_dim")
+            or raw.get("head_dim") or None,
+            d_ff=raw["intermediate_size"],
+            layer_types=lt, ffn_types=("none",) * nl,
+            rms_eps=raw.get("rms_norm_eps", 1e-5),
+            rope=False,  # nemotron-h attention is NoPE
+            m2_heads=m2h,
+            m2_head_dim=raw.get("mamba_head_dim", 64),
+            m2_groups=raw.get("n_groups", 8),
+            m2_state=raw.get("ssm_state_size", 128),
+            m2_conv=raw.get("conv_kernel", 4),
+            ffn_act="relu2", ffn_gated=False,
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
     elif mt == "lfm2":
         lt = tuple(
             "attention" if t == "full_attention" else "conv"
@@ -246,7 +275,32 @@ def convert_hybrid(
     ]
     lre = re.compile(r"model\.layers\.(\d+)\.(.+)$")
 
+    def canon(name: str) -> str:
+        if mt == "nemotron_h":
+            # backbone.* naming; the block-type-specific "mixer" module
+            # maps onto the per-kind names the loop below understands
+            name = name.replace("backbone.embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace("backbone.norm_f.", "model.norm.")
+            name = name.replace("backbone.layers.", "model.layers.")
+            # the BLOCK norm only — the mamba mixer's gated norm keeps its
+            # name and is handled by the mixer rewrite below
+            name = re.sub(r"^(model\.layers\.\d+)\.norm\.weight$",
+                          r"\1.input_layernorm.weight", name)
+            m0 = re.match(r"model\.layers\.(\d+)\.mixer\.(.+)$", name)
+            if m0:
+                li0, sub0 = int(m0.group(1)), m0.group(2)
+                kind0 = cfg.layer_types[li0]
+                if kind0 == "attention":
+                    name = f"model.layers.{li0}.self_attn.{sub0}"
+                elif kind0 == "ffn":
+                    name = f"model.layers.{li0}.mlp.{sub0}"
+                else:
+                    name = f"model.layers.{li0}.mamba.{sub0}"
+        return name
+
     for name, w in _iter_tensors(hf_dir):
+        name = canon(name)
         if name == "model.embed_tokens.weight":
             top["embed"] = w
             continue

@@ -72,6 +72,10 @@ class HybridConfig:
     dn_conv: int = 4
     # lfm2 short conv
     conv_l: int = 3
+    # nemotron-h dedicated FFN layers (layer kind "ffn": the block body IS
+    # the MLP; ffn_types entry "none" skips the per-layer second stage)
+    ffn_act: str = "silu"         # "relu2" for nemotron-h
+    ffn_gated: bool = True
     # attention extras
     qk_norm: bool = False         # per-head RMSNorm on q/k
     rope_pct: float = 1.0         # partial rope (qwen3next 0.25)
@@ -407,11 +411,26 @@ def forward(
             mix = _deltanet(cfg, lp, h)
         elif kind == "conv":
             mix = _lfm2_conv(cfg, lp, h)
+        elif kind == "ffn":
+            # nemotron-h MLP block: norm + (gated or plain) MLP + residual
+            if cfg.ffn_gated:
+                mix = (jax.nn.silu(h @ lp["w_gate"])
+                       * (h @ lp["w_up"])) @ lp["w_down"]
+            else:
+                act = {"relu2": lambda z: jnp.square(jax.nn.relu(z)),
+                       "silu": jax.nn.silu}[cfg.ffn_act]
+                up = h @ lp["w_up"]
+                if "b_up" in lp:
+                    up = up + lp["b_up"]
+                mix = act(up) @ lp["w_down"]
+                if "b_down" in lp:
+                    mix = mix + lp["b_down"]
         else:
             mix = _jamba_mamba(cfg, lp, h)
         x = x + mix
-        h = _rms(x, lp["ffn_norm"], cfg.rms_eps)
-        x = x + _ffn(cfg, lp, h, cfg.ffn_types[i])
+        if cfg.ffn_types[i] != "none":
+            h = _rms(x, lp["ffn_norm"], cfg.rms_eps)
+            x = x + _ffn(cfg, lp, h, cfg.ffn_types[i])
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:
