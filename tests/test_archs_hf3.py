@@ -221,3 +221,42 @@ def test_hunyuan_moe_parity(tmp_path):
     assert cfg.n_experts == 4 and cfg.n_experts_used == 2
     assert cfg.n_shared_experts == 1 and cfg.d_ff_shared == 64
     assert cfg.qk_norm_post_rope
+
+
+def test_apertus_parity(tmp_path):
+    """apertus: ungated xIELU MLP with learned per-layer alphas (stored
+    softplus-inverse), per-head qk-norm, own norm tensor names."""
+    cls = _need("ApertusForCausalLM")
+    c = transformers.ApertusConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=L,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=64,
+    )
+    torch.manual_seed(40)
+    model = cls(c)
+    import numpy as _np
+    with torch.no_grad():  # perturb the alphas off their init
+        for name, p in model.named_parameters():
+            if "alpha" in name:
+                p.copy_(p + 0.3 * torch.randn_like(p.float()).to(p.dtype))
+    cfg = _run_pair(model.float(), tmp_path / "hf", tmp_path / "out")
+    assert cfg.act_fn == "xielu" and not cfg.ffn_gated and cfg.qk_norm
+
+
+def test_chameleon_parity(tmp_path):
+    """chameleon (text path): per-head q/k LayerNorm with bias (fixed
+    eps 1e-5), llama body; the VQ image tower is skipped."""
+    c = transformers.ChameleonConfig(
+        vocab_size=V, hidden_size=64, num_hidden_layers=L,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=64,
+        vocabulary_map={"<image>": V - 1}, swin_norm=False,
+    )
+    torch.manual_seed(41)
+    model = transformers.ChameleonForConditionalGeneration(c)
+    with torch.no_grad():  # randomize the zero-init LN biases
+        for name, p in model.named_parameters():
+            if ("q_norm" in name or "k_norm" in name):
+                p.copy_(p + 0.2 * torch.randn_like(p))
+    cfg = _run_pair(model, tmp_path / "hf", tmp_path / "out")
+    assert cfg.qk_norm and cfg.qk_norm_type == "ln"

@@ -79,6 +79,8 @@ class ModelConfig:
     # "whole" (olmo2: one RMSNorm over the flattened n_heads*head_dim q/k)
     qk_norm_post_rope: bool = False  # hunyuan-v1: per-head q/k RMSNorm is
     # applied AFTER rope (qwen3/gemma3 norm before rope)
+    qk_norm_type: str = "rms"     # "ln": chameleon per-head LayerNorm with
+    # (H, head_dim) weight+bias and fixed eps 1e-5 (ChameleonLayerNorm)
     qkv_clamp: float = 0.0        # dbrx/olmo clip_qkv: clamp q/k/v to
     # [-c, +c] after the projection (before rope)
     swa_layers: tuple[bool, ...] | None = None  # explicit per-layer SWA

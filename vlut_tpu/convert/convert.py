@@ -291,6 +291,16 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             embed_scale=raw.get("scale_emb", 1.0),
             logit_scale=raw.get("dim_model_base", d_model) / d_model,
         )
+    if mt == "apertus":
+        # apertus: ungated xIELU MLP (learned per-layer alphas), per-head
+        # qk-norm, own norm names (reference src/models/apertus.cpp)
+        extra.update(ffn_gated=False, act_fn="xielu", qk_norm=True)
+    if mt == "chameleon":
+        # chameleon: per-head q/k LayerNorm with bias (ChameleonLayerNorm,
+        # fixed eps 1e-5); swin_norm (30B alternate ordering) unsupported
+        if raw.get("swin_norm"):
+            raise ValueError("chameleon swin_norm ordering not supported")
+        extra.update(qk_norm=True, qk_norm_type="ln")
     if mt == "arcee":
         # arcee AFM: llama body with an UNGATED relu^2 MLP
         # (reference src/models/arcee.cpp)
@@ -1274,6 +1284,13 @@ def convert_hf(
                                 ".self_attn.k_norm.")
             name = name.replace(".mlp.gate.wg.", ".mlp.gate.")
             name = name.replace(".mlp.shared_mlp.", ".mlp.shared_experts.")
+        elif mt0 == "apertus":
+            name = name.replace(".attention_layernorm.",
+                                ".input_layernorm.")
+            name = name.replace(".feedforward_layernorm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".mlp.act_fn.alpha_p", ".mlp.xielu_ap")
+            name = name.replace(".mlp.act_fn.alpha_n", ".mlp.xielu_an")
         elif mt0 == "ernie4_5_moe":
             # Ernie4_5_MoeStatics stores the selection bias as (1, E)
             name = name.replace(".mlp.moe_statics.e_score_correction_bias",
@@ -1322,6 +1339,8 @@ def convert_hf(
         if name == "model.embed_norm.bias":
             top["embed_norm_b"] = np.asarray(w, np.float32)
             continue
+        if name.startswith("model.vqmodel."):
+            continue  # chameleon image VQ-VAE (generation-side; not text)
         if name.startswith(("vision_tower.", "multi_modal_projector.")):
             vision_raw[name] = np.asarray(w)
             continue
@@ -1382,6 +1401,12 @@ def convert_hf(
         # gpt-oss / dbrx tensors that carry no .weight/.bias suffix
         # (sinks, stacked expert parameters) or fold a bias into the router
         mg = re.match(r"model\.layers\.(\d+)\.(.+)$", name)
+        if mg and mt0 == "apertus" and mg.group(2) in (
+            "mlp.xielu_ap", "mlp.xielu_an"
+        ):
+            note_layer(mg.group(2).split(".")[1], int(mg.group(1)),
+                       np.asarray(w, np.float32).reshape(-1))
+            continue
         if mg and mt0 == "dbrx":
             li_g, sub_g = int(mg.group(1)), mg.group(2)
             if sub_g in ("ffn.experts.mlp.w1", "ffn.experts.mlp.v1",
@@ -1514,6 +1539,17 @@ def convert_hf(
                         v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p
                     )
                 note_layer(pname, li, v)
+            elif cfg.qk_norm_type == "ln" and sub in (
+                "self_attn.q_norm", "self_attn.k_norm"
+            ):
+                heads = (cfg.n_heads if "q_norm" in sub
+                         else cfg.n_kv_heads)
+                note_layer(
+                    norm_map[sub] + "_b", li,
+                    pad_vec_heads(
+                        v.reshape(-1), heads, plan.hd, plan.hd_p
+                    ).reshape(heads, plan.hd_p),
+                )
             elif cfg.norm_type == "ln" and sub in norm_map:
                 note_layer(norm_map[sub] + "_b", li, v)
             else:
@@ -1530,11 +1566,17 @@ def convert_hf(
             elif pname == "ffn_sub_norm":
                 v = scatter_vec(v, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
             elif pname in ("q_norm", "k_norm"):
-                if cfg.qk_norm_scope == "whole":
+                heads = (cfg.n_heads if pname == "q_norm"
+                         else cfg.n_kv_heads)
+                if v.ndim == 2:
+                    # chameleon: DISTINCT per-head (H, hd) LN gains —
+                    # scatter each head's row onto the padded layout
+                    v = pad_vec_heads(
+                        v.reshape(-1), heads, plan.hd, plan.hd_p
+                    ).reshape(heads, plan.hd_p)
+                elif cfg.qk_norm_scope == "whole":
                     # olmo2: ONE norm over heads*head_dim — pad per head so
                     # the weight reshapes onto the padded (H, hd_p) layout
-                    heads = (cfg.n_heads if pname == "q_norm"
-                             else cfg.n_kv_heads)
                     v = pad_vec_heads(v, heads, plan.hd, plan.hd_p)
                 else:
                     # per-head gains ride the rope-aware scattered layout

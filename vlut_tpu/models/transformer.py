@@ -1364,6 +1364,28 @@ def run_layers(
             k = k.reshape(b, t, kv_heads_l, hd_p)
             v = v.reshape(b, t, kv_heads_l, hd_p)
             def qk_norm_fn(q, k):
+                if cfg.qk_norm_type == "ln":
+                    # chameleon: per-head LayerNorm, stats over head_dim,
+                    # per-head (H, hd_p) gains+biases (scattered layout),
+                    # FIXED eps 1e-5 (ChameleonLayerNorm hardcodes it)
+                    from vlut_tpu.models.dims import head_positions
+
+                    vmask = jnp.zeros((plan.hd_p,), jnp.float32).at[
+                        head_positions(plan.hd, plan.hd_p)
+                    ].set(1.0)
+
+                    def ln_h(z, w, b_):
+                        zf = z.astype(jnp.float32)
+                        cnt = jnp.float32(plan.hd)
+                        mu = zf.sum(-1, keepdims=True) / cnt
+                        zc = (zf - mu) * vmask
+                        var = (zc * zc).sum(-1, keepdims=True) / cnt
+                        return (zc * jax.lax.rsqrt(var + 1e-5)
+                                * w[None, None]
+                                + b_[None, None]) * vmask
+                    q = ln_h(q, lp["q_norm"], lp["q_norm_b"])
+                    k = ln_h(k, lp["k_norm"], lp["k_norm_b"])
+                    return q.astype(x.dtype), k.astype(x.dtype)
                 if cfg.qk_norm_scope == "whole":
                     # olmo2: ONE RMSNorm over the flattened heads*head_dim
                     # vector (weights padded per head at convert; pads are
@@ -1530,6 +1552,9 @@ def run_layers(
             "gelu_exact": lambda z: jax.nn.gelu(z, approximate=False),
             "relu2": lambda z: jnp.square(jax.nn.relu(z)),  # nemotron
             "relu": jax.nn.relu,  # opt
+            # apertus xIELU needs the per-layer alphas — handled inline in
+            # the ungated-MLP branch, never through this table
+            "xielu": lambda z: z,
         }[cfg.act_fn]
 
         def glu_combine(gate, up):
@@ -1711,7 +1736,22 @@ def run_layers(
                 up = proj(h, lp, "w_up")
                 if cfg.proj_bias and "b_up" in lp:
                     up = up + lp["b_up"].astype(up.dtype)
-                a = act_f(up.astype(jnp.float32))
+                if cfg.act_fn == "xielu":
+                    # apertus xIELU (arXiv:2411.13010), learned per-layer
+                    # alphas stored softplus-inverse (XIELUActivation)
+                    upf = up.astype(jnp.float32)
+                    ap = jax.nn.softplus(
+                        lp["xielu_ap"].astype(jnp.float32))
+                    an = 0.5 + jax.nn.softplus(
+                        lp["xielu_an"].astype(jnp.float32))
+                    a = jnp.where(
+                        upf > 0,
+                        ap * upf * upf + 0.5 * upf,
+                        (jnp.expm1(jnp.minimum(upf, -1e-6)) - upf) * an
+                        + 0.5 * upf,
+                    )
+                else:
+                    a = act_f(up.astype(jnp.float32))
                 a = a.astype(x.dtype)
                 if cfg.use_subnorms:
                     a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
