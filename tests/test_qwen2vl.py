@@ -119,3 +119,66 @@ def test_qwen2vl_image_parity(tmp_path):
     got = np.asarray(got)[..., : want.shape[-1]]
     np.testing.assert_allclose(got, want, rtol=6e-3, atol=6e-3)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_qwen3vl_text_parity(tmp_path):
+    """qwen3-vl text model: qwen3 body (per-head qk-norm) + INTERLEAVED
+    M-RoPE — with a real multi-row position grid so the interleaved
+    frequency layout is actually exercised."""
+    cls = getattr(transformers, "Qwen3VLForConditionalGeneration", None)
+    if cls is None:
+        pytest.skip("transformers lacks Qwen3VL")
+    c = transformers.Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [4, 2, 2],
+                          "mrope_interleaved": True},
+        ),
+        vision_config=dict(
+            depth=1, hidden_size=32, num_heads=4, in_channels=3,
+            patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+            out_hidden_size=32, intermediate_size=64,
+            num_position_embeddings=16, deepstack_visual_indexes=[],
+        ),
+        image_token_id=IMG_TOK, vision_start_token_id=VIS_START,
+        video_token_id=V - 3,
+    )
+    torch.manual_seed(91)
+    m = cls(c).float().eval()
+    import test_archs_hf2
+
+    test_archs_hf2._ternarize_model(m)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    cfg = convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    cfg2, params, _ = load_checkpoint(tmp_path / "out")
+    pf = float_twin_params(params, cfg2, dtype=jnp.float32)
+    assert cfg2.qk_norm and cfg2.rope_scaling["mrope_interleaved"]
+
+    rng = np.random.default_rng(15)
+    t = 8
+    toks = rng.integers(0, V - 3, (1, t))
+    # synthetic 3-row positions (as if an image grid sat in the middle)
+    mpos = np.stack([
+        np.arange(t), np.arange(t), np.arange(t)
+    ]).astype(np.int64)
+    mpos[1, 3:6] = 3
+    mpos[2, 3:6] = [3, 4, 5]
+    with torch.no_grad():
+        want = m.model.language_model(
+            input_ids=torch.tensor(toks),
+            position_ids=torch.tensor(mpos)[:, None, :],
+        ).last_hidden_state
+        head = m.lm_head.weight
+        want = (want @ head.T).numpy()
+    got, _ = forward(
+        pf, cfg2, jnp.asarray(toks, jnp.int32),
+        jnp.asarray(mpos.max(0))[None].astype(jnp.int32), None,
+        impl="xla", mrope_pos=jnp.asarray(mpos, jnp.int32)[None],
+    )
+    got = np.asarray(got)[..., : want.shape[-1]]
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

@@ -205,6 +205,15 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
     extra: dict[str, Any] = {}
     if mt in ("qwen2", "qwen2_moe", "qwen2_vl_text", "qwen2_vl"):
         extra.update(qkv_bias=True)
+    if mt in ("qwen3_vl_text", "qwen3_vl", "qwen3_vl_moe_text",
+              "qwen3_vl_moe"):
+        # qwen3-vl text: qwen3 body (per-head qk-norm) with INTERLEAVED
+        # M-RoPE (Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope)
+        extra.update(qk_norm=True)
+        rs = dict(raw.get("rope_scaling") or {})
+        rs.setdefault("mrope_section", [24, 20, 20])
+        rs["mrope_interleaved"] = True
+        raw["rope_scaling"] = rs
     if mt in ("qwen3", "qwen3_moe"):
         extra.update(qk_norm=True)
     if mt.startswith("gemma"):
@@ -1086,7 +1095,7 @@ def convert_hf(
         """Arch-specific HF tensor names -> the llama-style canonical names
         the mapping tables below understand (the analog of the reference's
         per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
-        if mt0 == "qwen2_vl":
+        if mt0 in ("qwen2_vl", "qwen3_vl", "qwen3_vl_moe"):
             name = name.replace("model.language_model.", "model.")
         elif mt0 == "llada":
             name = name.replace("model.transformer.wte.",
@@ -1345,7 +1354,9 @@ def convert_hf(
             vision_raw[name] = np.asarray(w)
             continue
         if name.startswith(("model.visual.", "visual.")):
-            qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
+            if mt0 == "qwen2_vl":
+                qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
+            # qwen3-vl vision (deepstack) unsupported yet: text-only
             continue
         if name.startswith("language_model."):
             name = name[len("language_model."):]

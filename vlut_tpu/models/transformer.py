@@ -962,10 +962,14 @@ def run_layers(
                     [zp[..., 0::2], zp[..., 1::2], z[..., rot:]], axis=-1
                 )
         if mrope_sections and mrope_pos is not None:
-            # qwen2-vl M-RoPE: 3-row positions with per-section freq rows
-            from vlut_tpu.ops.rope import apply_mrope
+            # qwen2-vl (chunked) / qwen3-vl (interleaved) M-RoPE
+            from vlut_tpu.ops.rope import apply_mrope, mrope_row_map
 
-            zr = apply_mrope(z, mrope_pos, cos, sin, mrope_sections)
+            row_map = mrope_row_map(
+                mrope_sections, cos.shape[-1],
+                bool((cfg.rope_scaling or {}).get("mrope_interleaved")),
+            )
+            zr = apply_mrope(z, mrope_pos, cos, sin, row_map)
         elif rot == plan.hd:
             zr = apply_rope(z, pos, cos, sin)
         else:

@@ -124,30 +124,47 @@ def rope_table(
     return cos, sin
 
 
+def mrope_row_map(
+    sections: tuple[int, ...], n_freqs: int, interleaved: bool
+) -> jax.Array:
+    """Per-frequency position-row index (0=T, 1=H, 2=W).
+
+    Chunked (qwen2-vl mrope_section): [T]*s0 + [H]*s1 + [W]*s2, cycled.
+    Interleaved (qwen3-vl): T everywhere, except freq f uses H when
+    f % 3 == 1 and f < 3*s1, W when f % 3 == 2 and f < 3*s2
+    (Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope).
+    Frequencies beyond the mapped range (lane padding) use row 0 — the
+    padded table entries are identity rotations anyway."""
+    import numpy as np
+
+    rows = np.zeros(n_freqs, np.int32)
+    if interleaved:
+        for dim in (1, 2):
+            length = min(sections[dim] * 3, n_freqs)
+            rows[dim : length : 3] = dim
+    else:
+        lo = 0
+        for i, n in enumerate(sections):
+            rows[lo : lo + n] = i % 3
+            lo += n
+    return jnp.asarray(rows)
+
+
 def apply_mrope(
     x: jax.Array,            # (B, T, H, head_dim)
     mrope_pos: jax.Array,    # (B, 3, T) int32 — temporal/height/width rows
     cos: jax.Array,          # (max_len, head_dim // 2)
     sin: jax.Array,
-    sections: tuple[int, ...],  # freq-pair counts per position row,
-    # cycled i % 3 (HF apply_multimodal_rotary_pos_emb; qwen2-vl
-    # mrope_section, summing to head_dim // 2)
+    row_map: jax.Array,      # (head_dim // 2,) int32 from mrope_row_map
 ) -> jax.Array:
     half = x.shape[-1] // 2
-    cs, ss, lo = [], [], 0
-    for i, n in enumerate(sections):
-        p = mrope_pos[:, i % 3]                   # (B, T)
-        cs.append(cos[p][..., lo : lo + n])
-        ss.append(sin[p][..., lo : lo + n])
-        lo += n
-    if lo < cos.shape[-1]:
-        # lane-padded head dims append identity rotations (cos=1/sin=0),
-        # position-independent — gather with any row
-        p = mrope_pos[:, 0]
-        cs.append(cos[p][..., lo:])
-        ss.append(sin[p][..., lo:])
-    c = jnp.concatenate(cs, -1)[..., None, :]     # (B, T, 1, half)
-    s = jnp.concatenate(ss, -1)[..., None, :]
+    # (3, B, T, half) gathered per position row, then per-freq row select
+    cos_all = cos[mrope_pos]                      # (B, 3, T, half)
+    sin_all = sin[mrope_pos]
+    sel = jax.nn.one_hot(row_map, 3, dtype=jnp.float32)  # (half, 3)
+    c = jnp.einsum("brtf,fr->btf", cos_all.astype(jnp.float32), sel)
+    s = jnp.einsum("brtf,fr->btf", sin_all.astype(jnp.float32), sel)
+    c, s = c[..., None, :], s[..., None, :]       # (B, T, 1, half)
     xf = x.astype(jnp.float32)
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
