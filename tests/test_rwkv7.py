@@ -1,0 +1,156 @@
+"""RWKV7 (reference: src/models/rwkv7.cpp + rwkv7-base.cpp graphs,
+ggml_rwkv_wkv7 recurrence in ggml-cpu/ops.cpp).
+
+No HF-transformers implementation exists (HF Rwkv is v4), so verification
+is: (a) the wkv7 lax.scan against a direct numpy transcription of the
+reference kernel's scalar loop, (b) recurrent-state consistency
+(split prefill == one prefill), (c) converter roundtrip from the HF name
+scheme the reference converter registers."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("torch")
+
+from vlut_tpu.convert.checkpoint import load_checkpoint
+from vlut_tpu.convert.rwkv import convert_rwkv7
+from vlut_tpu.models.rwkv import Rwkv7Config, _wkv7_scan, forward, init_state
+
+V, D, L, HS = 64, 32, 2, 8
+H = D // HS
+
+
+def _np_wkv7(r, w, k, v, a, b, S0):
+    """Direct transcription of ggml_compute_forward_rwkv_wkv7_f32's scalar
+    loop (state[i][j]: i = value dim, j = key dim)."""
+    B, T, Hh, hs = r.shape
+    S = S0.copy()
+    out = np.zeros_like(r)
+    for bb in range(B):
+        for t in range(T):
+            for h in range(Hh):
+                for i in range(hs):
+                    sa = float(np.dot(a[bb, t, h], S[bb, h, i]))
+                    S[bb, h, i] = (S[bb, h, i] * w[bb, t, h]
+                                   + v[bb, t, h, i] * k[bb, t, h]
+                                   + sa * b[bb, t, h])
+                    out[bb, t, h, i] = float(np.dot(S[bb, h, i],
+                                                    r[bb, t, h]))
+    return out, S
+
+
+def test_wkv7_scan_matches_reference_loop():
+    rng = np.random.default_rng(20)
+    B, T = 2, 5
+    sh = (B, T, H, HS)
+    r, k, v = (rng.standard_normal(sh).astype(np.float32) * 0.5
+               for _ in range(3))
+    w = rng.uniform(0.6, 0.99, sh).astype(np.float32)
+    kk = rng.standard_normal(sh).astype(np.float32)
+    kk /= np.linalg.norm(kk, axis=-1, keepdims=True)
+    aa = rng.uniform(0, 1, sh).astype(np.float32)
+    S0 = rng.standard_normal((B, H, HS, HS)).astype(np.float32) * 0.1
+    want, S_want = _np_wkv7(r, w, k, v, -kk, kk * aa, S0)
+    got, S_got = _wkv7_scan(*map(jnp.asarray, (r, w, k, v, -kk, kk * aa)),
+                            jnp.asarray(S0))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(S_got), S_want, rtol=2e-5,
+                               atol=2e-5)
+
+
+def _mk_ckpt(tmp_path):
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(21)
+    rk_, rg = 4, 4
+
+    def lin(n_out, n_in, s=0.2):
+        return rng.standard_normal((n_out, n_in)).astype(np.float32) * s
+
+    t = {"model.embeddings.weight": lin(V, D, 0.02).T.T,
+         "model.pre_ln.weight": np.ones(D, np.float32),
+         "model.pre_ln.bias": np.zeros(D, np.float32),
+         "model.ln_out.weight": np.ones(D, np.float32),
+         "model.ln_out.bias": np.zeros(D, np.float32),
+         "head.weight": lin(V, D, 0.1)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        for nm in ("ln1", "ln2"):
+            t[p + nm + ".weight"] = np.abs(
+                rng.standard_normal(D)).astype(np.float32) + 0.5
+            t[p + nm + ".bias"] = rng.standard_normal(
+                D).astype(np.float32) * 0.05
+        for b_ in ("r", "w", "k", "v", "a", "g"):
+            t[p + f"attention.x_{b_}"] = rng.uniform(
+                0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "attention.w0"] = rng.standard_normal(
+            (1, 1, D)).astype(np.float32)
+        t[p + "attention.w1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "attention.w2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "attention.a0"] = rng.standard_normal(
+            (1, 1, D)).astype(np.float32) * 0.5
+        t[p + "attention.a1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "attention.a2"] = lin(rk_, D).reshape(rk_, D)
+        if i > 0:
+            t[p + "attention.v0"] = rng.standard_normal(
+                (1, 1, D)).astype(np.float32) * 0.5
+            t[p + "attention.v1"] = lin(D, rk_).reshape(D, rk_)
+            t[p + "attention.v2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "attention.g1"] = lin(D, rg).reshape(D, rg)
+        t[p + "attention.g2"] = lin(rg, D).reshape(rg, D)
+        t[p + "attention.k_k"] = rng.uniform(
+            0.5, 1.5, (1, 1, D)).astype(np.float32)
+        t[p + "attention.k_a"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "attention.r_k"] = rng.standard_normal(
+            (H, HS)).astype(np.float32) * 0.2
+        t[p + "attention.receptance.weight"] = lin(D, D)
+        t[p + "attention.key.weight"] = lin(D, D)
+        t[p + "attention.value.weight"] = lin(D, D)
+        t[p + "attention.output.weight"] = lin(D, D)
+        t[p + "attention.ln_x.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        t[p + "attention.ln_x.bias"] = rng.standard_normal(
+            D).astype(np.float32) * 0.05
+        t[p + "feed_forward.x_k"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "feed_forward.key.weight"] = lin(2 * D, D)
+        t[p + "feed_forward.value.weight"] = lin(D, 2 * D)
+    (tmp_path / "hf").mkdir()
+    (tmp_path / "hf" / "config.json").write_text(json.dumps({
+        "model_type": "rwkv7", "architectures": ["Rwkv7ForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": L,
+        "head_size": HS, "intermediate_size": 2 * D,
+        "layer_norm_epsilon": 1e-5, "wkv_has_gate": True,
+        "tie_word_embeddings": False,
+    }))
+    save_file({k: np.ascontiguousarray(v) for k, v in t.items()},
+              str(tmp_path / "hf" / "model.safetensors"))
+    cfg = convert_rwkv7(tmp_path / "hf", tmp_path / "out")
+    cfg2, params, _ = load_checkpoint(tmp_path / "out")
+    params = jax.tree.map(jnp.asarray, params)
+    return cfg2, params
+
+
+def test_rwkv7_forward_and_state_carry(tmp_path):
+    cfg, params = _mk_ckpt(tmp_path)
+    assert cfg.head_size == HS and cfg.has_gate
+    rng = np.random.default_rng(22)
+    toks = rng.integers(0, V, (2, 10))
+    full, _ = forward(params, cfg, jnp.asarray(toks, jnp.int32))
+    assert np.isfinite(np.asarray(full)).all()
+    st = init_state(cfg, 2)
+    _, st = forward(params, cfg, jnp.asarray(toks[:, :6], jnp.int32), st)
+    part, _ = forward(params, cfg, jnp.asarray(toks[:, 6:], jnp.int32), st)
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full)[:, 6:], rtol=2e-4, atol=2e-4
+    )
+    # the wkv state must actually matter: zeroed state != carried state
+    fresh, _ = forward(
+        params, cfg, jnp.asarray(toks[:, 6:], jnp.int32), init_state(cfg, 2)
+    )
+    assert np.abs(np.asarray(fresh) - np.asarray(part)).max() > 1e-4

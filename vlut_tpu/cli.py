@@ -183,6 +183,42 @@ def cmd_generate(args):
         print(tok.decode(out))
         print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
         return
+    if type(cfg).__name__ == "Rwkv7Config":
+        # attention-free RNN decode: O(1) state per token
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from vlut_tpu.models.rwkv import forward as rwkv_forward
+        from vlut_tpu.models.rwkv import init_state as rwkv_state
+        from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
+
+        tok = _Tok(args.model)
+        ids = tok.encode(args.prompt)
+        st = rwkv_state(cfg, 1)
+        lg, st = rwkv_forward(params, cfg, jnp.asarray([ids], jnp.int32), st)
+        key = jax.random.PRNGKey(getattr(args, "seed", 0))
+        out = []
+        t0 = _time.time()
+        cur = lg[0, -1, : cfg.vocab_size]
+        for _ in range(args.n_predict):
+            if args.temp > 0:
+                key, sub = jax.random.split(key)
+                nxt = int(jax.random.categorical(sub, cur / args.temp))
+            else:
+                nxt = int(jnp.argmax(cur))
+            out.append(nxt)
+            if nxt == tok.eos_id:
+                break
+            lg, st = rwkv_forward(
+                params, cfg, jnp.asarray([[nxt]], jnp.int32), st
+            )
+            cur = lg[0, -1, : cfg.vocab_size]
+        dt = _time.time() - t0
+        print(tok.decode(out))
+        print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
+        return
     if type(cfg).__name__ == "Mamba2Config":
         # standalone mamba2 LM (codestral-mamba-style): recurrent greedy/
         # sampled decode, O(1) state per token

@@ -101,7 +101,7 @@ def save_checkpoint(
         "model_family": {
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
             "T5Config": "t5", "Mamba2Config": "mamba2",
-            "HybridConfig": "hybrid",
+            "HybridConfig": "hybrid", "Rwkv7Config": "rwkv7",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -143,6 +143,10 @@ def load_checkpoint(
         mc = dict(meta["model_config"])
         mc["time_limit"] = tuple(mc.get("time_limit", (0.0, float("inf"))))
         cfg = Mamba2Config(**mc)
+    elif meta.get("model_family") == "rwkv7":
+        from vlut_tpu.models.rwkv import Rwkv7Config
+
+        cfg = Rwkv7Config(**meta["model_config"])
     elif meta.get("model_family") == "hybrid":
         from vlut_tpu.models.hybrid import HybridConfig
 

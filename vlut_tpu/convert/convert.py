@@ -1021,6 +1021,10 @@ def convert_hf(
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") == "mamba2":
         return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
+    if raw0.get("model_type") in ("rwkv7", "rwkv070"):
+        from vlut_tpu.convert.rwkv import convert_rwkv7
+
+        return convert_rwkv7(hf_dir, out_dir)
     if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
                                   "lfm2", "qwen3_next", "nemotron_h"):
         from vlut_tpu.convert.hybrid import convert_hybrid

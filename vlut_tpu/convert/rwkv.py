@@ -1,0 +1,170 @@
+"""HF RWKV7 checkpoints -> vlut_tpu rwkv7 format.
+
+Name scheme per the reference's Rwkv7Model converter registration
+(convert_hf_to_gguf.py @register Rwkv7ForCausalLM/RWKV7ForCausalLM) and
+gguf-py tensor_mapping rwkv7 rows: model.embeddings / model.pre_ln /
+model.ln_out / head, per-layer ln1/ln2, attention.{x_*, w0..2, a0..2,
+v0..2, g1..2, k_k, k_a, r_k, receptance|r_proj, key|k_proj, value|v_proj,
+output|o_proj, ln_x}, feed_forward.{x_k, key, value}.  The fla-hub lora
+naming (*_lora.lora.{0,2}) maps onto the same slots.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import re
+from typing import Any
+
+import numpy as np
+
+from vlut_tpu.convert.checkpoint import save_checkpoint
+from vlut_tpu.models.rwkv import Rwkv7Config
+
+log = logging.getLogger("vlut_tpu.convert.rwkv")
+
+
+def convert_rwkv7(
+    hf_dir: str | pathlib.Path, out_dir: str | pathlib.Path
+) -> Rwkv7Config:
+    from safetensors import safe_open
+
+    hf_dir = pathlib.Path(hf_dir)
+    raw = json.loads((hf_dir / "config.json").read_text())
+    D = raw["hidden_size"]
+    cfg = Rwkv7Config(
+        vocab_size=raw["vocab_size"],
+        d_model=D,
+        n_layers=raw.get("num_hidden_layers", raw.get("n_layer")),
+        head_size=raw.get("head_size", raw.get("head_dim", 64)),
+        d_ff=raw.get("intermediate_size") or 4 * D,
+        ln_eps=raw.get("layer_norm_epsilon", raw.get("norm_eps", 1e-5)),
+        has_gate=raw.get("wkv_has_gate", True),
+        tie_embeddings=raw.get("tie_word_embeddings", False),
+    )
+    L = cfg.n_layers
+    top: dict[str, Any] = {}
+    per: dict[str, dict[int, np.ndarray]] = {}
+
+    def put(pname: str, li: int, v: np.ndarray):
+        per.setdefault(pname, {})[li] = v
+
+    def lora_pair(base: str, li: int, sub: str, w: np.ndarray):
+        """w1/w2-style pairs: orient by shape so x @ m1 @ m2 works
+        (m1 (D, rank), m2 (rank, D)); 0-suffix = the bias vector."""
+        which = sub[-1]
+        if which == "0":
+            put(base + "0", li, w.reshape(-1))
+            return
+        w = np.asarray(w, np.float32)
+        if which == "1":
+            put(base + "1", li, w if w.shape[0] == D else w.T)
+        else:
+            put(base + "2", li, w if w.shape[1] == D else w.T)
+
+    lre = re.compile(r"model\.layers\.(\d+)\.(.+)$")
+    files = sorted(hf_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {hf_dir}")
+    for f in files:
+        with safe_open(str(f), framework="numpy") as sf:
+            for name in sf.keys():
+                w = np.asarray(sf.get_tensor(name), np.float32)
+                # fla-hub lora module naming -> flat 0/1/2 slots
+                name = name.replace("_lora.lora.0.weight", "1")
+                name = name.replace("_lora.lora.2.weight", "2")
+                name = name.replace("_lora.lora.2.bias", "0")
+                if name == "model.embeddings.weight":
+                    top["embed"] = w
+                    continue
+                if name in ("model.pre_ln.weight",
+                            "model.layers.0.pre_norm.weight"):
+                    top["pre_ln_w"] = w
+                    continue
+                if name in ("model.pre_ln.bias",
+                            "model.layers.0.pre_norm.bias"):
+                    top["pre_ln_b"] = w
+                    continue
+                if name == "model.ln_out.weight":
+                    top["final_norm"] = w
+                    continue
+                if name == "model.ln_out.bias":
+                    top["final_norm_b"] = w
+                    continue
+                if name in ("head.weight", "lm_head.weight"):
+                    top["lm_head"] = w.T
+                    continue
+                m = lre.match(name)
+                if not m:
+                    log.warning("skipping unrecognized tensor %s", name)
+                    continue
+                li, sub = int(m.group(1)), m.group(2)
+                sub = sub.replace("self_attn.", "attention.")
+                sub = sub.replace("attn.", "attention.")
+                sub = sub.replace("time_mixer.", "attention.")
+                sub = sub.replace("ffn.", "feed_forward.")
+                if sub == "ln1.weight":
+                    put("ln1_w", li, w)
+                elif sub == "ln1.bias":
+                    put("ln1_b", li, w)
+                elif sub == "ln2.weight":
+                    put("ln2_w", li, w)
+                elif sub == "ln2.bias":
+                    put("ln2_b", li, w)
+                elif sub.startswith("attention.x_"):
+                    put("lerp_" + sub[len("attention.x_"):],
+                        li, w.reshape(-1))
+                elif re.fullmatch(r"attention\.[wav]\d(\.weight)?", sub):
+                    base = sub.split(".")[1][0]
+                    lora_pair(base, li, sub.split(".")[1], w)
+                elif re.fullmatch(r"attention\.g[12](\.weight)?", sub):
+                    lora_pair("g", li, sub.split(".")[1], w)
+                elif sub in ("attention.k_k", "attention.k_a"):
+                    put(sub.split(".")[1], li, w.reshape(-1))
+                elif sub == "attention.r_k":
+                    put("r_k", li, w.reshape(-1))
+                elif sub in ("attention.receptance.weight",
+                             "attention.r_proj.weight"):
+                    put("wr", li, w.T)
+                elif sub in ("attention.key.weight",
+                             "attention.k_proj.weight"):
+                    put("wk", li, w.T)
+                elif sub in ("attention.value.weight",
+                             "attention.v_proj.weight"):
+                    put("wv", li, w.T)
+                elif sub in ("attention.output.weight",
+                             "attention.o_proj.weight"):
+                    put("wo", li, w.T)
+                elif sub in ("attention.ln_x.weight",
+                             "attention.g_norm.weight"):
+                    put("ln_x_w", li, w)
+                elif sub in ("attention.ln_x.bias",
+                             "attention.g_norm.bias"):
+                    put("ln_x_b", li, w)
+                elif sub == "feed_forward.x_k":
+                    put("cm_lerp_k", li, w.reshape(-1))
+                elif sub == "feed_forward.key.weight":
+                    put("cm_key", li, w.T)
+                elif sub == "feed_forward.value.weight":
+                    put("cm_value", li, w.T)
+                else:
+                    log.warning("skipping rwkv7 layer tensor %s", name)
+
+    # layer 0 may ship dummy/absent v0/v1/v2 (its v IS v_first) — fill
+    # zeros so the stacked tree stays homogeneous; forward never reads them
+    for nm, like in (("v0", "a0"), ("v1", "a1"), ("v2", "a2")):
+        by = per.setdefault(nm, {})
+        if 0 not in by and 0 in per.get(like, {}):
+            by[0] = np.zeros_like(per[like][0])
+
+    layers: dict[str, np.ndarray] = {}
+    for pname, by in per.items():
+        missing = [i for i in range(L) if i not in by]
+        if missing:
+            raise ValueError(f"missing layers {missing} for {pname}")
+        layers[pname] = np.stack([by[i] for i in range(L)])
+    params = {**top, "layers": layers}
+    save_checkpoint(out_dir, cfg, params, tokenizer_src=hf_dir,
+                    extra_meta={"source": str(hf_dir)})
+    return cfg
