@@ -154,3 +154,86 @@ def test_rwkv7_forward_and_state_carry(tmp_path):
         params, cfg, jnp.asarray(toks[:, 6:], jnp.int32), init_state(cfg, 2)
     )
     assert np.abs(np.asarray(fresh) - np.asarray(part)).max() > 1e-4
+
+
+def test_arwkv7_forward_and_state_carry(tmp_path):
+    """arwkv7 (reference src/models/arwkv7.cpp): rwkv7 time mix inside a
+    qwen-style body — RMS norms, SwiGLU FFN, no embedding pre-LN."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(23)
+    rk_ = 4
+
+    def lin(n_out, n_in, s=0.2):
+        return rng.standard_normal((n_out, n_in)).astype(np.float32) * s
+
+    t = {"model.embed_tokens.weight": lin(V, D, 0.02),
+         "model.norm.weight": np.ones(D, np.float32),
+         "lm_head.weight": lin(V, D, 0.1)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        t[p + "post_attention_layernorm.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        for b_ in ("r", "w", "k", "v", "a", "g"):
+            t[p + f"self_attn.x_{b_}"] = rng.uniform(
+                0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "self_attn.w0"] = rng.standard_normal(
+            (1, 1, D)).astype(np.float32)
+        t[p + "self_attn.w1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "self_attn.w2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "self_attn.a0"] = rng.standard_normal(
+            (1, 1, D)).astype(np.float32) * 0.5
+        t[p + "self_attn.a1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "self_attn.a2"] = lin(rk_, D).reshape(rk_, D)
+        if i > 0:
+            t[p + "self_attn.v0"] = rng.standard_normal(
+                (1, 1, D)).astype(np.float32) * 0.5
+            t[p + "self_attn.v1"] = lin(D, rk_).reshape(D, rk_)
+            t[p + "self_attn.v2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "self_attn.g1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "self_attn.g2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "self_attn.k_k"] = rng.uniform(
+            0.5, 1.5, (1, 1, D)).astype(np.float32)
+        t[p + "self_attn.k_a"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "self_attn.r_k"] = rng.standard_normal(
+            (H, HS)).astype(np.float32) * 0.2
+        t[p + "self_attn.receptance.weight"] = lin(D, D)
+        t[p + "self_attn.key.weight"] = lin(D, D)
+        t[p + "self_attn.value.weight"] = lin(D, D)
+        t[p + "self_attn.output.weight"] = lin(D, D)
+        t[p + "self_attn.ln_x.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        t[p + "self_attn.ln_x.bias"] = rng.standard_normal(
+            D).astype(np.float32) * 0.05
+        t[p + "mlp.gate_proj.weight"] = lin(2 * D, D)
+        t[p + "mlp.up_proj.weight"] = lin(2 * D, D)
+        t[p + "mlp.down_proj.weight"] = lin(D, 2 * D)
+    (tmp_path / "hf").mkdir()
+    (tmp_path / "hf" / "config.json").write_text(json.dumps({
+        "model_type": "rwkv_hybrid",
+        "architectures": ["RwkvHybridForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": L,
+        "head_size": HS, "intermediate_size": 2 * D,
+        "rms_norm_eps": 1e-6, "wkv_has_gate": True, "wkv_version": 7,
+        "tie_word_embeddings": False,
+    }))
+    save_file({k: np.ascontiguousarray(v) for k, v in t.items()},
+              str(tmp_path / "hf" / "model.safetensors"))
+    from vlut_tpu.convert.convert import convert_hf
+
+    cfg = convert_hf(tmp_path / "hf", tmp_path / "out")
+    assert cfg.arch == "arwkv7"
+    cfg2, params, _ = load_checkpoint(tmp_path / "out")
+    params = jax.tree.map(jnp.asarray, params)
+    toks = rng.integers(0, V, (1, 9))
+    full, _ = forward(params, cfg2, jnp.asarray(toks, jnp.int32))
+    assert np.isfinite(np.asarray(full)).all()
+    st = init_state(cfg2, 1)
+    _, st = forward(params, cfg2, jnp.asarray(toks[:, :5], jnp.int32), st)
+    part, _ = forward(params, cfg2, jnp.asarray(toks[:, 5:], jnp.int32), st)
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full)[:, 5:], rtol=2e-4, atol=2e-4
+    )

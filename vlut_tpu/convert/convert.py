@@ -1021,7 +1021,7 @@ def convert_hf(
         return convert_mamba(hf_dir, out_dir, dtype_hp=dtype_hp)
     if raw0.get("model_type") == "mamba2":
         return convert_mamba2(hf_dir, out_dir, dtype_hp=dtype_hp)
-    if raw0.get("model_type") in ("rwkv7", "rwkv070"):
+    if raw0.get("model_type") in ("rwkv7", "rwkv070", "rwkv_hybrid"):
         from vlut_tpu.convert.rwkv import convert_rwkv7
 
         return convert_rwkv7(hf_dir, out_dir)

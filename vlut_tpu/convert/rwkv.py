@@ -33,14 +33,17 @@ def convert_rwkv7(
     hf_dir = pathlib.Path(hf_dir)
     raw = json.loads((hf_dir / "config.json").read_text())
     D = raw["hidden_size"]
+    arwkv = raw.get("model_type") == "rwkv_hybrid"  # ARWKV-7 (qwen body)
     cfg = Rwkv7Config(
         vocab_size=raw["vocab_size"],
         d_model=D,
         n_layers=raw.get("num_hidden_layers", raw.get("n_layer")),
         head_size=raw.get("head_size", raw.get("head_dim", 64)),
         d_ff=raw.get("intermediate_size") or 4 * D,
-        ln_eps=raw.get("layer_norm_epsilon", raw.get("norm_eps", 1e-5)),
+        ln_eps=(raw.get("rms_norm_eps", 1e-6) if arwkv else
+                raw.get("layer_norm_epsilon", raw.get("norm_eps", 1e-5))),
         has_gate=raw.get("wkv_has_gate", True),
+        arch="arwkv7" if arwkv else "rwkv7",
         tie_embeddings=raw.get("tie_word_embeddings", False),
     )
     L = cfg.n_layers
@@ -75,6 +78,12 @@ def convert_rwkv7(
                 name = name.replace("_lora.lora.0.weight", "1")
                 name = name.replace("_lora.lora.2.weight", "2")
                 name = name.replace("_lora.lora.2.bias", "0")
+                if name == "model.embed_tokens.weight":  # arwkv7
+                    top["embed"] = w
+                    continue
+                if name == "model.norm.weight":           # arwkv7 final
+                    top["final_norm"] = w
+                    continue
                 if name == "model.embeddings.weight":
                     top["embed"] = w
                     continue
@@ -104,6 +113,8 @@ def convert_rwkv7(
                 sub = sub.replace("attn.", "attention.")
                 sub = sub.replace("time_mixer.", "attention.")
                 sub = sub.replace("ffn.", "feed_forward.")
+                sub = sub.replace("input_layernorm.", "ln1.")
+                sub = sub.replace("post_attention_layernorm.", "ln2.")
                 if sub == "ln1.weight":
                     put("ln1_w", li, w)
                 elif sub == "ln1.bias":
@@ -142,6 +153,15 @@ def convert_rwkv7(
                 elif sub in ("attention.ln_x.bias",
                              "attention.g_norm.bias"):
                     put("ln_x_b", li, w)
+                elif sub in ("mlp.gate_proj.weight",
+                             "feed_forward.gate_proj.weight"):
+                    put("w_gate", li, w.T)
+                elif sub in ("mlp.up_proj.weight",
+                             "feed_forward.up_proj.weight"):
+                    put("w_up", li, w.T)
+                elif sub in ("mlp.down_proj.weight",
+                             "feed_forward.down_proj.weight"):
+                    put("w_down", li, w.T)
                 elif sub == "feed_forward.x_k":
                     put("cm_lerp_k", li, w.reshape(-1))
                 elif sub == "feed_forward.key.weight":

@@ -51,6 +51,9 @@ class Rwkv7Config:
     d_ff: int = 0               # channel-mix width (default 4*d)
     ln_eps: float = 1e-5
     has_gate: bool = True
+    arch: str = "rwkv7"         # "rwkv7" | "arwkv7" (RMS norms, no
+    # embedding pre-LN, SwiGLU FFN instead of channel mix, single
+    # token-shift — reference src/models/arwkv7.cpp)
     max_seq_len: int = 1 << 20  # RWKV is not context-limited
     tie_embeddings: bool = False
 
@@ -69,6 +72,14 @@ def _ln(x, w, b, eps):
     xc = xf - mu
     v = (xc * xc).mean(-1, keepdims=True)
     return xc * jax.lax.rsqrt(v + eps) * w + b
+
+
+def _norm(cfg, x, w, b, eps):
+    if cfg.arch == "arwkv7":
+        xf = x.astype(jnp.float32)
+        v = (xf * xf).mean(-1, keepdims=True)
+        return xf * jax.lax.rsqrt(v + eps) * w
+    return _ln(x, w, b, eps)
 
 
 def init_state(cfg: Rwkv7Config, batch: int) -> dict[str, jax.Array]:
@@ -163,13 +174,14 @@ def forward(
     carry = state is not None
     st = state or init_state(cfg, b)
     x = params["embed"][tokens].astype(jnp.float32)
-    x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.ln_eps)
+    if cfg.arch == "rwkv7":
+        x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.ln_eps)
 
     new_sa, new_sf, new_wkv = [], [], []
     v_first = None
     for i in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[i], params["layers"])
-        h = _ln(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        h = _norm(cfg, x, lp["ln1_w"], lp.get("ln1_b"), cfg.ln_eps)
         x_prev = jnp.concatenate(
             [st["shift_att"][i][:, None], h[:, :-1]], axis=1
         )
@@ -179,18 +191,26 @@ def forward(
         )
         new_wkv.append(S)
         x = x + mix
-        h = _ln(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        x_prev = jnp.concatenate(
-            [st["shift_ffn"][i][:, None], h[:, :-1]], axis=1
-        )
-        new_sf.append(h[:, -1])
-        xk = h.astype(jnp.float32) + (
-            x_prev - h.astype(jnp.float32)
-        ) * lp["cm_lerp_k"]
-        ck = jnp.square(jax.nn.relu(xk @ lp["cm_key"]))
-        x = x + ck @ lp["cm_value"]
+        h = _norm(cfg, x, lp["ln2_w"], lp.get("ln2_b"), cfg.ln_eps)
+        if cfg.arch == "arwkv7":
+            # qwen-style gated SwiGLU FFN, no second token shift
+            new_sf.append(h[:, -1])
+            gate = h @ lp["w_gate"]
+            up = h @ lp["w_up"]
+            x = x + (jax.nn.silu(gate) * up) @ lp["w_down"]
+        else:
+            x_prev = jnp.concatenate(
+                [st["shift_ffn"][i][:, None], h[:, :-1]], axis=1
+            )
+            new_sf.append(h[:, -1])
+            xk = h.astype(jnp.float32) + (
+                x_prev - h.astype(jnp.float32)
+            ) * lp["cm_lerp_k"]
+            ck = jnp.square(jax.nn.relu(xk @ lp["cm_key"]))
+            x = x + ck @ lp["cm_value"]
 
-    x = _ln(x, params["final_norm"], params["final_norm_b"], cfg.ln_eps)
+    x = _norm(cfg, x, params["final_norm"], params.get("final_norm_b"),
+              cfg.ln_eps)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T.astype(jnp.float32)
