@@ -237,3 +237,144 @@ def test_arwkv7_forward_and_state_carry(tmp_path):
     np.testing.assert_allclose(
         np.asarray(part), np.asarray(full)[:, 5:], rtol=2e-4, atol=2e-4
     )
+
+
+# --- RWKV6 -------------------------------------------------------------------
+
+from vlut_tpu.models.rwkv import (  # noqa: E402
+    Rwkv6Config,
+    _gla_scan,
+    _wkv6_scan,
+    forward6,
+    init_state6,
+)
+
+
+def _np_wkv6(r, w, k, v, u, S0):
+    """Transcription of ggml_compute_forward_rwkv_wkv6_f32 (state row i =
+    key dim, col j = value dim)."""
+    B, T, Hh, hs = r.shape
+    S = S0.copy()
+    out = np.zeros_like(r)
+    for bb in range(B):
+        for t in range(T):
+            for h in range(Hh):
+                for i in range(hs):
+                    kv = v[bb, t, h] * k[bb, t, h, i]
+                    out[bb, t, h] += (kv * u[h, i] + S[bb, h, i]) * r[
+                        bb, t, h, i]
+                    S[bb, h, i] = S[bb, h, i] * w[bb, t, h, i] + kv
+    return out, S
+
+
+def test_wkv6_scan_matches_reference_loop():
+    rng = np.random.default_rng(30)
+    B, T = 2, 5
+    sh = (B, T, H, HS)
+    r, k, v = (rng.standard_normal(sh).astype(np.float32) * 0.5
+               for _ in range(3))
+    w = rng.uniform(0.5, 0.99, sh).astype(np.float32)
+    u = rng.standard_normal((H, HS)).astype(np.float32) * 0.3
+    S0 = rng.standard_normal((B, H, HS, HS)).astype(np.float32) * 0.1
+    want, S_want = _np_wkv6(r, w, k, v, u, S0)
+    got, S_got = _wkv6_scan(
+        jnp.asarray(r), jnp.asarray(w), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(u), jnp.asarray(S0),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(S_got), S_want, rtol=2e-5,
+                               atol=2e-5)
+    # GLA (rwkv6qwen2): out reads the UPDATED state, u-free, scaled
+    got_g, _ = _gla_scan(
+        jnp.asarray(r), jnp.asarray(w), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(S0), HS ** -0.5,
+    )
+    S2 = S0.copy()
+    want_g = np.zeros_like(r)
+    for bb in range(B):
+        for t in range(T):
+            for h in range(H):
+                for i in range(HS):
+                    S2[bb, h, i] = (S2[bb, h, i] * w[bb, t, h, i]
+                                    + v[bb, t, h] * k[bb, t, h, i])
+                    want_g[bb, t, h] += (S2[bb, h, i]
+                                         * r[bb, t, h, i] * HS ** -0.5)
+    np.testing.assert_allclose(np.asarray(got_g), want_g, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_rwkv6_forward_and_state_carry(tmp_path):
+    """Classic RWKV6 (rwkv.blocks.* naming): ddlerp 5-branch token shift,
+    data-dependent decay, time_faaaa bonus, gated channel mix."""
+    from safetensors.numpy import save_file
+
+    from vlut_tpu.convert.rwkv import convert_rwkv6
+
+    rng = np.random.default_rng(31)
+    rk_ = 4
+
+    def lin(n_out, n_in, s=0.2):
+        return rng.standard_normal((n_out, n_in)).astype(np.float32) * s
+
+    t = {"rwkv.embeddings.weight": lin(V, D, 0.02),
+         "rwkv.blocks.0.pre_ln.weight": np.ones(D, np.float32),
+         "rwkv.blocks.0.pre_ln.bias": np.zeros(D, np.float32),
+         "rwkv.ln_out.weight": np.ones(D, np.float32),
+         "rwkv.ln_out.bias": np.zeros(D, np.float32),
+         "head.weight": lin(V, D, 0.1)}
+    for i in range(L):
+        p = f"rwkv.blocks.{i}."
+        for nm in ("ln1", "ln2"):
+            t[p + nm + ".weight"] = np.abs(
+                rng.standard_normal(D)).astype(np.float32) + 0.5
+            t[p + nm + ".bias"] = rng.standard_normal(
+                D).astype(np.float32) * 0.05
+        t[p + "attention.time_maa_x"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        for b_ in "wkvrg":
+            t[p + f"attention.time_maa_{b_}"] = rng.uniform(
+                0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "attention.time_maa_w1"] = lin(D, 5 * rk_).reshape(D, 5 * rk_)
+        t[p + "attention.time_maa_w2"] = rng.standard_normal(
+            (5, rk_, D)).astype(np.float32) * 0.2
+        t[p + "attention.time_decay"] = rng.standard_normal(
+            (1, 1, D)).astype(np.float32)
+        t[p + "attention.time_decay_w1"] = lin(D, rk_).reshape(D, rk_)
+        t[p + "attention.time_decay_w2"] = lin(rk_, D).reshape(rk_, D)
+        t[p + "attention.time_faaaa"] = rng.standard_normal(
+            (H, HS)).astype(np.float32) * 0.3
+        for nm in ("receptance", "key", "value", "gate", "output"):
+            t[p + f"attention.{nm}.weight"] = lin(D, D)
+        t[p + "attention.ln_x.weight"] = np.abs(
+            rng.standard_normal(D)).astype(np.float32) + 0.5
+        t[p + "attention.ln_x.bias"] = rng.standard_normal(
+            D).astype(np.float32) * 0.05
+        t[p + "feed_forward.time_maa_k"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "feed_forward.time_maa_r"] = rng.uniform(
+            0, 1, (1, 1, D)).astype(np.float32)
+        t[p + "feed_forward.key.weight"] = lin(2 * D, D)
+        t[p + "feed_forward.receptance.weight"] = lin(D, D)
+        t[p + "feed_forward.value.weight"] = lin(D, 2 * D)
+    (tmp_path / "hf").mkdir()
+    (tmp_path / "hf" / "config.json").write_text(json.dumps({
+        "model_type": "rwkv6", "architectures": ["Rwkv6ForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": L,
+        "head_size": HS, "intermediate_size": 2 * D,
+        "layer_norm_epsilon": 1e-5, "tie_word_embeddings": False,
+    }))
+    save_file({k: np.ascontiguousarray(v) for k, v in t.items()},
+              str(tmp_path / "hf" / "model.safetensors"))
+    cfg = convert_rwkv6(tmp_path / "hf", tmp_path / "out")
+    assert cfg.arch == "rwkv6"
+    cfg2, params, _ = load_checkpoint(tmp_path / "out")
+    params = jax.tree.map(jnp.asarray, params)
+    toks = rng.integers(0, V, (2, 10))
+    full, _ = forward6(params, cfg2, jnp.asarray(toks, jnp.int32))
+    assert np.isfinite(np.asarray(full)).all()
+    st = init_state6(cfg2, 2)
+    _, st = forward6(params, cfg2, jnp.asarray(toks[:, :6], jnp.int32), st)
+    part, _ = forward6(params, cfg2, jnp.asarray(toks[:, 6:], jnp.int32), st)
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full)[:, 6:], rtol=2e-4, atol=2e-4
+    )

@@ -183,15 +183,19 @@ def cmd_generate(args):
         print(tok.decode(out))
         print(f"\n[{len(out)} tokens, {len(out) / max(dt, 1e-9):.1f} tok/s]")
         return
-    if type(cfg).__name__ == "Rwkv7Config":
+    if type(cfg).__name__ in ("Rwkv7Config", "Rwkv6Config"):
         # attention-free RNN decode: O(1) state per token
         import time as _time
 
         import jax
         import jax.numpy as jnp
 
-        from vlut_tpu.models.rwkv import forward as rwkv_forward
-        from vlut_tpu.models.rwkv import init_state as rwkv_state
+        if type(cfg).__name__ == "Rwkv6Config":
+            from vlut_tpu.models.rwkv import forward6 as rwkv_forward
+            from vlut_tpu.models.rwkv import init_state6 as rwkv_state
+        else:
+            from vlut_tpu.models.rwkv import forward as rwkv_forward
+            from vlut_tpu.models.rwkv import init_state as rwkv_state
         from vlut_tpu.utils.tokenizer import Tokenizer as _Tok
 
         tok = _Tok(args.model)

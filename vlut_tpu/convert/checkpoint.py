@@ -102,6 +102,7 @@ def save_checkpoint(
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
             "T5Config": "t5", "Mamba2Config": "mamba2",
             "HybridConfig": "hybrid", "Rwkv7Config": "rwkv7",
+            "Rwkv6Config": "rwkv6",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -147,6 +148,10 @@ def load_checkpoint(
         from vlut_tpu.models.rwkv import Rwkv7Config
 
         cfg = Rwkv7Config(**meta["model_config"])
+    elif meta.get("model_family") == "rwkv6":
+        from vlut_tpu.models.rwkv import Rwkv6Config
+
+        cfg = Rwkv6Config(**meta["model_config"])
     elif meta.get("model_family") == "hybrid":
         from vlut_tpu.models.hybrid import HybridConfig
 

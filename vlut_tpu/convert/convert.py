@@ -1025,6 +1025,10 @@ def convert_hf(
         from vlut_tpu.convert.rwkv import convert_rwkv7
 
         return convert_rwkv7(hf_dir, out_dir)
+    if raw0.get("model_type") in ("rwkv6", "rwkv6qwen2"):
+        from vlut_tpu.convert.rwkv import convert_rwkv6
+
+        return convert_rwkv6(hf_dir, out_dir)
     if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
                                   "lfm2", "qwen3_next", "nemotron_h"):
         from vlut_tpu.convert.hybrid import convert_hybrid

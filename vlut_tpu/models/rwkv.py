@@ -223,3 +223,190 @@ def forward(
             "wkv": jnp.stack(new_wkv),
         }
     return logits, new_state
+
+
+# --- RWKV6 -------------------------------------------------------------------
+#
+# Reference: src/models/rwkv6.cpp + rwkv6-base.cpp (graph),
+# ggml_compute_forward_rwkv_wkv6_f32 and ggml_compute_forward_gla_f32
+# (kernels).  rwkv6qwen2 ("qrwkv") = the same time mix inside a qwen2 body:
+# no time_first bonus, sigmoid gate, GQA k/v repeat, k *= (1-w), gated
+# linear attention with a 1/sqrt(hs) scale, no group norm.
+
+
+@dataclasses.dataclass(frozen=True)
+class Rwkv6Config:
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    head_size: int = 64
+    d_ff: int = 0
+    ln_eps: float = 1e-5
+    arch: str = "rwkv6"          # "rwkv6" | "rwkv6qwen2"
+    n_kv_heads: int = 0          # qrwkv GQA (0 = all heads)
+    proj_bias: bool = False      # qrwkv r/k/v biases
+    max_seq_len: int = 1 << 20
+    tie_embeddings: bool = False
+
+    @property
+    def n_heads(self) -> int:
+        return self.d_model // self.head_size
+
+
+def init_state6(cfg: Rwkv6Config, batch: int) -> dict[str, jax.Array]:
+    L, D, H, hs = cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.head_size
+    return {
+        "shift_att": jnp.zeros((L, batch, D), jnp.float32),
+        "shift_ffn": jnp.zeros((L, batch, D), jnp.float32),
+        "wkv": jnp.zeros((L, batch, H, hs, hs), jnp.float32),
+    }
+
+
+def _wkv6_scan(r, w, k, v, u, S0):
+    """wkv6: out_j = sum_i r_i (S[i,j] + u_i k_i v_j); S = w_i S + k_i v_j
+    (state row i = key dim, col j = value dim — the reference kernel's
+    layout).  u is per (H, hs)."""
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w, k, v))
+
+    def step(S, x):
+        r_t, w_t, k_t, v_t = x  # (B, H, hs)
+        kv = k_t[..., :, None] * v_t[..., None, :]       # (B, H, i, j)
+        out = jnp.einsum(
+            "bhij,bhi->bhj", S + u[None, :, :, None] * kv, r_t
+        )
+        S = S * w_t[..., :, None] + kv
+        return S, out
+
+    S, outs = jax.lax.scan(step, S0, xs)
+    return jnp.moveaxis(outs, 0, 1), S
+
+
+def _gla_scan(q, g, k, v, S0, scale):
+    """gated linear attention (qrwkv6): S = g_i S + k_i v_j, out uses the
+    UPDATED state: out_j = sum_i scale q_i S[i,j]."""
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (q, g, k, v))
+
+    def step(S, x):
+        q_t, g_t, k_t, v_t = x
+        S = S * g_t[..., :, None] + k_t[..., :, None] * v_t[..., None, :]
+        out = jnp.einsum("bhij,bhi->bhj", S, q_t * scale)
+        return S, out
+
+    S, outs = jax.lax.scan(step, S0, xs)
+    return jnp.moveaxis(outs, 0, 1), S
+
+
+def _time_mix6(cfg: Rwkv6Config, lp, x, x_prev, wkv0):
+    b, t, D = x.shape
+    H, hs = cfg.n_heads, cfg.head_size
+    qr = cfg.arch == "rwkv6qwen2"
+    xf = x.astype(jnp.float32)
+    sx = x_prev - xf
+    # ddlerp: 5 data-dependent deltas from one tanh bottleneck
+    xxx = xf + sx * lp["maa_x"]
+    m = jnp.tanh(xxx @ lp["maa_w1"]).reshape(b, t, 5, -1)
+    m = jnp.einsum("btfr,frd->btfd", m, lp["maa_w2"])  # (B, T, 5, D)
+    names = ("w", "k", "v", "r", "g")
+    xs = {
+        nm: xf + sx * (m[:, :, i] + lp["maa_" + nm])
+        for i, nm in enumerate(names)
+    }
+    r = xs["r"] @ lp["wr"]
+    k = xs["k"] @ lp["wk"]
+    v = xs["v"] @ lp["wv"]
+    if cfg.proj_bias:
+        r = r + lp["br"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    g = xs["g"] @ lp["wg"]
+    g = jax.nn.sigmoid(g) if qr else jax.nn.silu(g)
+    if cfg.n_kv_heads and cfg.n_kv_heads != H:
+        rep = H // cfg.n_kv_heads
+        k = jnp.repeat(k.reshape(b, t, cfg.n_kv_heads, hs), rep, axis=2)
+        v = jnp.repeat(v.reshape(b, t, cfg.n_kv_heads, hs), rep, axis=2)
+        k = k.reshape(b, t, D)
+        v = v.reshape(b, t, D)
+    w = jnp.exp(-jnp.exp(
+        lp["decay"] + jnp.tanh(xs["w"] @ lp["td_w1"]) @ lp["td_w2"]
+    ))
+    if qr:
+        k = k * (1.0 - w)
+    rh, wh = r.reshape(b, t, H, hs), w.reshape(b, t, H, hs)
+    kh, vh = k.reshape(b, t, H, hs), v.reshape(b, t, H, hs)
+    if qr:
+        out, S = _gla_scan(rh, wh, kh, vh, wkv0, hs ** -0.5)
+    else:
+        out, S = _wkv6_scan(rh, wh, kh, vh,
+                            lp["u"].reshape(H, hs), wkv0)
+    out = out.reshape(b, t, H, hs)
+    if not qr:
+        mu = out.mean(-1, keepdims=True)
+        oc = out - mu
+        var = (oc * oc).mean(-1, keepdims=True)
+        out = oc * jax.lax.rsqrt(var + 64e-5)
+        out = out.reshape(b, t, D) * lp["ln_x_w"] + lp["ln_x_b"]
+    else:
+        out = out.reshape(b, t, D)
+    return (out * g) @ lp["wo"], S
+
+
+def forward6(
+    params: dict[str, Any],
+    cfg: Rwkv6Config,
+    tokens: jax.Array,
+    state: dict[str, jax.Array] | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array] | None]:
+    b, t = tokens.shape
+    carry = state is not None
+    st = state or init_state6(cfg, b)
+    qr = cfg.arch == "rwkv6qwen2"
+    x = params["embed"][tokens].astype(jnp.float32)
+    if not qr:
+        x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.ln_eps)
+
+    def norm(z, w_, b_):
+        if qr:
+            v_ = (z * z).mean(-1, keepdims=True)
+            return z * jax.lax.rsqrt(v_ + cfg.ln_eps) * w_
+        return _ln(z, w_, b_, cfg.ln_eps)
+
+    new_sa, new_sf, new_wkv = [], [], []
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        h = norm(x, lp["ln1_w"], lp.get("ln1_b"))
+        x_prev = jnp.concatenate(
+            [st["shift_att"][i][:, None], h[:, :-1]], axis=1
+        )
+        new_sa.append(h[:, -1])
+        mix, S = _time_mix6(cfg, lp, h, x_prev, st["wkv"][i])
+        new_wkv.append(S)
+        x = x + mix
+        h = norm(x, lp["ln2_w"], lp.get("ln2_b"))
+        new_sf.append(h[:, -1])
+        if qr:
+            gate = h @ lp["w_gate"]
+            up = h @ lp["w_up"]
+            x = x + (jax.nn.silu(gate) * up) @ lp["w_down"]
+        else:
+            x_prev = jnp.concatenate(
+                [st["shift_ffn"][i][:, None], h[:, :-1]], axis=1
+            )
+            xk = h + (x_prev - h) * lp["cm_lerp_k"]
+            xr = h + (x_prev - h) * lp["cm_lerp_r"]
+            rr = jax.nn.sigmoid(xr @ lp["cm_receptance"])
+            ck = jnp.square(jax.nn.relu(xk @ lp["cm_key"]))
+            x = x + rr * (ck @ lp["cm_value"])
+
+    x = norm(x, params["final_norm"], params.get("final_norm_b"))
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T.astype(jnp.float32)
+    logits = x @ head
+    new_state = None
+    if carry:
+        new_state = {
+            "shift_att": jnp.stack(new_sa),
+            "shift_ffn": jnp.stack(new_sf),
+            "wkv": jnp.stack(new_wkv),
+        }
+    return logits, new_state
