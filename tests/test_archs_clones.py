@@ -323,3 +323,65 @@ def test_minicpm3_equals_deepseek_mla(tmp_path):
     ld, _ = _logits(tmp_path / "out_d")
     lm, _ = _logits(tmp_path / "out_m")
     np.testing.assert_array_equal(ld, lm)
+
+
+def test_maincoder_equals_hunyuan_dense(tmp_path):
+    """maincoder = llama body with POST-rope per-head qk-norm
+    (src/models/maincoder.cpp ordering) == hunyuan-v1-dense semantics,
+    which are HF-logit-verified."""
+    rng = np.random.default_rng(6)
+    w = _base_weights(seed=6)
+    t = _llama_tensors(w)
+    qn = np.abs(rng.standard_normal(HD)).astype(np.float32) + 0.5
+    kn = np.abs(rng.standard_normal(HD)).astype(np.float32) + 0.5
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.q_norm.weight"] = qn
+        t[p + "self_attn.k_norm.weight"] = kn
+    _write(tmp_path / "mc", {**_LLAMA_CFG, "model_type": "maincoder"}, t)
+    th = dict(t)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        th[p + "self_attn.query_layernorm.weight"] = qn
+        th[p + "self_attn.key_layernorm.weight"] = kn
+        del th[p + "self_attn.q_norm.weight"]
+        del th[p + "self_attn.k_norm.weight"]
+    _write(tmp_path / "hy", {**_LLAMA_CFG, "model_type": "hunyuan_v1_dense",
+                             "attention_bias": False}, th)
+    convert_hf(tmp_path / "mc", tmp_path / "out_m", dtype_hp="float32")
+    convert_hf(tmp_path / "hy", tmp_path / "out_h", dtype_hp="float32")
+    lm, cfg_m = _logits(tmp_path / "out_m")
+    lh, _ = _logits(tmp_path / "out_h")
+    assert cfg_m.qk_norm and cfg_m.qk_norm_post_rope
+    np.testing.assert_array_equal(lm, lh)
+
+
+def test_pangu_embedded_biases(tmp_path):
+    """pangu-embedded: llama + qkv AND wo biases (each bias knob is
+    HF-verified via qwen2/gpt2); conversion + forward must run with the
+    biases present."""
+    rng = np.random.default_rng(7)
+    w = _base_weights(seed=7)
+    t = _llama_tensors(w)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.q_proj.bias"] = rng.standard_normal(
+            D).astype(np.float32) * 0.1
+        t[p + "self_attn.k_proj.bias"] = rng.standard_normal(
+            KV * HD).astype(np.float32) * 0.1
+        t[p + "self_attn.v_proj.bias"] = rng.standard_normal(
+            KV * HD).astype(np.float32) * 0.1
+        t[p + "self_attn.o_proj.bias"] = rng.standard_normal(
+            D).astype(np.float32) * 0.1
+    _write(tmp_path / "pg", {**_LLAMA_CFG, "model_type": "pangu_embedded"},
+           t)
+    cfg = convert_hf(tmp_path / "pg", tmp_path / "out", dtype_hp="float32")
+    assert cfg.qkv_bias and cfg.proj_bias
+    lg, _ = _logits(tmp_path / "out")
+    # biases must influence the logits (vs converting the same weights
+    # as a plain llama without them)
+    t2 = {k: v for k, v in t.items() if not k.endswith(".bias")}
+    _write(tmp_path / "plain", _LLAMA_CFG, t2)
+    convert_hf(tmp_path / "plain", tmp_path / "out_p", dtype_hp="float32")
+    lp_, _ = _logits(tmp_path / "out_p")
+    assert np.abs(lg - lp_).max() > 1e-3

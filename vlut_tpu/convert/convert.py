@@ -300,6 +300,15 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             embed_scale=raw.get("scale_emb", 1.0),
             logit_scale=raw.get("dim_model_base", d_model) / d_model,
         )
+    if mt == "maincoder":
+        # maincoder: llama body with per-head qk-norm applied AFTER rope
+        # (src/models/maincoder.cpp: rope_ext then build_norm on Q/K) —
+        # the same ordering as hunyuan-v1
+        extra.update(qk_norm=True, qk_norm_post_rope=True)
+    if mt in ("pangu_embedded", "pangu"):
+        # openPangu-Embedded: llama + q/k/v and wo biases
+        # (src/models/pangu-embedded.cpp bq/bk/bv + bo)
+        extra.update(qkv_bias=True, proj_bias=True)
     if mt == "apertus":
         # apertus: ungated xIELU MLP (learned per-layer alphas), per-head
         # qk-norm, own norm names (reference src/models/apertus.cpp)
