@@ -304,3 +304,49 @@ def test_regex_phone_number_mask_generates():
         out.append(pieces[pick])
     text = "".join(out)
     assert _re.fullmatch(r"\d{3}-\d{4}", text), text
+
+
+def test_tool_call_gbnf():
+    """tool_choice='required' grammar: only declared tools, schema-valid
+    arguments, Hermes envelope (reference: common/chat.cpp builds the
+    per-format grammar from the tool JSON schemas)."""
+    from vlut_tpu.runtime.grammar import tool_call_gbnf
+
+    tools = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {
+                "type": "object",
+                "properties": {"city": {"type": "string"}},
+                "required": ["city"],
+            },
+        }},
+        {"type": "function", "function": {
+            "name": "add",
+            "parameters": {
+                "type": "object",
+                "properties": {"a": {"type": "integer"},
+                               "b": {"type": "integer"}},
+                "required": ["a", "b"],
+            },
+        }},
+    ]
+    g = tool_call_gbnf(tools)
+    ok = ('<tool_call>{"name": "get_weather", '
+          '"arguments": {"city": "Oslo"}}</tool_call>')
+    assert _matches(g, ok)
+    # parallel calls
+    assert _matches(g, ok + '<tool_call>{"name": "add", '
+                            '"arguments": {"a": 1, "b": 2}}</tool_call>')
+    # undeclared tool name must be rejected
+    assert not _matches(g, '<tool_call>{"name": "rm_rf", '
+                           '"arguments": {}}</tool_call>')
+    # schema-invalid arguments must be rejected
+    assert not _matches(g, '<tool_call>{"name": "add", '
+                           '"arguments": {"a": "x", "b": 2}}</tool_call>')
+    # plain prose must be rejected
+    assert not _matches(g, "The weather is nice.")
+    # single-choice grammar forbids a second call
+    g1 = tool_call_gbnf(tools[:1], parallel=False)
+    assert _matches(g1, ok)
+    assert not _matches(g1, ok + ok)

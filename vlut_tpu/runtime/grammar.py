@@ -752,3 +752,38 @@ def regex_to_gbnf(pattern: str) -> str:
             f"unbalanced ')' at offset {pos[0]} in regex {pattern!r}"
         )
     return f"root ::= {expr}\n"
+
+
+def tool_call_gbnf(tools: list, parallel: bool = True) -> str:
+    """Tool definitions -> a GBNF constraining generation to well-formed
+    Hermes-style tool calls (reference: common/chat.cpp builds a grammar
+    per chat format from the tool JSON schemas; this is the
+    template-generic <tool_call>{"name", "arguments"}</tool_call> form the
+    server's tool_choice="required" uses).
+
+    Each call is forced to one of the declared function names with
+    arguments constrained by that tool's parameter schema.
+    """
+    alts = []
+    for t in tools:
+        fn = t.get("function", t)
+        args = fn.get("parameters") or {"type": "object"}
+        alts.append({
+            "type": "object",
+            "properties": {
+                "name": {"const": fn["name"]},
+                "arguments": args,
+            },
+            "required": ["name", "arguments"],
+        })
+    inner = json_schema_to_gbnf({"anyOf": alts})
+    lines = inner.splitlines()
+    if not lines[0].startswith("root ::="):
+        raise AssertionError("json_schema_to_gbnf root layout changed")
+    lines[0] = "tooljson ::=" + lines[0][len("root ::="):]
+    rep = "+" if parallel else ""
+    envelope = (
+        f"root ::= toolcall{rep} ws\n"
+        'toolcall ::= ws "<tool_call>" tooljson "</tool_call>"\n'
+    )
+    return envelope + "\n".join(lines) + "\n"

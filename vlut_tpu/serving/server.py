@@ -943,6 +943,25 @@ def make_handler(router: Router):
                 ids = self.st.tok.apply_chat_template(msgs, tools=tools)
             except TypeError:
                 ids = self.st.tok.apply_chat_template(msgs)
+            # tool_choice="required" (or a named function): constrain the
+            # output to well-formed tool calls with a schema-derived
+            # grammar (reference: common/chat.cpp per-format grammars)
+            tc = body.get("tool_choice")
+            if tools and (tc == "required" or isinstance(tc, dict)):
+                from vlut_tpu.runtime.grammar import tool_call_gbnf
+
+                sel = tools
+                if isinstance(tc, dict):
+                    want = (tc.get("function") or {}).get("name")
+                    sel = [t for t in tools
+                           if (t.get("function", t)).get("name") == want]
+                    if not sel:
+                        self._json(400, {"error": {
+                            "message": f"unknown tool {want!r}",
+                            "type": "invalid_request_error"}})
+                        return
+                body = {**body, "grammar": tool_call_gbnf(
+                    sel, parallel=(tc == "required"))}
             req = self._make_request(ids, body)
             stops = self._stop_strings(body)
             created = int(time.time())
