@@ -188,6 +188,42 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         )
         raw.setdefault("max_position_embeddings",
                        raw.get("n_positions", 2048))
+    elif mt == "chatglm":
+        # ChatGLM3/GLM-4 (THUDM): own config key names
+        raw.setdefault("num_hidden_layers", raw.get("num_layers"))
+        raw.setdefault("vocab_size", raw.get("padded_vocab_size"))
+        raw.setdefault("intermediate_size", raw.get("ffn_hidden_size"))
+        if raw.get("multi_query_attention"):
+            raw.setdefault("num_key_value_heads",
+                           raw.get("multi_query_group_num"))
+        raw.setdefault("rms_norm_eps", raw.get("layernorm_epsilon", 1e-5))
+        # rope_ratio multiplies the 10k base (ChatGLM RotaryEmbedding)
+        raw.setdefault("rope_theta", 10000.0 * raw.get("rope_ratio", 1.0))
+        raw.setdefault("max_position_embeddings",
+                       raw.get("seq_length", 2048))
+    elif mt == "codeshell":
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault("num_key_value_heads", raw.get("num_query_groups", 1))
+        raw.setdefault(
+            "intermediate_size", raw.get("n_inner") or 4 * raw["n_embd"]
+        )
+        raw.setdefault("max_position_embeddings", raw.get("n_positions",
+                                                           8192))
+    elif mt == "refact":
+        # Refact-1.6B: llama-style FFN width derived, not serialized
+        # (reference convert RefactModel.set_gguf_parameters)
+        raw.setdefault("hidden_size", raw.get("n_embd"))
+        raw.setdefault("num_hidden_layers", raw.get("n_layer"))
+        raw.setdefault("num_attention_heads", raw.get("n_head"))
+        raw.setdefault("num_key_value_heads", 1)  # MQA
+        inner = 4 * raw["hidden_size"]
+        hidden = int(2 * inner / 3)
+        raw.setdefault("intermediate_size", 256 * ((hidden + 255) // 256))
+        raw.setdefault("rms_norm_eps", raw.get("layer_norm_epsilon", 1e-5))
+        raw.setdefault("max_position_embeddings", raw.get("n_positions",
+                                                           4096))
     elif mt == "dbrx":
         ac = raw.get("attn_config") or {}
         fc = raw.get("ffn_config") or {}
@@ -567,6 +603,58 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             rope_pct=raw.get("partial_rotary_factor", 0.5),
             rope_interleaved=True,
         )
+    if mt == "chatglm":
+        # ChatGLM3 / GLM-4: fused qkv (+bias) and fused [gate|up] MLP,
+        # half-width INTERLEAVED rope, plain RMS pre-norms (glm4 minus
+        # the sandwich norms; reference src/models/chatglm.cpp)
+        extra.update(
+            qkv_bias=raw.get("add_qkv_bias", True),
+            rope_pct=0.5, rope_interleaved=True,
+        )
+    if mt == "codeshell":
+        # codeshell: gpt_bigcode body (LN+bias everywhere, MQA fused qkv,
+        # ungated gelu MLP) but ROPE positions instead of learned tables
+        # (reference src/models/codeshell.cpp, NEOX rope)
+        extra.update(
+            norm_type="ln", proj_bias=True, qkv_bias=True, ffn_gated=False,
+            act_fn="gelu",
+        )
+    if mt == "refact":
+        # refact: rms llama body, MQA (fused kv), gated-silu MLP at the
+        # derived llama width, ALiBi positions (reference
+        # src/models/refact.cpp; f_max_alibi_bias=8 hardcoded)
+        extra.update(pos_embed="alibi")
+    if mt == "plamo":
+        # plamo-13b: single-norm parallel residual (attn and MLP branch
+        # off the same normed input; reference src/models/plamo.cpp),
+        # full-head-dim rope; q/o head-shuffle handled at convert
+        extra.update(parallel_residual=True)
+    if mt == "plm":
+        # PLM-1.8B: deepseek-V2 MLA attention (no q-lora) + an UNGATED
+        # relu^2 MLP (reference src/models/plm.cpp LLM_FFN_RELU_SQR)
+        dn = raw.get("qk_nope_head_dim", 64)
+        dr = raw.get("qk_rope_head_dim", 32)
+        extra.update(
+            kv_lora_rank=raw.get("kv_lora_rank", 512),
+            qk_nope_dim=dn, qk_rope_dim=dr,
+            head_dim=raw.get("v_head_dim", dn),
+            attn_scale=(dn + dr) ** -0.5,
+            ffn_gated=False, act_fn="relu2",
+        )
+    if mt == "llada_moe":
+        # LLaDA-MoE diffusion LM: bidirectional attention + per-head
+        # qk-norm + softmax MoE WITHOUT top-k renorm (reference
+        # src/models/llada-moe.cpp build_moe_ffn(..., norm_w=false));
+        # in-place logit selection like llada
+        extra.update(
+            causal_attn=False,
+            mask_token_id=raw.get("mask_token_id", 156895) or 0,
+            diffusion_shift_logits=False,
+            qk_norm=True,
+        )
+        if raw.get("expert_intermediate_size"):
+            raw.setdefault("moe_intermediate_size",
+                           raw["expert_intermediate_size"])
     if mt == "dbrx":
         ac = raw.get("attn_config") or {}
         fc = raw.get("ffn_config") or {}
@@ -684,7 +772,8 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             # models always renormalize
             moe_norm_topk=raw.get(
                 "norm_topk_prob",
-                mt not in ("qwen2_moe", "qwen3_moe", "olmoe", "rnd1"),
+                mt not in ("qwen2_moe", "qwen3_moe", "olmoe", "rnd1",
+                           "llada_moe"),
             ),
             d_ff=raw.get("moe_intermediate_size", raw["intermediate_size"]),
         )
@@ -1157,6 +1246,51 @@ def convert_hf(
             name = name.replace(".mlp.c_fc2.", ".mlp.up_proj.")
             name = name.replace(".mlp.c_fc.", ".mlp.gate_proj.")
             name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "chatglm":
+            # ChatGLM/GLM-4 'transformer.encoder.layers' scheme; the
+            # fused qkv is a straight [q; k; v] concat and dense_h_to_4h
+            # a straight [gate; up] concat (ChatGLM swiglu chunks halves)
+            if name.startswith("transformer."):
+                name = name[len("transformer."):]
+            name = name.replace("embedding.word_embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace("encoder.final_layernorm.", "model.norm.")
+            if name.startswith("output_layer."):
+                name = "lm_head." + name[len("output_layer."):]
+            name = name.replace("encoder.layers.", "model.layers.")
+            name = name.replace(".self_attention.query_key_value.",
+                                ".self_attn.qkv_proj.")
+            name = name.replace(".self_attention.dense.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".mlp.dense_h_to_4h.", ".mlp.gate_up_proj.")
+            name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
+        elif mt0 == "codeshell":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.c_attn.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            name = name.replace(".mlp.c_fc.", ".mlp.up_proj.")
+            name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "refact":
+            name = name.replace("transformer.wte.", "model.embed_tokens.")
+            name = name.replace("transformer.ln_f.", "model.norm.")
+            name = name.replace("transformer.h.", "model.layers.")
+            name = name.replace(".ln_1.", ".input_layernorm.")
+            name = name.replace(".ln_2.", ".post_attention_layernorm.")
+            name = name.replace(".attn.q.", ".self_attn.q_proj.")
+            name = name.replace(".attn.kv.", ".self_attn.kv_proj.")
+            name = name.replace(".attn.c_proj.", ".self_attn.o_proj.")
+            # gate_up_proj splits at cfg.d_ff via the phi3 fused path
+            name = name.replace(".mlp.linear_3.", ".mlp.down_proj.")
+        elif mt0 == "plamo":
+            # PlamoForCausalLM nests blocks under model.layers.layers and
+            # names the single pre-norm ".norm" (gguf-py tensor_mapping)
+            name = name.replace("model.layers.layers.", "model.layers.")
+            if name.startswith("model.layers."):
+                name = name.replace(".norm.", ".input_layernorm.")
         elif mt0 == "gpt_neox":
             name = name.replace("gpt_neox.embed_in.", "model.embed_tokens.")
             name = name.replace("gpt_neox.final_layer_norm.", "model.norm.")
@@ -1344,6 +1478,8 @@ def convert_hf(
         name = canon(name)
         if name.endswith("weight_scale"):
             continue
+        if name.endswith(".inv_freq"):
+            continue  # chatglm/plamo serialize rope tables; recomputed here
         if mt0 in ("gpt2", "jais") and name.endswith(".weight") and any(
             s in name for s in (
                 ".self_attn.qkv_proj.", ".self_attn.o_proj.",
@@ -1680,6 +1816,32 @@ def convert_hf(
             pack_proj("wq", wg[:, :g].reshape(kvh * g * hd_, -1), li)
             pack_proj("wk", wg[:, g].reshape(kvh * hd_, -1), li)
             pack_proj("wv", wg[:, g + 1].reshape(kvh * hd_, -1), li)
+            continue
+        # refact fused kv: rows [k(kv_dim); v(kv_dim)]
+        if sub == "self_attn.kv_proj":
+            wf = np.asarray(
+                _maybe_unpack_2bit(name, w, side_scales), np.float32
+            )
+            kvd_ = cfg.kv_dim
+            pack_proj("wk", wf[:kvd_], li)
+            pack_proj("wv", wf[kvd_:], li)
+            continue
+        if mt0 == "plamo" and sub in ("self_attn.q_proj",
+                                      "self_attn.o_proj"):
+            # plamo stores q heads group-major (flat head f attends kv
+            # head f % n_kv); reorder to the h // (H/KV) convention the
+            # forward uses (reference convert PlamoModel
+            # shuffle_attn_q_weight / shuffle_attn_output_weight)
+            wf = np.asarray(w, np.float32)
+            g_, s_, hd_ = (cfg.n_heads // cfg.n_kv_heads, cfg.n_kv_heads,
+                           cfg.head_dim_)
+            if sub == "self_attn.q_proj":
+                wf = wf.reshape(g_, s_, hd_, -1).transpose(1, 0, 2, 3)
+                w = wf.reshape(cfg.n_heads * hd_, -1)
+            else:
+                wf = wf.reshape(-1, g_, s_, hd_).transpose(0, 2, 1, 3)
+                w = wf.reshape(-1, cfg.n_heads * hd_)
+            pack_proj(_PROJ_MAP[sub], w, li)
             continue
         # phi3-style fused projections
         if sub == "self_attn.qkv_proj":
