@@ -471,6 +471,106 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 n_shared_experts=1,
                 d_ff_shared=raw["intermediate_size"],
             )
+    if mt in ("bailing_moe", "bailingmoe"):
+        # Ling/Ring v1 (BailingMoeForCausalLM): llama attention at an
+        # explicit head_dim (rope over the full head), fused
+        # query_key_value, softmax top-k routing with optional renorm,
+        # always-on shared experts at num_shared * moe_intermediate_size,
+        # optional Baichuan2-style NormHead (reference
+        # src/models/bailingmoe.cpp + convert_hf_to_gguf BailingMoeModel)
+        mi = raw.get("moe_intermediate_size", raw["intermediate_size"])
+        n_sh = raw.get("num_shared_experts", 0) or 0
+        extra.update(
+            qkv_bias=raw.get("use_qkv_bias", False),
+            n_experts=raw.get("num_experts", 0) or 0,
+            n_experts_used=raw.get("num_experts_per_tok", 4),
+            moe_score="softmax",
+            moe_norm_topk=raw.get("norm_topk_prob", True),
+            d_ff=mi, d_ff_dense=raw["intermediate_size"],
+            first_k_dense=raw.get("first_k_dense_replace", 0) or 0,
+            n_shared_experts=n_sh, d_ff_shared=n_sh * mi,
+        )
+    if mt in ("bailing_moe_v2", "bailing_moe2", "bailingmoe2"):
+        # Ling/Ring 2.0 (BailingMoeV2ForCausalLM): fused qkv + per-head
+        # qk-norm, partial rope (default half), deepseek-V3-style sigmoid
+        # router with selection-only expert_bias + routed scaling, shared
+        # experts at an explicit width, dense lead layers; trailing
+        # nextn-prediction (MTP) layers are dropped (reference
+        # src/models/bailingmoe2.cpp + convert BailingMoeV2Model)
+        mi = raw.get("moe_intermediate_size", raw["intermediate_size"])
+        n_sh = raw.get("num_shared_experts", 0) or 0
+        extra.update(
+            qk_norm=True,
+            rope_pct=raw.get("partial_rotary_factor", 0.5),
+            n_experts=raw.get("num_experts", 0) or 0,
+            n_experts_used=raw.get("num_experts_per_tok", 8),
+            moe_score=("sigmoid"
+                       if raw.get("score_function", "sigmoid") == "sigmoid"
+                       else "softmax"),
+            moe_norm_topk=raw.get("norm_topk_prob", True),
+            routed_scale=raw.get("routed_scaling_factor", 1.0),
+            d_ff=mi, d_ff_dense=raw["intermediate_size"],
+            first_k_dense=raw.get("first_k_dense_replace", 0) or 0,
+            n_shared_experts=n_sh,
+            d_ff_shared=(raw.get("moe_shared_expert_intermediate_size")
+                         or n_sh * mi),
+            n_expert_groups=raw.get("n_group", 1) or 0,
+            topk_groups=raw.get("topk_group", 1) or 0,
+        )
+        if extra.get("n_expert_groups", 0) <= 1:
+            extra.update(n_expert_groups=0, topk_groups=0)
+    if mt == "phimoe":
+        # Phi-3.5-MoE: LayerNorm(+bias) body, biased q/k/v/o projections
+        # and biased lm_head, mixtral-style block_sparse_moe (w1/w2/w3)
+        # with softmax top-2 renorm (the reference serves PhiMoE's
+        # sparsemixer checkpoints through plain softmax gating:
+        # src/models/phi3.cpp build_moe_ffn(..., SOFTMAX)), longrope
+        # scaling + SWA like phi3
+        extra.update(
+            norm_type="ln",
+            qkv_bias=raw.get("attention_bias", True),
+            proj_bias=raw.get("attention_bias", True),
+            sliding_window=raw.get("sliding_window") or 0,
+        )
+    if mt in ("grok-1", "grok1", "grok", "grok-2", "grok2"):
+        # Grok-1 (reference src/models/grok.cpp): scaled embeddings,
+        # gemma2-style sandwich norms, GELU MoE with top-2 renorm,
+        # attention logits tanh-capped AFTER the attn_output_multiplier
+        # (build_attn_with... llama-graph.cpp:1479: cap*tanh(kq*mult/cap)
+        # == softcap(kq*attn_scale)), scaled logits; grok-2 adds yarn rope
+        # and a final logit softcap
+        hd_g = (raw.get("head_dim")
+                or raw["hidden_size"] // raw["num_attention_heads"])
+        extra.update(
+            act_fn="gelu", post_norms=True,
+            embed_scale=raw.get("embedding_multiplier_scale",
+                                78.38367176906169),
+            logit_scale=raw.get("output_multiplier_scale",
+                                0.5773502691896257),
+            attn_scale=raw.get("attn_output_multiplier") or hd_g ** -0.5,
+            attn_logit_softcap=raw.get(
+                "attn_logit_softcapping", raw.get("max_attn_value", 30.0)),
+            final_logit_softcap=raw.get("final_logit_softcapping") or 0.0,
+            n_experts=raw.get("num_local_experts",
+                              raw.get("num_experts", 8)),
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_norm_topk=True,
+            d_ff=raw.get("moe_intermediate_size", raw["intermediate_size"]),
+        )
+        if raw.get("rope_type") in ("yarn", "original") and not raw.get(
+            "rope_scaling"
+        ):
+            # grok-2 serializes yarn params as top-level keys (convert
+            # GrokModel.set_gguf_parameters maps "original" -> yarn)
+            raw["rope_scaling"] = {
+                "rope_type": "yarn",
+                "factor": raw.get("scaling_factor", 1.0),
+                "original_max_position_embeddings": raw.get(
+                    "original_max_position_embeddings", 4096),
+                "beta_fast": raw.get("beta_fast", 32.0),
+                "beta_slow": raw.get("beta_slow", 1.0),
+                "attention_factor": raw.get("attn_factor"),
+            }
     if mt == "granite":
         # granite's four multipliers (llm_build_granite): embedding and
         # attention map onto existing knobs; logits_scaling DIVIDES the
@@ -1455,6 +1555,56 @@ def convert_hf(
             # Ernie4_5_MoeStatics stores the selection bias as (1, E)
             name = name.replace(".mlp.moe_statics.e_score_correction_bias",
                                 ".mlp.gate.e_score_correction_bias")
+        elif mt0 in ("bailing_moe", "bailingmoe", "bailing_moe_v2",
+                     "bailing_moe2", "bailingmoe2"):
+            name = name.replace("model.word_embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace(".attention.query_key_value.",
+                                ".self_attn.qkv_proj.")
+            name = name.replace(".attention.dense.", ".self_attn.o_proj.")
+            name = name.replace(".attention.query_layernorm.",
+                                ".self_attn.q_norm.")
+            name = name.replace(".attention.key_layernorm.",
+                                ".self_attn.k_norm.")
+            name = name.replace(".mlp.gate.expert_bias",
+                                ".mlp.gate.e_score_correction_bias")
+        elif mt0 in ("grok-1", "grok1", "grok", "grok-2", "grok2"):
+            # grok-1 'transformer.decoder_layer' scheme (gguf-py
+            # tensor_mapping); grok-2 uses pre/post_attn_norm +
+            # pre/post_moe_norm around otherwise-standard names
+            name = name.replace("transformer.in_out_embed.",
+                                "model.embed_tokens.")
+            name = name.replace("transformer.rms_norm.", "model.norm.")
+            name = name.replace("transformer.decoder_layer.",
+                                "model.layers.")
+            name = name.replace(".multi_head_attention.query.",
+                                ".self_attn.q_proj.")
+            name = name.replace(".multi_head_attention.key.",
+                                ".self_attn.k_proj.")
+            name = name.replace(".multi_head_attention.value.",
+                                ".self_attn.v_proj.")
+            name = name.replace(".multi_head_attention.linear.",
+                                ".self_attn.o_proj.")
+            name = re.sub(r"\.moe\.(\d+)\.linear_v\.",
+                          r".block_sparse_moe.experts.\1.w3.", name)
+            name = re.sub(r"\.moe\.(\d+)\.linear_1\.",
+                          r".block_sparse_moe.experts.\1.w2.", name)
+            name = re.sub(r"\.moe\.(\d+)\.linear\.",
+                          r".block_sparse_moe.experts.\1.w1.", name)
+            name = name.replace(".router.", ".block_sparse_moe.gate.")
+            # sandwich-norm keys (grok-1 rms_norm_N / grok-2 named)
+            name = name.replace(".rms_norm_1.", ".post_attention_layernorm.")
+            name = name.replace(".rms_norm_2.", ".pre_feedforward_layernorm.")
+            name = name.replace(".rms_norm_3.",
+                                ".post_feedforward_layernorm.")
+            name = name.replace(".rms_norm.", ".input_layernorm.")
+            name = name.replace(".pre_attn_norm.", ".input_layernorm.")
+            name = name.replace(".post_attn_norm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".pre_moe_norm.",
+                                ".pre_feedforward_layernorm.")
+            name = name.replace(".post_moe_norm.",
+                                ".post_feedforward_layernorm.")
         elif mt0 == "exaone":
             name = name.replace("transformer.wte.", "model.embed_tokens.")
             name = name.replace("transformer.ln_f.", "model.norm.")
@@ -1526,6 +1676,13 @@ def convert_hf(
                 w = wf / np.maximum(
                     np.linalg.norm(wf, axis=-1, keepdims=True), 1e-12
                 )
+            elif mt0 in ("bailing_moe", "bailingmoe") and raw0.get(
+                "norm_head"
+            ):
+                # Bailing norm_head: column L2-normalized at load time
+                # (convert_hf_to_gguf BailingMoeModel.modify_tensors)
+                wf = np.asarray(w, np.float32)
+                w = wf / (np.linalg.norm(wf, axis=0, keepdims=True) + 1e-7)
             head = np.asarray(w, np.float32).T  # (D, V)
             plan = make_plan(cfg)
             head = np.pad(head, ((0, 0), (0, plan.vocab_p - head.shape[1])))

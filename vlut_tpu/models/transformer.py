@@ -1360,7 +1360,9 @@ def run_layers(
                 q = proj(h, lp, "wq")
                 k = proj(h, lp, "wk")
                 v = proj(h, lp, "wv")
-            if cfg.qkv_bias:
+            if cfg.qkv_bias and "bq" in lp:
+                # bias tensors may be absent even when the config flag is
+                # on (HF checkpoints omit default-valued tensors)
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
