@@ -500,3 +500,255 @@ def test_grok1_matches_reference_transcription(tmp_path):
     want = _grok_reference({k: v.astype(np.float64) for k, v in t.items()},
                            toks, cfgj)
     np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)
+
+
+def _arctic_reference(tensors, toks, cfg):
+    """Direct numpy transcription of the reference arctic graph
+    (src/models/arctic.cpp): llama attention, then
+    out = moe(rms(x_in, post_attn_ln)) + (ffn_inp + residual_mlp(
+    rms(ffn_inp, residual_ln))); softmax top-2 renormalized MoE."""
+    H_, KV_ = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    HD_ = cfg["hidden_size"] // H_
+    eps = cfg["rms_norm_eps"]
+
+    def rms(x, g):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+    def rope(x, pos):
+        hd = x.shape[-1]
+        inv = 1.0 / (cfg["rope_theta"] ** (
+            np.arange(0, hd, 2, dtype=np.float64) / hd))
+        ang = pos[:, None] * inv[None, :]
+        c, s = np.cos(ang), np.sin(ang)
+        x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+        return np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+
+    def silu(z):
+        return z / (1.0 + np.exp(-z))
+
+    T = len(toks)
+    pos = np.arange(T, dtype=np.float64)
+    x = tensors["model.embed_tokens.weight"][toks].astype(np.float64)
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        x_in = x
+        h = rms(x, tensors[p + "input_layernorm.weight"])
+        q = (h @ tensors[p + "self_attn.q_proj.weight"].T
+             ).reshape(T, H_, HD_)
+        k = (h @ tensors[p + "self_attn.k_proj.weight"].T
+             ).reshape(T, KV_, HD_)
+        v = (h @ tensors[p + "self_attn.v_proj.weight"].T
+             ).reshape(T, KV_, HD_)
+        q = np.stack([rope(q[:, j], pos) for j in range(H_)], 1)
+        k = np.stack([rope(k[:, j], pos) for j in range(KV_)], 1)
+        rep = H_ // KV_
+        k = np.repeat(k, rep, axis=1)
+        vv = np.repeat(v, rep, axis=1)
+        o = np.zeros((T, H_, HD_))
+        mask = np.tril(np.ones((T, T), bool))
+        for j in range(H_):
+            sc = q[:, j] @ k[:, j].T / np.sqrt(HD_)
+            sc = np.where(mask, sc, -np.inf)
+            w = np.exp(sc - sc.max(-1, keepdims=True))
+            w /= w.sum(-1, keepdims=True)
+            o[:, j] = w @ vv[:, j]
+        ffn_inp = x_in + o.reshape(T, -1) @ tensors[
+            p + "self_attn.o_proj.weight"].T
+        # residual_mlp on the ffn-normed input
+        hr = rms(ffn_inp, tensors[p + "residual_layernorm.weight"])
+        g = silu(hr @ tensors[p + "residual_mlp.w1.weight"].T)
+        u = hr @ tensors[p + "residual_mlp.w3.weight"].T
+        ffn_out = ffn_inp + (g * u) @ tensors[p + "residual_mlp.w2.weight"].T
+        # MoE on a separate norm of the LAYER INPUT
+        hm = rms(x_in, tensors[p + "post_attention_layernorm.weight"])
+        rl = hm @ tensors[p + "block_sparse_moe.gate.weight"].T
+        pr = np.exp(rl - rl.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        moe = np.zeros_like(hm)
+        for ti in range(T):
+            top = np.argsort(-pr[ti])[:2]
+            wts = pr[ti][top]
+            wts = wts / wts.sum()
+            for e, wt in zip(top, wts):
+                pe = f"{p}block_sparse_moe.experts.{e}."
+                ge = silu(hm[ti] @ tensors[pe + "w1.weight"].T)
+                ue = hm[ti] @ tensors[pe + "w3.weight"].T
+                moe[ti] += wt * ((ge * ue) @ tensors[pe + "w2.weight"].T)
+        x = moe + ffn_out
+    x = rms(x, tensors["model.norm.weight"])
+    return x @ tensors["lm_head.weight"].T
+
+
+def test_arctic_matches_reference_transcription(tmp_path):
+    rng = np.random.default_rng(47)
+    E, MFF = 4, 32
+    t = {"model.embed_tokens.weight":
+         rng.standard_normal((V, D)).astype(np.float32) * 0.02,
+         "model.norm.weight": _gain(rng, D),
+         "lm_head.weight": _t2(rng, V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.q_proj.weight"] = _t2(rng, D, D)
+        t[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D)
+        t[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D)
+        t[p + "self_attn.o_proj.weight"] = _t2(rng, D, D)
+        t[p + "input_layernorm.weight"] = _gain(rng, D)
+        t[p + "residual_layernorm.weight"] = _gain(rng, D)
+        t[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        # residual_mlp at d_model width (arctic ffn_gate {n_embd, n_embd})
+        t[p + "residual_mlp.w1.weight"] = _t2(rng, D, D)
+        t[p + "residual_mlp.w3.weight"] = _t2(rng, D, D)
+        t[p + "residual_mlp.w2.weight"] = _t2(rng, D, D)
+        t[p + "block_sparse_moe.gate.weight"] = rng.standard_normal(
+            (E, D)).astype(np.float32) * 0.1
+        for e in range(E):
+            t[p + f"block_sparse_moe.experts.{e}.w1.weight"] = _t2(rng, MFF, D)
+            t[p + f"block_sparse_moe.experts.{e}.w3.weight"] = _t2(rng, MFF, D)
+            t[p + f"block_sparse_moe.experts.{e}.w2.weight"] = _t2(rng, D, MFF)
+    cfgj = {
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "intermediate_size": MFF, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 64,
+        "model_type": "arctic", "architectures": ["ArcticForCausalLM"],
+        "tie_word_embeddings": False,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+    }
+    _write(tmp_path / "ar", cfgj, t)
+    cfg = convert_hf(tmp_path / "ar", tmp_path / "out", dtype_hp="float32")
+    assert cfg.moe_parallel == "arctic" and cfg.moe_norm_topk
+    assert cfg.d_ff_dense == D
+    got, _ = _logits(tmp_path / "out", t=5, seed=0)
+    rng2 = np.random.default_rng(0)
+    toks = rng2.integers(0, V, (1, 5))[0]
+    want = _arctic_reference(
+        {k: v.astype(np.float64) for k, v in t.items()}, toks, cfgj)
+    np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)
+
+
+def _grove_tensors(rng, E, ECH, MFF, CFF, zero_chunk_down=False,
+                   zero_attn=False):
+    t = {"model.embed_tokens.weight":
+         rng.standard_normal((V, D)).astype(np.float32) * 0.05,
+         "model.norm.weight": _gain(rng, D),
+         "lm_head.weight": _t2(rng, V, D)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        za = 0.0 if zero_attn else 1.0
+        t[p + "self_attn.q_proj.weight"] = _t2(rng, D, D) * za
+        t[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D) * za
+        t[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D) * za
+        t[p + "self_attn.o_proj.weight"] = _t2(rng, D, D) * za
+        t[p + "self_attn.q_norm.weight"] = _gain(rng, HD)
+        t[p + "self_attn.k_norm.weight"] = _gain(rng, HD)
+        t[p + "input_layernorm.weight"] = _gain(rng, D)
+        t[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        t[p + "mlp.gate.weight"] = rng.standard_normal(
+            (E, D)).astype(np.float32) * 0.1
+        for e in range(E):
+            t[p + f"mlp.experts.{e}.gate_proj.weight"] = _t2(rng, MFF, D)
+            t[p + f"mlp.experts.{e}.up_proj.weight"] = _t2(rng, MFF, D)
+            t[p + f"mlp.experts.{e}.down_proj.weight"] = _t2(rng, D, MFF)
+        for e in range(ECH):
+            t[p + f"mlp.chunk_experts.{e}.gate_proj.weight"] = _t2(
+                rng, CFF, D)
+            t[p + f"mlp.chunk_experts.{e}.up_proj.weight"] = _t2(rng, CFF, D)
+            t[p + f"mlp.chunk_experts.{e}.down_proj.weight"] = _t2(
+                rng, D, CFF) * (0.0 if zero_chunk_down else 1.0)
+    return t
+
+
+def _grove_cfg(E, TOPK, MFF, CFF):
+    return {
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "intermediate_size": FF, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 64,
+        "model_type": "grovemoe", "architectures": ["GroveMoeForCausalLM"],
+        "tie_word_embeddings": False, "num_experts": E,
+        "num_experts_per_tok": TOPK, "moe_intermediate_size": MFF,
+        "moe_chunk_intermediate_size": CFF, "head_dim": HD,
+    }
+
+
+def test_grovemoe_zero_chunk_equals_qwen3_moe(tmp_path):
+    """With chunk-expert down projections zeroed the adjugate branch
+    vanishes and grovemoe must equal qwen3-moe exactly (the main branch
+    IS build_moe_ffn softmax+renorm on a qk-norm body)."""
+    rng = np.random.default_rng(53)
+    E, TOPK, MFF, CFF = 4, 2, 32, 32
+    t = _grove_tensors(rng, E, E // 2, MFF, CFF, zero_chunk_down=True)
+    _write(tmp_path / "gv", _grove_cfg(E, TOPK, MFF, CFF), t)
+    tq = {k: v for k, v in t.items() if "chunk_experts" not in k}
+    _write(tmp_path / "q3", {
+        **_grove_cfg(E, TOPK, MFF, CFF), "model_type": "qwen3_moe",
+        "architectures": ["Qwen3MoeForCausalLM"], "norm_topk_prob": True,
+        "head_dim": HD,
+    }, tq)
+    cfg_g = convert_hf(tmp_path / "gv", tmp_path / "out_g",
+                       dtype_hp="float32")
+    convert_hf(tmp_path / "q3", tmp_path / "out_q", dtype_hp="float32")
+    assert cfg_g.moe_chunk_experts == E // 2 and cfg_g.d_ff_chunk == CFF
+    assert cfg_g.qk_norm and cfg_g.moe_norm_topk
+    lg, _ = _logits(tmp_path / "out_g")
+    lq, _ = _logits(tmp_path / "out_q")
+    np.testing.assert_array_equal(lg, lq)
+
+
+def test_grovemoe_chunk_matches_reference_transcription(tmp_path):
+    """Full adjugate semantics vs a direct numpy transcription of
+    build_moe_ffn's GROVEMOE branches (attention zeroed so the layer is
+    pure FFN): selection over the shared logits, expert id // group,
+    combine weight = softmax probs at the CHUNK id, top-k renorm, output
+    added to the routed output scaled by expert_group_scale."""
+    rng = np.random.default_rng(59)
+    E, TOPK, MFF, CFF = 4, 2, 32, 32
+    GRP = 2
+    t = _grove_tensors(rng, E, E // GRP, MFF, CFF, zero_attn=True)
+    _write(tmp_path / "gv", _grove_cfg(E, TOPK, MFF, CFF), t)
+    convert_hf(tmp_path / "gv", tmp_path / "out", dtype_hp="float32")
+    got, _ = _logits(tmp_path / "out", t=5, seed=0)
+
+    rng2 = np.random.default_rng(0)
+    toks = rng2.integers(0, V, (1, 5))[0]
+    eps = 1e-5
+
+    def rms(x, g):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+    def silu(z):
+        return z / (1.0 + np.exp(-z))
+
+    td = {k: v.astype(np.float64) for k, v in t.items()}
+    x = td["model.embed_tokens.weight"][toks]
+    for i in range(L):
+        p = f"model.layers.{i}."
+        # attention weights are zero -> attn out is exactly 0
+        h = rms(x, td[p + "post_attention_layernorm.weight"])
+        rl = h @ td[p + "mlp.gate.weight"].T
+        pr = np.exp(rl - rl.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        moe = np.zeros_like(h)
+        for ti in range(len(toks)):
+            top = np.argsort(-pr[ti])[:TOPK]
+            wts = pr[ti][top] / pr[ti][top].sum()
+            for e, wt in zip(top, wts):
+                pe = f"{p}mlp.experts.{e}."
+                g = silu(h[ti] @ td[pe + "gate_proj.weight"].T)
+                u = h[ti] @ td[pe + "up_proj.weight"].T
+                moe[ti] += wt * ((g * u) @ td[pe + "down_proj.weight"].T)
+            # adjugate chunk pass on the routed output
+            ch_ids = top // GRP
+            wch = pr[ti][ch_ids]
+            wch = wch / wch.sum()
+            adj = np.zeros(D)
+            for cid, wt in zip(ch_ids, wch):
+                pc = f"{p}mlp.chunk_experts.{cid}."
+                g = silu(moe[ti] @ td[pc + "gate_proj.weight"].T)
+                u = moe[ti] @ td[pc + "up_proj.weight"].T
+                adj += wt * ((g * u) @ td[pc + "down_proj.weight"].T)
+            moe[ti] = moe[ti] + 0.05 * adj
+        x = x + moe
+    x = rms(x, td["model.norm.weight"])
+    want = x @ td["lm_head.weight"].T
+    np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)

@@ -80,11 +80,34 @@ class ModelConfig:
     qk_norm_post_rope: bool = False  # hunyuan-v1: per-head q/k RMSNorm is
     # applied AFTER rope (qwen3/gemma3 norm before rope)
     qk_norm_type: str = "rms"     # "ln": chameleon per-head LayerNorm with
-    # (H, head_dim) weight+bias and fixed eps 1e-5 (ChameleonLayerNorm)
+    # (H, head_dim) weight+bias and fixed eps 1e-5 (ChameleonLayerNorm);
+    # "l2": llama4 weightless per-head L2 norm (Llama4TextL2Norm), applied
+    # AFTER rope and ONLY on rope layers (combine with qk_norm_post_rope)
     qkv_clamp: float = 0.0        # dbrx/olmo clip_qkv: clamp q/k/v to
     # [-c, +c] after the projection (before rope)
     swa_layers: tuple[bool, ...] | None = None  # explicit per-layer SWA
     # flags (HF layer_types) overriding sliding_window_pattern
+    swa_type: str = "window"      # "window" (rolling kp > qp - w) |
+    # "chunked" (llama4: kp and qp must share floor(pos/w) — reference
+    # LLAMA_SWA_TYPE_CHUNKED, src/llama-hparams.h)
+    attn_temp_scale: float = 0.0  # llama4 NoPE-layer attention temperature
+    # tuning: q *= log(floor((pos+offset)/floor_scale)+1)*scale + 1
+    # (reference llm_graph_input_attn_temp, src/llama-graph.cpp:81)
+    attn_temp_floor: int = 8192
+    attn_temp_offset: float = 1.0
+    moe_weight_before: bool = False  # llama4: router weights scale the
+    # expert INPUT instead of the output (build_moe_ffn weight_before_ffn)
+    moe_chunk_experts: int = 0    # grovemoe adjugate "chunk" experts: a
+    # second, smaller expert bank (n_experts / experts_per_group) applied
+    # to the ROUTED OUTPUT, reusing the same router logits with expert id
+    # -> id // group; output added scaled by moe_chunk_scale (reference
+    # src/models/grovemoe.cpp + build_moe_ffn GROVEMOE branches)
+    moe_chunk_scale: float = 0.05
+    d_ff_chunk: int = 0           # chunk-expert FFN width
+    moe_parallel: str = ""        # "arctic": the routed MoE branch reads a
+    # SEPARATE norm of the layer input (ffn_norm_exps) and adds after the
+    # residual_mlp dense branch: out = moe(norm2(x_in)) + (ffn_inp +
+    # dense(norm(ffn_inp))) — reference src/models/arctic.cpp
     nope_layers: tuple[bool, ...] | None = None  # per-layer "skip rope"
     # (cohere2 global layers, smollm3 no_rope_layers)
     alibi_scaled: bool = False    # falcon folds 1/sqrt(head_dim) into the

@@ -57,6 +57,9 @@ _NORM_MAP = {
     # qwen3/gemma3 per-head q/k norms
     "self_attn.q_norm": "q_norm",
     "self_attn.k_norm": "k_norm",
+    # arctic MoE-branch norm (FFN_NORM_EXPS; canon() renames
+    # post_attention_layernorm -> moe_layernorm for that arch)
+    "moe_layernorm": "moe_norm",
 }
 # gemma2/gemma3 sandwich norms: post_attention_layernorm is the POST-attn
 # norm there, and the pre-FFN norm has its own name
@@ -471,6 +474,60 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 n_shared_experts=1,
                 d_ff_shared=raw["intermediate_size"],
             )
+    if mt in ("llama4", "llama4_text"):
+        # Llama-4 Scout/Maverick (reference src/models/llama-iswa.cpp):
+        # interleaved rope with every-4th NoPE layer, chunked local
+        # attention on the rope layers, weightless post-rope qk L2 norm,
+        # NoPE-layer attention temperature tuning, sigmoid-router MoE with
+        # input-side weights + always-on shared expert, interleaved dense
+        # layers at intermediate_size_mlp; MobileLLM = n_experts 0
+        nl4 = raw["num_hidden_layers"]
+        iv4 = raw.get("no_rope_layer_interval", 4)
+        nrl4 = raw.get("no_rope_layers") or [
+            int((i + 1) % iv4 != 0) for i in range(nl4)
+        ]
+        nope4 = tuple(v == 0 for v in nrl4)
+        extra.update(rope_interleaved=True)
+        if any(nope4):
+            extra.update(nope_layers=nope4)
+        if raw.get("use_qk_norm", True):
+            extra.update(qk_norm=True, qk_norm_type="l2",
+                         qk_norm_post_rope=True)
+        acs = raw.get("attention_chunk_size") or 0
+        lt4 = raw.get("layer_types")
+        if acs and not (lt4 and all(
+            t == "full_attention" for t in lt4
+        )):
+            extra.update(
+                sliding_window=acs, swa_type="chunked",
+                swa_layers=tuple(not f for f in nope4),
+            )
+        if raw.get("attn_temperature_tuning"):
+            extra.update(
+                attn_temp_scale=raw.get("attn_scale", 0.1),
+                attn_temp_floor=raw.get("floor_scale", 8192),
+                attn_temp_offset=1.0,
+            )
+        ne4 = raw.get("num_local_experts", 0) or 0
+        if ne4:
+            step4 = raw.get("interleave_moe_layer_step", 1)
+            dense4 = [(i + 1) % step4 != 0 for i in range(nl4)]
+            extra.update(
+                n_experts=ne4,
+                n_experts_used=raw.get("num_experts_per_tok", 1),
+                moe_score="sigmoid", moe_norm_topk=False,
+                moe_weight_before=True,
+                d_ff=raw["intermediate_size"],
+                d_ff_dense=raw.get("intermediate_size_mlp",
+                                   raw["intermediate_size"]),
+                n_shared_experts=1,
+                d_ff_shared=raw["intermediate_size"],
+            )
+            if any(dense4):
+                extra.update(dense_layers=tuple(dense4))
+        elif raw.get("intermediate_size_mlp"):
+            raw.setdefault("intermediate_size",
+                           raw["intermediate_size_mlp"])
     if mt in ("bailing_moe", "bailingmoe"):
         # Ling/Ring v1 (BailingMoeForCausalLM): llama attention at an
         # explicit head_dim (rope over the full head), fused
@@ -531,6 +588,40 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             qkv_bias=raw.get("attention_bias", True),
             proj_bias=raw.get("attention_bias", True),
             sliding_window=raw.get("sliding_window") or 0,
+        )
+    if mt == "grovemoe":
+        # GroveMoE (reference src/models/grovemoe.cpp): qwen3-style body
+        # (per-head qk-norm), softmax top-k renormalized MoE PLUS adjugate
+        # "chunk" experts (num_experts / experts_per_group, width
+        # head_dim-or-128) applied to the routed output with scale 0.05
+        # (convert_hf_to_gguf GroveMoeModel hardcodes group=2, scale=.05)
+        ne_g = raw.get("num_experts", 0) or 0
+        grp = raw.get("num_experts_per_group", 2)
+        extra.update(
+            qk_norm=True,
+            n_experts=ne_g,
+            n_experts_used=raw.get("num_experts_per_tok", 8),
+            moe_score="softmax", moe_norm_topk=True,
+            d_ff=raw.get("moe_intermediate_size",
+                         raw["intermediate_size"]),
+            d_ff_dense=raw["intermediate_size"],
+            moe_chunk_experts=ne_g // grp,
+            moe_chunk_scale=raw.get("expert_group_scale", 0.05),
+            d_ff_chunk=(raw.get("moe_chunk_intermediate_size")
+                        or raw.get("head_dim") or 128),
+        )
+    if mt == "arctic":
+        # Snowflake Arctic (reference src/models/arctic.cpp): dense
+        # residual_mlp at d_model width on every layer PLUS a softmax
+        # top-k MoE branch on a separate norm of the layer input
+        extra.update(
+            n_experts=raw.get("num_local_experts", 128),
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            moe_score="softmax", moe_norm_topk=True,
+            moe_parallel="arctic",
+            d_ff=raw.get("moe_intermediate_size",
+                         raw["intermediate_size"]),
+            d_ff_dense=d_model,
         )
     if mt in ("grok-1", "grok1", "grok", "grok-2", "grok2"):
         # Grok-1 (reference src/models/grok.cpp): scaled embeddings,
@@ -1555,6 +1646,27 @@ def convert_hf(
             # Ernie4_5_MoeStatics stores the selection bias as (1, E)
             name = name.replace(".mlp.moe_statics.e_score_correction_bias",
                                 ".mlp.gate.e_score_correction_bias")
+        elif mt0 == "arctic":
+            # residual_layernorm feeds the dense branch (maps onto the
+            # standard ffn_norm slot); post_attention_layernorm is the
+            # MoE branch's norm (FFN_NORM_EXPS, gguf-py ARCTIC overrides)
+            name = name.replace(".post_attention_layernorm.",
+                                ".moe_layernorm.")
+            name = name.replace(".residual_layernorm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".residual_mlp.w1.",
+                                ".residual_mlp.gate_proj.")
+            name = name.replace(".residual_mlp.w3.",
+                                ".residual_mlp.up_proj.")
+            name = name.replace(".residual_mlp.w2.",
+                                ".residual_mlp.down_proj.")
+        elif mt0 in ("llama4", "llama4_text"):
+            name = name.replace(".feed_forward.router.", ".mlp.gate.")
+            name = name.replace(".feed_forward.shared_expert.",
+                                ".mlp.shared_expert.")
+            name = name.replace(".feed_forward.experts.",
+                                ".mlp.experts_stacked.")
+            name = name.replace(".feed_forward.", ".mlp.")
         elif mt0 in ("bailing_moe", "bailingmoe", "bailing_moe_v2",
                      "bailing_moe2", "bailingmoe2"):
             name = name.replace("model.word_embeddings.",
@@ -1745,6 +1857,22 @@ def convert_hf(
                     we = wf[e].T if pname == "w_down" else wf[e]
                     pack_proj(pname, we, li_g, expert=e)
                 continue
+        if mg and mt0 in ("llama4", "llama4_text"):
+            li_g, sub_g = int(mg.group(1)), mg.group(2)
+            if sub_g == "mlp.experts_stacked.gate_up_proj":
+                # Llama4TextExperts: (E, D, 2*ff) with [gate | up] as
+                # contiguous HALVES of the last dim (HF chunk(2, dim=-1))
+                wf = np.asarray(w, np.float32)
+                ff2 = wf.shape[-1] // 2
+                for e in range(wf.shape[0]):
+                    pack_proj("w_gate", wf[e, :, :ff2].T, li_g, expert=e)
+                    pack_proj("w_up", wf[e, :, ff2:].T, li_g, expert=e)
+                continue
+            if sub_g == "mlp.experts_stacked.down_proj":
+                wf = np.asarray(w, np.float32)  # (E, ff, D)
+                for e in range(wf.shape[0]):
+                    pack_proj("w_down", wf[e].T, li_g, expert=e)
+                continue
         if mg and mt0 == "gpt_oss":
             li_g, sub_g = int(mg.group(1)), mg.group(2)
             if sub_g == "self_attn.sinks":
@@ -1816,6 +1944,18 @@ def convert_hf(
             }.get(sub)
             if pname:
                 pack_proj(pname, w, li, cfg_over=cfg_s)
+                continue
+        if cfg.moe_parallel == "arctic" and sub.startswith("residual_mlp."):
+            import dataclasses as _dc
+
+            cfg_r = _dc.replace(
+                cfg, d_ff=cfg.d_ff_dense or cfg.d_ff, n_experts=0
+            )
+            pname = {"residual_mlp.gate_proj": "w_res_gate",
+                     "residual_mlp.up_proj": "w_res_up",
+                     "residual_mlp.down_proj": "w_res_down"}.get(sub)
+            if pname:
+                pack_proj(pname, w, li, cfg_over=cfg_r)
                 continue
         if (
             ((cfg.first_k_dense and li < cfg.first_k_dense)
@@ -1913,6 +2053,24 @@ def convert_hf(
                 "router", li, np.asarray(w, np.float32).T  # (D, E)
             )
             continue
+        if cfg.moe_chunk_experts:
+            if sub.endswith(".expert_bias"):
+                continue  # grovemoe expert_bias is unused in the modeling
+            em_c = re.match(
+                r"mlp\.chunk_experts\.(\d+)\."
+                r"(gate_proj|up_proj|down_proj)$", sub,
+            )
+            if em_c:
+                import dataclasses as _dc
+
+                cfg_c = _dc.replace(
+                    cfg, d_ff=cfg.d_ff_chunk or cfg.d_ff, n_experts=0
+                )
+                pname = {"gate_proj": "w_ch_gate", "up_proj": "w_ch_up",
+                         "down_proj": "w_ch_down"}[em_c.group(2)]
+                pack_proj(pname, w, li, expert=int(em_c.group(1)),
+                          cfg_over=cfg_c)
+                continue
         em = _MOE_EXPERT_RE.match(sub)
         if em and cfg.n_experts:
             pack_proj(
@@ -2052,7 +2210,8 @@ def convert_hf(
                     continue
                 v = by_layer[i]
                 if isinstance(v, dict):  # {expert: TernaryTensor}
-                    E = cfg.n_experts
+                    E = (cfg.moe_chunk_experts
+                         if pname.startswith("w_ch_") else cfg.n_experts)
                     ld[pname] = {
                         "packed": np.stack(
                             [np.asarray(v[e].packed) for e in range(E)]
@@ -2094,7 +2253,8 @@ def convert_hf(
             raise ValueError(f"missing layers {missing} for {pname}")
         vals = [by_layer[i] for i in range(L)]
         if isinstance(vals[0], dict):  # {expert: TernaryTensor} per layer
-            E = cfg.n_experts
+            E = (cfg.moe_chunk_experts
+                 if pname.startswith("w_ch_") else cfg.n_experts)
             for li, v in enumerate(vals):
                 if sorted(v.keys()) != list(range(E)):
                     raise ValueError(

@@ -146,13 +146,15 @@ def pack_weight(
         return pk(
             scatter_rows(trits, plan.wo_chunk, plan.wo_chunk_p, plan.wo_in_p)
         )
-    if name in ("w_gate", "w_up", "w_shared_gate", "w_shared_up"):
+    if name in ("w_gate", "w_up", "w_shared_gate", "w_shared_up",
+                "w_res_gate", "w_res_up", "w_ch_gate", "w_ch_up"):
         # shared-expert variants pack identically at their own width (the
         # caller passes a cfg with d_ff = n_shared * moe_d_ff)
         return pk(
             scatter_cols(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
-    if name in ("w_down", "w_shared_down"):
+    if name in ("w_down", "w_shared_down", "w_res_down",
+                "w_ch_down"):
         return pk(
             scatter_rows(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
@@ -600,7 +602,8 @@ ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
 
 
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
-               window=None, mask_override=None, alibi=None, sinks=None):
+               window=None, mask_override=None, alibi=None, sinks=None,
+               chunked_window=False):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
     semantics); softcap: gemma2 tanh score capping.
@@ -623,6 +626,7 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
         return _attention_chunked(
             q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window,
             mask_override=mask_override, alibi=alibi, sinks=sinks,
+            chunked_window=chunked_window,
         )
     b, t, h, hd = q.shape
     hkv = k.shape[2]
@@ -644,7 +648,16 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     else:
         mask = (kp <= qp) & (kp >= 0)
         if window is not None:
-            mask &= jnp.where(window > 0, kp > qp - window, True)
+            if chunked_window:
+                # llama4 chunked attention: key visible iff it shares the
+                # floor(pos/window) chunk (LLAMA_SWA_TYPE_CHUNKED,
+                # src/llama-hparams.cpp is_masked_swa)
+                ws = jnp.maximum(window, 1)
+                mask &= jnp.where(
+                    window > 0, (kp // ws) == (qp // ws), True
+                )
+            else:
+                mask &= jnp.where(window > 0, kp > qp - window, True)
     scores = jnp.where(mask, scores, -1e30)
     if sinks is not None:
         sk = jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1)
@@ -662,7 +675,8 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
 
 def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
                        softcap=0.0, window=None, chunk=ATTN_CHUNK,
-                       mask_override=None, alibi=None, sinks=None):
+                       mask_override=None, alibi=None, sinks=None,
+                       chunked_window=False):
     """Online-softmax attention over KV chunks (same semantics as the dense
     path; O(T * chunk) live scores instead of O(T * S)).  Sinks enter as
     the recurrence's initial state (m0 = sink logit, l0 = 1, acc = 0)."""
@@ -710,7 +724,13 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
         else:
             mask = (kp_ <= qp) & (kp_ >= 0)
             if window is not None:
-                mask &= jnp.where(window > 0, kp_ > qp - window, True)
+                if chunked_window:
+                    ws = jnp.maximum(window, 1)
+                    mask &= jnp.where(
+                        window > 0, (kp_ // ws) == (qp // ws), True
+                    )
+                else:
+                    mask &= jnp.where(window > 0, kp_ > qp - window, True)
         sc = jnp.where(mask, sc, -1e30)
         m_new = jnp.maximum(m, sc.max(-1))
         corr = jnp.exp(m - m_new)
@@ -1203,13 +1223,21 @@ def run_layers(
 
     # deepseek/qwen-moe heterogeneous-FFN specs (dense layers + shared
     # experts use widths different from the routed experts')
-    specs_dense = specs_shared = specs_shared_dn = None
+    specs_dense = specs_shared = specs_shared_dn = specs_chunk = None
     if cfg.n_experts and (
         cfg.first_k_dense or cfg.n_shared_experts or cfg.dense_layers
+        or cfg.moe_parallel or cfg.moe_chunk_experts
     ):
         import dataclasses as _dc
 
-        if cfg.first_k_dense or cfg.dense_layers:
+        if cfg.moe_chunk_experts:
+            cfg_c = _dc.replace(
+                cfg, d_ff=cfg.d_ff_chunk or cfg.d_ff, n_experts=0
+            )
+            specs_chunk = weight_specs(
+                cfg_c, tp=tp_size, plan=make_plan(cfg_c)
+            )
+        if cfg.first_k_dense or cfg.dense_layers or cfg.moe_parallel:
             cfg_d = _dc.replace(
                 cfg, d_ff=cfg.d_ff_dense or cfg.d_ff, n_experts=0
             )
@@ -1319,6 +1347,7 @@ def run_layers(
     def layer_step(x, xs):
         # kvio: _LayerKV/_StackedKV or None (cache-less)
         lp, kvio, window, r_on = xs
+        x_in = x  # layer input (arctic's MoE branch reads it directly)
 
         if cfg.kv_lora_rank:
             h_attn, att = mla_attention(x, lp, kvio, window)
@@ -1421,9 +1450,32 @@ def run_layers(
             q = rope_fn(q, safe_pos, r_on)
             k = rope_fn(k, safe_pos, r_on)
             if cfg.qk_norm and cfg.qk_norm_post_rope:
-                # hunyuan-v1 ordering: rope first, per-head RMSNorm second
-                # (HunYuanMoEV1Attention.forward)
-                q, k = qk_norm_fn(q, k)
+                if cfg.qk_norm_type == "l2":
+                    # llama4 Llama4TextL2Norm: WEIGHTLESS per-head rms,
+                    # post-rope, applied only on rope layers (reference
+                    # src/models/llama-iswa.cpp:86-92)
+                    def l2n(z):
+                        zf = z.astype(jnp.float32)
+                        ss = (zf * zf).sum(-1, keepdims=True) / plan.hd
+                        return (zf * jax.lax.rsqrt(ss + cfg.rms_eps)
+                                ).astype(z.dtype)
+                    on_ = (r_on > 0)
+                    q = jnp.where(on_, l2n(q), q)
+                    k = jnp.where(on_, l2n(k), k)
+                else:
+                    # hunyuan-v1 ordering: rope first, per-head RMSNorm
+                    # second (HunYuanMoEV1Attention.forward)
+                    q, k = qk_norm_fn(q, k)
+            if cfg.attn_temp_scale:
+                # llama4 attention temperature tuning on NoPE layers only
+                # (llm_graph_input_attn_temp, src/llama-graph.cpp:74-82)
+                tf = jnp.log(jnp.floor(
+                    (safe_pos.astype(jnp.float32) + cfg.attn_temp_offset)
+                    / cfg.attn_temp_floor
+                ) + 1.0) * cfg.attn_temp_scale + 1.0
+                q = q * jnp.where(
+                    r_on > 0, 1.0, tf[..., None, None]
+                ).astype(q.dtype)
 
             if use_cache:
                 if "no_kv_write" in _ABLATE():
@@ -1449,6 +1501,7 @@ def run_layers(
                     window=window, mask_override=attn_mask,
                     alibi=alibi,
                     sinks=lp["sinks"] if cfg.attn_sinks else None,
+                    chunked_window=cfg.swa_type == "chunked",
                 )
         # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
         chunks_l = plan.tp_pack // tp_size
@@ -1598,6 +1651,13 @@ def run_layers(
         # dict, static under jit (tuple-layers path only)
         moe_here = cfg.n_experts and "router" in lp
         if moe_here:
+            h_res = h
+            if cfg.moe_parallel == "arctic":
+                # arctic: the routed branch reads a SEPARATE norm of the
+                # LAYER INPUT (ffn_norm_exps on inpSA); h_res keeps the
+                # ffn-normed input for the residual_mlp dense branch
+                # (src/models/arctic.cpp:93-97)
+                h = norm_d(x_in, lp, "moe_norm")
             # MoE (build_moe_ffn analog, src/llama-graph.cpp:1045): router
             # top-k combine.  Every expert's packed weights stream through
             # the ternary matmul via an expert scan — static shapes, no
@@ -1686,6 +1746,14 @@ def run_layers(
                                        specs["w_down"].n,
                                        specs["w_down"].fmt,
                                        specs["w_down"].kb)
+                if cfg.moe_weight_before:
+                    # llama4: the (sigmoid) router weight scales the expert
+                    # INPUT (build_moe_ffn weight_before_ffn,
+                    # src/llama-graph.cpp:1092-1097)
+                    h_e = (h.astype(jnp.float32)
+                           * w_e[..., None]).astype(h.dtype)
+                    out_e = dense_ffn(h_e, gt, ut, dt, bg=bg, bu=bu, bd=bd)
+                    return acc + out_e.astype(jnp.float32), None
                 out_e = dense_ffn(h, gt, ut, dt, bg=bg, bu=bu, bd=bd)
                 return acc + w_e[..., None] * out_e.astype(jnp.float32), None
 
@@ -1707,6 +1775,66 @@ def run_layers(
             )
             if ep_axis is not None:
                 dn = jax.lax.psum(dn, ep_axis)
+            if cfg.moe_chunk_experts and "w_ch_gate" in lp:
+                # grovemoe adjugate experts (src/models/grovemoe.cpp):
+                # a second top-k pass over the SAME router logits, expert
+                # id -> id // group, combine weight = softmax probs at the
+                # CHUNK id (build_moe_ffn GROVEMOE id-division), top-k
+                # renormalized; input is the routed OUTPUT, result added
+                # scaled by expert_group_scale
+                ch = cfg.moe_chunk_experts
+                group = cfg.n_experts // ch
+                k_ch = min(k_used, ch)
+                idx_ch = jax.lax.top_k(r_logits, k_ch)[1] // group
+                w_ch = jnp.take_along_axis(scores, idx_ch, axis=-1)
+                w_ch = w_ch / (jnp.sum(w_ch, axis=-1, keepdims=True)
+                               + 1e-20)
+                comb_ch = jnp.zeros(r_logits.shape[:2] + (ch,),
+                                    jnp.float32)
+                comb_ch = jax.vmap(
+                    lambda c, i, w: c.at[jnp.arange(t)[:, None], i].add(w)
+                )(comb_ch, idx_ch, w_ch)
+                h_ch = dn.astype(x.dtype)
+                ch_dense = "dense" in lp["w_ch_gate"]
+
+                def chunk_step(acc, exs):
+                    if ch_dense:
+                        gt, ut, dt, w_e = exs
+                    else:
+                        gp, gs, up_, us, dp, ds, w_e = exs
+                        sc_ = specs_chunk
+                        gt = TernaryTensor(gp, gs, sc_["w_gate"].k,
+                                           sc_["w_gate"].n,
+                                           sc_["w_gate"].fmt,
+                                           sc_["w_gate"].kb)
+                        ut = TernaryTensor(up_, us, sc_["w_up"].k,
+                                           sc_["w_up"].n, sc_["w_up"].fmt,
+                                           sc_["w_up"].kb)
+                        dt = TernaryTensor(dp, ds, sc_["w_down"].k,
+                                           sc_["w_down"].n,
+                                           sc_["w_down"].fmt,
+                                           sc_["w_down"].kb)
+                    out_e = dense_ffn(h_ch, gt, ut, dt)
+                    return (acc + w_e[..., None]
+                            * out_e.astype(jnp.float32), None)
+
+                comb_che = jnp.moveaxis(comb_ch, -1, 0)
+                if ch_dense:
+                    exs_c = (lp["w_ch_gate"]["dense"],
+                             lp["w_ch_up"]["dense"],
+                             lp["w_ch_down"]["dense"], comb_che)
+                else:
+                    exs_c = (
+                        lp["w_ch_gate"]["packed"], lp["w_ch_gate"]["scale"],
+                        lp["w_ch_up"]["packed"], lp["w_ch_up"]["scale"],
+                        lp["w_ch_down"]["packed"], lp["w_ch_down"]["scale"],
+                        comb_che,
+                    )
+                ch_out, _ = jax.lax.scan(
+                    chunk_step,
+                    jnp.zeros((b, t, x.shape[-1]), jnp.float32), exs_c,
+                )
+                dn = dn + cfg.moe_chunk_scale * ch_out
             if "w_shared_gate" in lp:
                 # always-on shared expert: a plain gated FFN added to the
                 # routed output (deepseek: width n_shared * moe_d_ff;
@@ -1726,6 +1854,19 @@ def run_layers(
                     ))
                     sh = sh * g_sh[..., None]
                 dn = dn + sh
+            if cfg.moe_parallel == "arctic":
+                # residual_mlp rides the standard ffn-normed input; its
+                # output joins the residual BEFORE the routed output
+                # (out = moe + (ffn_inp + dense), src/models/arctic.cpp)
+                res_out = dense_ffn(
+                    h_res,
+                    _layer_tensor(lp, "w_res_gate", specs_dense["w_gate"]),
+                    _layer_tensor(lp, "w_res_up", specs_dense["w_up"]),
+                    _layer_tensor(lp, "w_res_down", specs_dense["w_down"]),
+                )
+                if tp_axis is not None:
+                    res_out = jax.lax.psum(res_out, tp_axis)
+                x = x + res_out.astype(x.dtype)
             dn = dn.astype(x.dtype)
         else:
             if cfg.n_experts and not moe_here:

@@ -64,6 +64,22 @@ def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any]):
         specs["w_shared_gate"] = sp_s["w_gate"]
         specs["w_shared_up"] = sp_s["w_up"]
         specs["w_shared_down"] = sp_s["w_down"]
+    if cfg.moe_parallel == "arctic":
+        # arctic residual_mlp packs at d_ff_dense (= d_model)
+        cfg_r = _dc.replace(cfg, d_ff=cfg.d_ff_dense or cfg.d_ff,
+                            n_experts=0)
+        sp_r = weight_specs(cfg_r)
+        specs["w_res_gate"] = sp_r["w_gate"]
+        specs["w_res_up"] = sp_r["w_up"]
+        specs["w_res_down"] = sp_r["w_down"]
+    if cfg.moe_chunk_experts:
+        # grovemoe chunk experts pack at d_ff_chunk
+        cfg_c = _dc.replace(cfg, d_ff=cfg.d_ff_chunk or cfg.d_ff,
+                            n_experts=0)
+        sp_c = weight_specs(cfg_c)
+        specs["w_ch_gate"] = sp_c["w_gate"]
+        specs["w_ch_up"] = sp_c["w_up"]
+        specs["w_ch_down"] = sp_c["w_down"]
     return specs
 
 
