@@ -46,6 +46,11 @@ class ModelConfig:
     attn_scale: float = 0.0       # custom 1/scale for QK^T; 0 = 1/sqrt(hd)
     sliding_window: int = 0       # SWA width; 0 = all-global attention
     sliding_window_pattern: int = 0  # every Nth layer is global (gemma2: 2)
+    rope_theta_local: float = 0.0  # gemma3/mimo2/plamo3: SWA layers use a
+    # different rope base (HF rope_local_base_freq, 10k) WITHOUT the global
+    # table's rope_scaling; 0 = all layers share rope_theta (reference:
+    # model.get_rope_freq_base(cparams, il) per-layer dispatch,
+    # src/llama-model.cpp + src/models/gemma3*.cpp)
     # --- second arch-superset wave (gptneox/phi-2/starcoder2/cohere/
     # stablelm families; reference src/models/{gptneox,phi2,starcoder2,
     # command-r,stablelm}.cpp) ---------------------------------------------
@@ -158,6 +163,20 @@ class ModelConfig:
     # checkpoints are packed with enough padding to shard evenly over any
     # tensor-parallel degree dividing tp_pack (see models/dims.py)
     tp_pack: int = 8
+
+    def swa_flags(self) -> tuple[bool, ...]:
+        """Per-layer sliding-window flags: explicit HF layer_types when
+        present, else the gemma2-style pattern (every Nth layer global).
+        Shared by forward() masking and the engine's context-shift rope
+        rebase (which must pick the local-theta table for SWA layers)."""
+        if not self.sliding_window:
+            return tuple(False for _ in range(self.n_layers))
+        if self.swa_layers is not None:
+            return tuple(bool(f) for f in self.swa_layers)
+        pat = self.sliding_window_pattern
+        if not pat:
+            return tuple(True for _ in range(self.n_layers))
+        return tuple(i % pat != pat - 1 for i in range(self.n_layers))
 
     @property
     def head_dim_(self) -> int:

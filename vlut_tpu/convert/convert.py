@@ -275,7 +275,13 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             post_norms=True, qk_norm=True,
             sliding_window=raw.get("sliding_window", 1024),
             sliding_window_pattern=raw.get("sliding_window_pattern", 6),
+            # SWA layers rope with rope_local_base_freq and no scaling
+            # (reference: gemma3 get_rope_freq_base per-layer dispatch)
+            rope_theta_local=raw.get("rope_local_base_freq", 10000.0),
         )
+        qpas = raw.get("query_pre_attn_scalar")
+        if qpas:
+            extra.update(attn_scale=qpas ** -0.5)
     if mt in ("llada", "dream", "rnd1"):
         # masked-diffusion LMs: bidirectional attention + a mask token
         # (reference examples/diffusion; GGUF add_causal_attention(False)).
@@ -1856,6 +1862,24 @@ def convert_hf(
                 for e in range(cfg.n_experts):
                     we = wf[e].T if pname == "w_down" else wf[e]
                     pack_proj(pname, we, li_g, expert=e)
+                continue
+        if mg and mt0 in ("qwen3_vl_moe", "qwen3_vl_moe_text"):
+            # Qwen3VLMoeTextExperts: stacked (E, D, 2*ff) gate_up with
+            # [gate | up] contiguous halves (HF chunk(2, dim=-1)) and
+            # (E, ff, D) down — reference src/models/qwen3vl-moe.cpp
+            # serves the same softmax top-k renormalized MoE
+            li_g, sub_g = int(mg.group(1)), mg.group(2)
+            if sub_g == "mlp.experts.gate_up_proj":
+                wf = np.asarray(w, np.float32)
+                ff2 = wf.shape[-1] // 2
+                for e in range(wf.shape[0]):
+                    pack_proj("w_gate", wf[e, :, :ff2].T, li_g, expert=e)
+                    pack_proj("w_up", wf[e, :, ff2:].T, li_g, expert=e)
+                continue
+            if sub_g == "mlp.experts.down_proj":
+                wf = np.asarray(w, np.float32)  # (E, ff, D)
+                for e in range(wf.shape[0]):
+                    pack_proj("w_down", wf[e].T, li_g, expert=e)
                 continue
         if mg and mt0 in ("llama4", "llama4_text"):
             li_g, sub_g = int(mg.group(1)), mg.group(2)

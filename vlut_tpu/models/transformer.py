@@ -818,12 +818,7 @@ def forward(
     # when present, else the gemma2-style alternating pattern — every
     # sliding_window_pattern-th layer is global
     if cfg.sliding_window:
-        li = np.arange(cfg.n_layers)
-        if cfg.swa_layers is not None:
-            is_swa = np.asarray(cfg.swa_layers, bool)
-        else:
-            pat = cfg.sliding_window_pattern
-            is_swa = (li % pat != pat - 1) if pat else np.ones_like(li, bool)
+        is_swa = np.asarray(cfg.swa_flags(), bool)
         layer_window = jnp.asarray(
             np.where(is_swa, cfg.sliding_window, 0), jnp.int32
         )
@@ -953,6 +948,15 @@ def run_layers(
         cfg.max_seq_len, rot, cfg.rope_theta, cfg.rope_scaling,
         pad_to=hd_p if rot == plan.hd else None,
     )
+    cos_loc = sin_loc = None
+    if cfg.rope_theta_local:
+        # SWA layers rope with rope_local_base_freq and NO scaling (gemma3:
+        # linear scaling applies to the global layers only — HF
+        # Gemma3RotaryEmbedding uses default rope for local layers)
+        cos_loc, sin_loc = rope_table(
+            cfg.max_seq_len, rot, cfg.rope_theta_local, None,
+            pad_to=hd_p if rot == plan.hd else None,
+        )
     safe_pos = jnp.maximum(positions, 0)
     mrope_sections = tuple(
         (cfg.rope_scaling or {}).get("mrope_section") or ()
@@ -965,9 +969,15 @@ def run_layers(
             "layout)"
         )
 
-    def rope_fn(z, pos, on=None):
+    def rope_fn(z, pos, on=None, loc=None):
         if cfg.pos_embed != "rope":
             return z  # learned/alibi/none positional schemes skip rope
+        if loc is not None and cos_loc is not None:
+            # per-layer local-theta table (traced scalar under lax.scan)
+            c_t = jnp.where(loc, cos_loc, cos)
+            s_t = jnp.where(loc, sin_loc, sin)
+        else:
+            c_t, s_t = cos, sin
         if cfg.rope_interleaved:
             # original-GPT pairwise rope: permute even|odd channels, then
             # half-split rope.  The inverse permutation is dropped — it
@@ -991,10 +1001,10 @@ def run_layers(
             )
             zr = apply_mrope(z, mrope_pos, cos, sin, row_map)
         elif rot == plan.hd:
-            zr = apply_rope(z, pos, cos, sin)
+            zr = apply_rope(z, pos, c_t, s_t)
         else:
             zr = jnp.concatenate(
-                [apply_rope(z[..., :rot], pos, cos, sin), z[..., rot:]],
+                [apply_rope(z[..., :rot], pos, c_t, s_t), z[..., rot:]],
                 axis=-1,
             )
         if on is None:
@@ -1447,8 +1457,9 @@ def run_layers(
                 q = jnp.clip(q, -c_, c_)
                 k = jnp.clip(k, -c_, c_)
                 v = jnp.clip(v, -c_, c_)
-            q = rope_fn(q, safe_pos, r_on)
-            k = rope_fn(k, safe_pos, r_on)
+            loc = (window > 0) if cfg.rope_theta_local else None
+            q = rope_fn(q, safe_pos, r_on, loc)
+            k = rope_fn(k, safe_pos, r_on, loc)
             if cfg.qk_norm and cfg.qk_norm_post_rope:
                 if cfg.qk_norm_type == "l2":
                     # llama4 Llama4TextL2Norm: WEIGHTLESS per-head rms,

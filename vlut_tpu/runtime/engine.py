@@ -812,14 +812,27 @@ class Engine:
             plan = make_plan(self.cfg)
             # unit-magnitude table: stored keys already carry the yarn /
             # longrope mscale, so the rebase rotation must not re-apply it
-            self._rope_tables = rope_table(
+            tabs = rope_table(
                 self.cfg.max_seq_len, plan.hd, self.cfg.rope_theta,
                 self.cfg.rope_scaling, pad_to=plan.hd_p, with_mscale=False,
             )
-        cos, sin = self._rope_tables
+            if getattr(self.cfg, "rope_theta_local", 0.0):
+                # gemma3-style: SWA layers wrote keys with the local-theta
+                # table, so their rebase rotation must use it too
+                tabs = tabs + rope_table(
+                    self.cfg.max_seq_len, plan.hd,
+                    self.cfg.rope_theta_local, None,
+                    pad_to=plan.hd_p, with_mscale=False,
+                )
+            self._rope_tables = tabs
+        tabs = self._rope_tables
+        loc_kw = {}
+        if len(tabs) == 4:
+            loc_kw = dict(cos_loc=tabs[2], sin_loc=tabs[3],
+                          swa_local=self.cfg.swa_flags())
         self.cache = kvc_mod.seq_shift(
             self.cache, jnp.int32(i), jnp.int32(n_keep + n_discard),
-            jnp.int32(n_discard), cos, sin,
+            jnp.int32(n_discard), tabs[0], tabs[1], **loc_kw,
         )
         # host bookkeeping: the slot now holds used - n_discard rows; fold
         # the discarded span out of length/generated

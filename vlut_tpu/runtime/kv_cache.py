@@ -172,7 +172,9 @@ def _shift_layer(entry: dict, slot, start, count, c, s, quant):
     return out
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("swa_local",)
+)
 def seq_shift(
     cache: dict,
     slot: jax.Array,
@@ -180,6 +182,9 @@ def seq_shift(
     count: jax.Array,  # rows removed (shift distance)
     cos: jax.Array,  # UNSCALED rope tables (max_pos, hd_p // 2); see
     sin: jax.Array,  # rope_table(with_mscale=False) — keys carry mscale
+    cos_loc: jax.Array | None = None,  # local-theta tables for SWA layers
+    sin_loc: jax.Array | None = None,  # (cfg.rope_theta_local models)
+    swa_local: tuple[bool, ...] | None = None,  # per-layer "use local table"
 ) -> dict:
     """Context-shift: drop rows [start-count, start) of `slot`, slide the
     tail left, and re-rotate the moved keys by -count positions so their
@@ -189,23 +194,44 @@ def seq_shift(
     memory_update (llama_kv_cache shift + server context-shift,
     server-context.cpp:1916); rotations compose additively per frequency,
     so R(p-c) = R(-c) . R(p) makes the rebase exact.  With a quantized
-    cache the moved keys dequantize, rotate, and requantize.
+    cache the moved keys dequantize, rotate, and requantize.  Models whose
+    SWA layers rope with a different base (gemma3 rope_local_base_freq)
+    pass cos_loc/sin_loc + static per-layer swa_local flags so each
+    layer's keys rebase with the table that wrote them.
     """
     # rotation by -count: angles of position `count`, negated sin
     c = cos[count]  # (hd_p // 2,)
     s = -sin[count]
+    if cos_loc is not None:
+        c_loc, s_loc = cos_loc[count], -sin_loc[count]
+    else:
+        c_loc, s_loc = c, s
+    loc = swa_local or ()
+
+    def tab(i):
+        return (c_loc, s_loc) if (i < len(loc) and loc[i]) else (c, s)
+
     quant = "k_scale" in cache
     keys = list(cache)
     if is_layered(cache):
         n_l = len(cache["k"])
         outs = [
             _shift_layer(
-                {k: cache[k][i] for k in keys}, slot, start, count, c, s,
-                quant,
+                {k: cache[k][i] for k in keys}, slot, start, count,
+                *tab(i), quant,
             )
             for i in range(n_l)
         ]
         return {k: tuple(o[k] for o in outs) for k in keys}
+    if cos_loc is not None:
+        n_l = cache["k"].shape[0]
+        c_all = jnp.stack([tab(i)[0] for i in range(n_l)])
+        s_all = jnp.stack([tab(i)[1] for i in range(n_l)])
+        return jax.vmap(
+            lambda e, ci, si: _shift_layer(
+                e, slot, start, count, ci, si, quant
+            )
+        )({k: cache[k] for k in keys}, c_all, s_all)
     shifted = jax.vmap(
         lambda e: _shift_layer(e, slot, start, count, c, s, quant)
     )({k: cache[k] for k in keys})
