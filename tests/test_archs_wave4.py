@@ -4,16 +4,10 @@ Same protocol as test_archs_hf*.py: tiny random HF checkpoint with
 exact-ternary projections -> convert -> run our forward on dequantized
 float twins -> compare logits against ``transformers``.
 
-Covers the last reference arch graphs without a counterpart here:
-gemma3 (per-layer LOCAL rope theta on SWA layers — rope_local_base_freq),
-qwen3vl-moe (stacked-expert softmax MoE on the interleaved-M-RoPE body),
-smallthinker (router on the LAYER INPUT + relu experts + NoPE step),
-minimax-m2 (whole-width qk-norm + partial rope + sigmoid MoE),
-afmoe (attention output gate, sandwich norms, muP embed scale, sigmoid
-MoE with bias/norm/scale, dense lead), openelm / deci (per-layer head
-counts, attention-free + linear-attention + FFN-free deci layers) —
-reference src/models/{gemma3,qwen3vl-moe,smallthinker,minimax-m2,afmoe,
-openelm,deci}.cpp.
+Covers: gemma3 (per-layer LOCAL rope theta on SWA layers —
+rope_local_base_freq) and qwen3vl-moe (stacked-expert softmax MoE on the
+interleaved-M-RoPE body) — reference src/models/{gemma3,qwen3vl-moe}.cpp.
+The remaining arch-zoo tail lives in tests/test_archs_wave5.py.
 """
 
 import numpy as np

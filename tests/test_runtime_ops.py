@@ -160,3 +160,73 @@ def test_seq_shift_yarn_mscale_not_double_applied():
     expect = np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
     got = np.asarray(out["k"])[:, 0, start - count : S - count]
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("layout", ["layered", "stacked"])
+@pytest.mark.parametrize("quant", [False, True])
+def test_seq_shift_local_theta_per_layer(layout, quant):
+    """gemma3-style dual-theta rebase: SWA layers' keys were roped with the
+    LOCAL theta table, so the context shift must rebase them with that same
+    table (per-layer swa_local flags), in both cache layouts and with a
+    quantized cache (ADVICE r2 #2)."""
+    rng = np.random.default_rng(1)
+    L, B, S, H, D = 4, 2, 16, 2, 64
+    swa_local = (True, False, True, True)  # gemma3 5:1-ish mixed pattern
+    cos_g, sin_g = rope_table(S, D, theta=1_000_000.0)
+    cos_l, sin_l = rope_table(S, D, theta=10_000.0)
+
+    k_raw = rng.standard_normal((L, B, S, H, D)).astype(np.float32)
+
+    def roped_np(x, pos_of_row, cos, sin):
+        # x: (..., S', H, D); broadcast tables over any leading dims
+        c = np.asarray(cos)[pos_of_row][:, None, :]
+        s = np.asarray(sin)[pos_of_row][:, None, :]
+        x1, x2 = x[..., : D // 2], x[..., D // 2 :]
+        return np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+
+    pos0 = np.arange(S)
+    k0 = np.stack([
+        roped_np(k_raw[i], pos0, cos_l if swa_local[i] else cos_g,
+                 sin_l if swa_local[i] else sin_g)
+        for i in range(L)
+    ])
+    cache = {"k": jnp.asarray(k0, jnp.float32),
+             "v": jnp.asarray(k_raw, jnp.float32)}
+    if quant:
+        kq, ks = kvc.quantize_kv(cache["k"])
+        vq, vs = kvc.quantize_kv(cache["v"])
+        cache = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+    if layout == "layered":
+        cache = kvc.to_layered(cache)
+
+    start, count = 5, 3
+    out = kvc.seq_shift(
+        cache, jnp.int32(1), jnp.int32(start), jnp.int32(count),
+        jnp.asarray(cos_g), jnp.asarray(sin_g),
+        cos_loc=jnp.asarray(cos_l), sin_loc=jnp.asarray(sin_l),
+        swa_local=swa_local,
+    )
+    if layout == "layered":
+        out = kvc.to_stacked(out)
+    got = np.asarray(out["k"])[:, 1]
+    if quant:
+        got = got.astype(np.float32) * np.asarray(out["k_scale"])[:, 1, ..., None]
+
+    # expected: moved rows re-roped at their NEW positions with the table
+    # that wrote them (fresh rope of the raw keys — rebase must be exact)
+    new_pos = np.arange(start - count, S - count)
+    for i in range(L):
+        cos_i, sin_i = (cos_l, sin_l) if swa_local[i] else (cos_g, sin_g)
+        expect_moved = roped_np(
+            k_raw[i, 1, start:S], new_pos, cos_i, sin_i
+        )
+        tol = 0.05 if quant else 1e-4  # int8 re-quantization error
+        np.testing.assert_allclose(
+            got[i, start - count : S - count], expect_moved,
+            rtol=tol, atol=tol,
+        )
+        # untouched prefix keeps its original roping
+        np.testing.assert_allclose(
+            got[i, : start - count], k0[i, 1, : start - count],
+            rtol=tol, atol=tol,
+        )

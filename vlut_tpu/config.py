@@ -115,6 +115,19 @@ class ModelConfig:
     # dense(norm(ffn_inp))) — reference src/models/arctic.cpp
     nope_layers: tuple[bool, ...] | None = None  # per-layer "skip rope"
     # (cohere2 global layers, smollm3 no_rope_layers)
+    attn_gate: str = ""           # "sigmoid": afmoe attention output gate —
+    # gate = w_attn_gate @ attn_norm(x), attention output (pre-o_proj)
+    # multiplied by sigmoid(gate) (reference src/models/afmoe.cpp)
+    moe_router_input: str = "hidden"  # "layer_input": smallthinker computes
+    # the router logits on the RAW layer input (before any norm), while the
+    # experts still read the ffn-normed hidden (src/models/smallthinker.cpp)
+    heads_per_layer: tuple[tuple[int, int], ...] | None = None  # per-layer
+    # (n_heads, n_kv_heads) — openelm/deci/mimo2/plamo3 heterogeneous
+    # attention.  Forces the tuple-layers (unrolled) checkpoint layout;
+    # layer_step derives each layer's counts from its projection widths.
+    # n_heads/n_kv_heads hold the per-layer MAXIMA (sizing KV caches)
+    d_ff_per_layer: tuple[int, ...] | None = None  # per-layer FFN width
+    # (openelm ffn_multipliers, deci per-block n_ff; 0 = FFN-free layer)
     alibi_scaled: bool = False    # falcon folds 1/sqrt(head_dim) into the
     # alibi bias ((scores + alibi) * inv_norm); bloom/mpt add it unscaled
     attn_sinks: bool = False      # gpt-oss learned per-head sink logits

@@ -43,6 +43,8 @@ _PROJ_MAP = {
     "self_attn.k_proj": "wk",
     "self_attn.v_proj": "wv",
     "self_attn.o_proj": "wo",
+    # afmoe sigmoid attention gate (canon renames self_attn.gate_proj)
+    "self_attn.attn_gate_proj": "w_attn_gate",
     "mlp.gate_proj": "w_gate",
     "mlp.up_proj": "w_up",
     "mlp.down_proj": "w_down",
@@ -966,8 +968,12 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             n_experts_used=raw.get("num_experts_per_tok", 2),
             # save_pretrained omits default-valued keys: qwen-moe/olmoe
             # HF configs default norm_topk_prob to FALSE, mixtral-style
-            # models always renormalize
-            moe_norm_topk=raw.get(
+            # models always renormalize.  qwen3-vl-moe renormalizes
+            # UNCONDITIONALLY (Qwen3VLMoeTextSparseMoeBlock comments out
+            # its norm_topk_prob check), so the config value is ignored.
+            moe_norm_topk=True
+            if mt in ("qwen3_vl_moe", "qwen3_vl_moe_text")
+            else raw.get(
                 "norm_topk_prob",
                 mt not in ("qwen2_moe", "qwen3_moe", "olmoe", "rnd1",
                            "llada_moe"),
@@ -996,6 +1002,164 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 d_ff_shared=raw.get(
                     "shared_expert_intermediate_size", 0) or 0,
             )
+    if mt == "deepseek":
+        # deepseek V1 (DeepseekForCausalLM): llama attention + the original
+        # deepseek-MoE — softmax scoring, top-k WITHOUT renormalization,
+        # always-on shared experts, leading dense layers (reference
+        # src/models/deepseek.cpp: build_moe_ffn norm_w=false scale_w=false)
+        fkd = raw.get("first_k_dense_replace", 1)
+        if (raw.get("n_routed_experts") or 0) and (
+            fkd < raw["num_hidden_layers"]
+        ):
+            extra.update(
+                n_experts=raw["n_routed_experts"],
+                n_experts_used=raw.get("num_experts_per_tok", 6),
+                d_ff=raw.get(
+                    "moe_intermediate_size", raw["intermediate_size"]),
+                d_ff_dense=raw["intermediate_size"],
+                first_k_dense=fkd,
+                n_shared_experts=raw.get("n_shared_experts", 2) or 0,
+                moe_score="softmax",
+                moe_norm_topk=False,
+            )
+    if mt == "minimax_m2" or "MiniMaxM2ForCausalLM" in archs:
+        # MiniMax-M2 (reference src/models/minimax-m2.cpp): WHOLE-width
+        # q/k RMSNorm before the head reshape, partial rotary (rotary_dim),
+        # MoE with scoring from config + e_score_correction selection bias
+        # + top-k renorm (build_moe_ffn norm_w=true)
+        hd_ = raw.get("head_dim") or (
+            raw["hidden_size"] // raw["num_attention_heads"])
+        extra.update(
+            qk_norm=True, qk_norm_scope="whole",
+            rope_pct=raw.get("rotary_dim", hd_) / hd_,
+            head_dim=hd_,
+            n_experts=raw.get(
+                "num_local_experts", raw.get("num_experts", 0)) or 0,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            d_ff=raw.get("moe_intermediate_size",
+                         raw["intermediate_size"]),
+            moe_score=raw.get("scoring_func", "sigmoid"),
+            moe_norm_topk=True,
+        )
+    if mt == "smallthinker":
+        # SmallThinker (reference src/models/smallthinker.cpp): router
+        # logits computed on the RAW layer input (pre-norm), relu-gated
+        # experts, optional NoPE step + sliding-window layout
+        nl = raw["num_hidden_layers"]
+        extra.update(
+            act_fn="relu",
+            moe_router_input="layer_input",
+            n_experts=raw.get(
+                "num_experts", raw.get("moe_num_primary_experts", 0)) or 0,
+            n_experts_used=raw.get(
+                "num_experts_per_tok",
+                raw.get("moe_num_active_primary_experts", 2)),
+            d_ff=raw.get("moe_ffn_hidden_size", raw.get(
+                "intermediate_size", raw["hidden_size"] * 4)),
+            moe_score=("softmax"
+                       if raw.get("moe_primary_router_apply_softmax", True)
+                       else "sigmoid"),
+            moe_norm_topk=True,
+        )
+        raw.setdefault("intermediate_size",
+                       raw.get("moe_ffn_hidden_size", 0))
+        swl = raw.get("sliding_window_layout")
+        if swl and any(swl):
+            extra.update(
+                sliding_window=raw.get("sliding_window_size", 4096),
+                swa_layers=tuple(bool(v) for v in swl),
+            )
+        # NoPE layers: HF rope_layout is a per-layer 1=rope mask; absent,
+        # the reference uses il % 4 == 0 when SWA is on
+        # (llm_build_smallthinker rope condition + set_swa_pattern(4, true))
+        rl = raw.get("rope_layout")
+        if rl:
+            extra.update(nope_layers=tuple(not bool(v) for v in rl))
+        elif swl and any(swl):
+            extra.update(nope_layers=tuple(i % 4 == 0 for i in range(nl)))
+    if mt == "afmoe":
+        # AFMoE (reference src/models/afmoe.cpp): muP embedding scale,
+        # sandwich (pre+post) norms on both branches, per-head qk-norm,
+        # sigmoid-gated attention output (gate from the attn-normed input,
+        # applied BEFORE o_proj), NoPE on every n-th (global) layer, MoE
+        # with sigmoid scoring + selection bias + renorm + routed scale +
+        # shared expert, leading dense layers
+        nl = raw["num_hidden_layers"]
+        extra.update(
+            embed_scale=raw["hidden_size"] ** 0.5,
+            post_norms=True,
+            qk_norm=True,
+            attn_gate="sigmoid",
+            n_experts=raw.get("num_experts", 0) or 0,
+            n_experts_used=raw.get("num_experts_per_tok", 2),
+            d_ff=raw.get("moe_intermediate_size",
+                         raw["intermediate_size"]),
+            d_ff_dense=raw["intermediate_size"],
+            first_k_dense=raw.get("num_dense_layers", 0),
+            n_shared_experts=raw.get("num_shared_experts", 0) or 0,
+            moe_score=raw.get("scoring_func", "sigmoid"),
+            moe_norm_topk=raw.get("route_norm", True),
+            routed_scale=raw.get("route_scale", 1.0),
+        )
+        lt = raw.get("layer_types")
+        if lt:
+            swa = [t == "sliding_attention" for t in lt]
+        else:
+            step = raw.get("global_attn_every_n_layers", 4)
+            swa = [(i + 1) % step != 0 for i in range(nl)]
+        if raw.get("sliding_window"):
+            extra.update(sliding_window=raw["sliding_window"],
+                         swa_layers=tuple(swa))
+        # rope only on sliding layers (use_rope = (il+1) % step != 0)
+        extra.update(nope_layers=tuple(not s for s in swa))
+    if mt == "mimo2" or "MiMoV2FlashForCausalLM" in archs:
+        # MiMo-V2 (reference src/models/mimo2-iswa.cpp): per-layer SWA with
+        # its own rope theta (swa_rope_theta), per-layer kv-head counts,
+        # learned attention sinks, noaux_tc sigmoid MoE + selection bias
+        pat = raw.get("hybrid_layer_pattern") or []
+        swa = [bool(v) for v in pat]
+        kv_g = raw.get("num_key_value_heads",
+                       raw["num_attention_heads"])
+        kv_s = raw.get("swa_num_key_value_heads", kv_g)
+        hd_ = raw.get("head_dim") or (
+            raw["hidden_size"] // raw["num_attention_heads"])
+        extra.update(
+            head_dim=hd_,
+            rope_pct=raw.get("partial_rotary_factor", 1.0),
+            attn_sinks=True,
+            qkv_bias=bool(raw.get("attention_bias", False)),
+        )
+        if any(swa):
+            extra.update(
+                sliding_window=raw.get("sliding_window", 4096),
+                swa_layers=tuple(swa),
+                rope_theta_local=raw.get(
+                    "swa_rope_theta", raw.get("rope_theta", 10000.0)),
+            )
+            if kv_s != kv_g:
+                extra.update(heads_per_layer=tuple(
+                    (raw["num_attention_heads"], kv_s if s else kv_g)
+                    for s in swa
+                ))
+        if raw.get("n_routed_experts"):
+            extra.update(
+                n_experts=raw["n_routed_experts"],
+                n_experts_used=raw.get("num_experts_per_tok", 2),
+                d_ff=raw.get("moe_intermediate_size",
+                             raw["intermediate_size"]),
+                d_ff_dense=raw["intermediate_size"],
+                first_k_dense=raw.get("first_k_dense_replace", 0),
+                moe_score="sigmoid",
+                moe_norm_topk=raw.get("norm_topk_prob", True),
+            )
+        raw.setdefault("rms_norm_eps", raw.get("layernorm_epsilon", 1e-5))
+    if "Gemma3TextModel" in archs or raw.get("use_bidirectional_attention"):
+        # EmbeddingGemma (reference src/models/gemma-embedding.cpp +
+        # convert_hf_to_gguf.py EmbeddingGemma): the gemma3 text body with
+        # BIDIRECTIONAL attention and embedding (t_embd) output — no
+        # lm_head; serving pools the hidden states
+        extra.update(causal_attn=False)
+        raw.setdefault("tie_word_embeddings", True)  # no lm_head tensor
     rope_scaling = raw.get("rope_scaling")
     return ModelConfig(
         arch="bitnet" if is_bitnet else "llama",
@@ -1393,6 +1557,7 @@ def convert_hf(
     vision_raw: dict[str, np.ndarray] = {}
     qwen_vis_raw: dict[str, np.ndarray] = {}
     mt0 = raw0.get("model_type", "")
+    is_embgemma = "Gemma3TextModel" in raw0.get("architectures", [])
 
     def canon(name: str) -> str:
         """Arch-specific HF tensor names -> the llama-style canonical names
@@ -1740,9 +1905,62 @@ def convert_hf(
             name = name.replace(".mlp.c_fc_0.", ".mlp.gate_proj.")
             name = name.replace(".mlp.c_fc_1.", ".mlp.up_proj.")
             name = name.replace(".mlp.c_proj.", ".mlp.down_proj.")
+        elif mt0 == "mistral3":
+            # Mistral3ForConditionalGeneration text tower (reference
+            # src/models/mistral3.cpp — a plain llama/mistral graph);
+            # vision tensors are dropped before canon()
+            name = name.replace("model.language_model.", "model.")
+            name = name.replace("language_model.model.", "model.")
+            if name.startswith("language_model.lm_head."):
+                name = name[len("language_model."):]
+        elif mt0 == "minimax_m2":
+            # MiniMax-M2 (src/models/minimax-m2.cpp): mixtral expert
+            # names + deepseek-style selection bias
+            name = name.replace(
+                ".block_sparse_moe.e_score_correction_bias",
+                ".mlp.gate.e_score_correction_bias")
+            name = name.replace(".block_sparse_moe.gate.",
+                                ".mlp.gate.")
+            name = name.replace(".block_sparse_moe.coefficient.",
+                                ".mlp.gate.")
+        elif mt0 == "smallthinker":
+            name = name.replace(".block_sparse_moe.primary_router.",
+                                ".mlp.gate.")
+            name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.gate\.",
+                          r".block_sparse_moe.experts.\1.gate_proj.", name)
+            name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.up\.",
+                          r".block_sparse_moe.experts.\1.up_proj.", name)
+            name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.down\.",
+                          r".block_sparse_moe.experts.\1.down_proj.", name)
+        elif mt0 == "afmoe":
+            # afmoe (src/models/afmoe.cpp): router under mlp.router.gate,
+            # selection bias mlp.expert_bias, attention gate
+            # self_attn.gate_proj, mlp pre/post norms
+            name = name.replace(".mlp.router.gate.", ".mlp.gate.")
+            name = name.replace(".mlp.expert_bias",
+                                ".mlp.gate.e_score_correction_bias")
+            name = name.replace(".self_attn.gate_proj.",
+                                ".self_attn.attn_gate_proj.")
+            name = name.replace(".pre_mlp_layernorm.",
+                                ".pre_feedforward_layernorm.")
+            name = name.replace(".post_mlp_layernorm.",
+                                ".post_feedforward_layernorm.")
+        elif mt0 == "mimo2":
+            name = name.replace(".self_attn.attention_sink_bias",
+                                ".self_attn.sink_bias")
+        elif is_embgemma and not name.startswith("model."):
+            # EmbeddingGemma (Gemma3TextModel): tensors are saved WITHOUT
+            # the "model." wrapper (embed_tokens/layers.N/norm)
+            name = "model." + name
         return name
 
     for name, w in _iter_hf_tensors(hf_dir):
+        if mt0 == "mistral3" and name.split(".", 2)[0] in (
+            "vision_tower", "multi_modal_projector"
+        ) or mt0 == "mistral3" and name.startswith(
+            ("model.vision_tower", "model.multi_modal_projector")
+        ):
+            continue  # mistral3 text passthrough drops the vision tower
         name = canon(name)
         if name.endswith("weight_scale"):
             continue
@@ -1844,6 +2062,14 @@ def convert_hf(
             "mlp.xielu_ap", "mlp.xielu_an"
         ):
             note_layer(mg.group(2).split(".")[1], int(mg.group(1)),
+                       np.asarray(w, np.float32).reshape(-1))
+            continue
+        if mg and mt0 == "mimo2" and mg.group(2) in (
+            "self_attn.sink_bias", "self_attn.sink_bias.weight"
+        ):
+            # MiMo-V2 learned per-head attention sinks
+            # (src/models/mimo2-iswa.cpp attn_sinks)
+            note_layer("sinks", int(mg.group(1)),
                        np.asarray(w, np.float32).reshape(-1))
             continue
         if mg and mt0 == "dbrx":

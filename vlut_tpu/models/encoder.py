@@ -11,8 +11,7 @@ like any other request, no KV cache involved.
 Two graph families cover the reference's four encoder archs:
 
 * ``bert`` — post-LN, learned absolute positions + token-type embeddings,
-  biased projections, exact-gelu MLP (also covers neo-bert-style checkpoints
-  converted with the same tensor names).
+  biased projections, exact-gelu MLP.
 * ``modernbert`` — pre-LN (bias-free LayerNorm), fused qkv, rope with
   per-layer theta, alternating local (bidirectional sliding window) /
   global attention every `global_every` layers, GeGLU MLP.

@@ -44,7 +44,7 @@ from vlut_tpu.models.dims import (
 )
 from vlut_tpu.ops.matmul import ternary_matmul
 from vlut_tpu.ops.packing import TernaryTensor, pack_ternary
-from vlut_tpu.ops.rope import apply_rope, rope_table
+from vlut_tpu.ops.rope import apply_rope, apply_rope_rows, rope_table
 
 
 def _ABLATE() -> set[str]:
@@ -95,6 +95,9 @@ def weight_specs(
         "w_up": TernarySpec(d, ff, fmt, kb),
         "w_down": TernarySpec(ff, d, fmt, kb),
     }
+    if cfg.attn_gate:
+        # afmoe attention output gate: packs exactly like wq
+        specs["w_attn_gate"] = TernarySpec(d, qd, fmt, kb)
     if cfg.kv_lora_rank:
         dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
         specs["wkv_a"] = TernarySpec(d, cfg.kv_lora_rank + dr, fmt, kb)
@@ -138,8 +141,8 @@ def pack_weight(
     kb, fmt = plan.kb, cfg.weight_fmt
     hd, hd_p = plan.hd, plan.hd_p
     pk = lambda tr: pack_ternary(tr, scale, fmt, kb, use_native=True)  # noqa: E731
-    if name in ("wq", "wk", "wv"):
-        heads = cfg.n_heads if name == "wq" else cfg.n_kv_heads
+    if name in ("wq", "wk", "wv", "w_attn_gate"):
+        heads = cfg.n_kv_heads if name in ("wk", "wv") else cfg.n_heads
         return pk(pad_heads_cols(trits, heads, hd, hd_p))
     if name == "wo":
         trits = pad_heads_rows(trits, cfg.n_heads, hd, hd_p)
@@ -280,9 +283,9 @@ def unpack_weight(
             :, :, head_positions(hd, hd_p)
         ].reshape(k, heads * hd)
 
-    if name in ("wq", "wk", "wv"):
+    if name in ("wq", "wk", "wv", "w_attn_gate"):
         return gather_head_cols(
-            w, cfg.n_heads if name == "wq" else cfg.n_kv_heads
+            w, cfg.n_kv_heads if name in ("wk", "wv") else cfg.n_heads
         )
     if name == "wo":
         rows = chunk_positions(
@@ -603,7 +606,7 @@ ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
 
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
                window=None, mask_override=None, alibi=None, sinks=None,
-               chunked_window=False):
+               chunked_window=False, causal=True):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
     semantics); softcap: gemma2 tanh score capping.
@@ -626,7 +629,7 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
         return _attention_chunked(
             q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window,
             mask_override=mask_override, alibi=alibi, sinks=sinks,
-            chunked_window=chunked_window,
+            chunked_window=chunked_window, causal=causal,
         )
     b, t, h, hd = q.shape
     hkv = k.shape[2]
@@ -646,7 +649,11 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     if mask_override is not None:
         mask = mask_override[:, None, None, :, :]
     else:
-        mask = (kp <= qp) & (kp >= 0)
+        # causal=False: bidirectional (encoder / gemma-embedding); SWA
+        # then masks symmetrically — HF _bidirectional_window_overlay
+        # |q - k| < window (the reference's LLAMA_SWA_TYPE_SYMMETRIC
+        # analog, src/llama-hparams.cpp:220)
+        mask = ((kp <= qp) & (kp >= 0)) if causal else (kp >= 0)
         if window is not None:
             if chunked_window:
                 # llama4 chunked attention: key visible iff it shares the
@@ -656,8 +663,12 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
                 mask &= jnp.where(
                     window > 0, (kp // ws) == (qp // ws), True
                 )
-            else:
+            elif causal:
                 mask &= jnp.where(window > 0, kp > qp - window, True)
+            else:
+                mask &= jnp.where(
+                    window > 0, jnp.abs(kp - qp) < window, True
+                )
     scores = jnp.where(mask, scores, -1e30)
     if sinks is not None:
         sk = jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1)
@@ -676,7 +687,7 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
 def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
                        softcap=0.0, window=None, chunk=ATTN_CHUNK,
                        mask_override=None, alibi=None, sinks=None,
-                       chunked_window=False):
+                       chunked_window=False, causal=True):
     """Online-softmax attention over KV chunks (same semantics as the dense
     path; O(T * chunk) live scores instead of O(T * S)).  Sinks enter as
     the recurrence's initial state (m0 = sink logit, l0 = 1, acc = 0)."""
@@ -722,15 +733,19 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
             )
             mask = mc[:, None, None, :, :]
         else:
-            mask = (kp_ <= qp) & (kp_ >= 0)
+            mask = ((kp_ <= qp) & (kp_ >= 0)) if causal else (kp_ >= 0)
             if window is not None:
                 if chunked_window:
                     ws = jnp.maximum(window, 1)
                     mask &= jnp.where(
                         window > 0, (kp_ // ws) == (qp // ws), True
                     )
-                else:
+                elif causal:
                     mask &= jnp.where(window > 0, kp_ > qp - window, True)
+                else:
+                    mask &= jnp.where(
+                        window > 0, jnp.abs(kp_ - qp) < window, True
+                    )
         sc = jnp.where(mask, sc, -1e30)
         m_new = jnp.maximum(m, sc.max(-1))
         corr = jnp.exp(m - m_new)
@@ -927,6 +942,11 @@ def run_layers(
     """
     plan = plan or make_plan(cfg)
     specs = weight_specs(cfg, tp=tp_size, plan=plan)
+    # per-layer overrides (heads_per_layer / d_ff_per_layer archs:
+    # openelm/deci/mimo2/plamo3): the unrolled loop swaps in each layer's
+    # own spec table + dim plan before calling layer_step (trace-time
+    # only — scan-mode models are always uniform)
+    _dyn = {"specs": specs, "plan": plan}
     heads_l = cfg.n_heads // tp_size
     kv_heads_l = cfg.n_kv_heads // tp_size
     hd_p = plan.hd_p
@@ -973,11 +993,17 @@ def run_layers(
         if cfg.pos_embed != "rope":
             return z  # learned/alibi/none positional schemes skip rope
         if loc is not None and cos_loc is not None:
-            # per-layer local-theta table (traced scalar under lax.scan)
-            c_t = jnp.where(loc, cos_loc, cos)
-            s_t = jnp.where(loc, sin_loc, sin)
+            # per-layer local-theta table (traced scalar under lax.scan).
+            # Gather BOTH tables at the token positions FIRST, then select
+            # on the gathered (T, half) rows — a pre-gather jnp.where
+            # over the full (max_seq_len, half) tables materializes
+            # table-sized temporaries on every q/k rope call per layer.
+            c_t = jnp.where(loc, cos_loc[pos], cos[pos])[..., None, :]
+            s_t = jnp.where(loc, sin_loc[pos], sin[pos])[..., None, :]
+            pre_gathered = True
         else:
             c_t, s_t = cos, sin
+            pre_gathered = False
         if cfg.rope_interleaved:
             # original-GPT pairwise rope: permute even|odd channels, then
             # half-split rope.  The inverse permutation is dropped — it
@@ -1001,12 +1027,18 @@ def run_layers(
             )
             zr = apply_mrope(z, mrope_pos, cos, sin, row_map)
         elif rot == plan.hd:
-            zr = apply_rope(z, pos, c_t, s_t)
-        else:
-            zr = jnp.concatenate(
-                [apply_rope(z[..., :rot], pos, c_t, s_t), z[..., rot:]],
-                axis=-1,
+            zr = (
+                apply_rope_rows(z, c_t, s_t)
+                if pre_gathered
+                else apply_rope(z, pos, c_t, s_t)
             )
+        else:
+            zrot = (
+                apply_rope_rows(z[..., :rot], c_t, s_t)
+                if pre_gathered
+                else apply_rope(z[..., :rot], pos, c_t, s_t)
+            )
+            zr = jnp.concatenate([zrot, z[..., rot:]], axis=-1)
         if on is None:
             return zr
         # per-layer NoPE flag (cohere2 global layers / smollm3
@@ -1069,7 +1101,7 @@ def run_layers(
     def proj(h_, lp, name):
         """Base matmul + optional LoRA delta (build_lora_mm analog,
         src/llama-graph.cpp:668-692)."""
-        out = mm(h_, _layer_tensor(lp, name, specs[name]))
+        out = mm(h_, _layer_tensor(lp, name, _dyn["specs"][name]))
         w = lp[name]
         if isinstance(w, dict) and "lora_a" in w:
             delta = jnp.dot(
@@ -1359,7 +1391,24 @@ def run_layers(
         lp, kvio, window, r_on = xs
         x_in = x  # layer input (arctic's MoE branch reads it directly)
 
-        if cfg.kv_lora_rank:
+        # deci heterogeneous layer kinds (src/models/deci.cpp): a layer
+        # may lack attention (n_head==0), use a bare linear "attention"
+        # (n_head_kv==0: wo straight on the attn-normed input), or lack
+        # the FFN (n_ff==0 — the reference graph then skips the WHOLE
+        # block including the attention residual: `continue`)
+        has_attn = bool(cfg.kv_lora_rank) or "wq" in lp or "wqkv" in lp
+        if not any(
+            k_ in lp for k_ in ("w_gate", "w_up", "w_gateup", "router")
+        ):
+            return x_in  # deci n_ff==0 no-op layer
+        if not has_attn:
+            if "wo" in lp:
+                o = proj(norm_d(x, lp, "attn_norm"), lp, "wo")
+                if tp_axis is not None:
+                    o = jax.lax.psum(o, tp_axis)
+                x = x + o.astype(x.dtype)
+            h_attn = None
+        elif cfg.kv_lora_rank:
             h_attn, att = mla_attention(x, lp, kvio, window)
         else:
             if ("wqkv" in lp and can_fuse(lp, "wqkv") and std_norm
@@ -1405,9 +1454,11 @@ def run_layers(
                 q = q + lp["bq"].astype(q.dtype)
                 k = k + lp["bk"].astype(k.dtype)
                 v = v + lp["bv"].astype(v.dtype)
-            q = q.reshape(b, t, heads_l, hd_p)
-            k = k.reshape(b, t, kv_heads_l, hd_p)
-            v = v.reshape(b, t, kv_heads_l, hd_p)
+            # head counts derived from the projection widths so
+            # per-layer-head archs (openelm/deci/mimo2) work unchanged
+            q = q.reshape(b, t, q.shape[-1] // hd_p, hd_p)
+            k = k.reshape(b, t, k.shape[-1] // hd_p, hd_p)
+            v = v.reshape(b, t, v.shape[-1] // hd_p, hd_p)
             def qk_norm_fn(q, k):
                 if cfg.qk_norm_type == "ln":
                     # chameleon: per-head LayerNorm, stats over head_dim,
@@ -1513,51 +1564,66 @@ def run_layers(
                     alibi=alibi,
                     sinks=lp["sinks"] if cfg.attn_sinks else None,
                     chunked_window=cfg.swa_type == "chunked",
+                    causal=cfg.causal_attn,
                 )
-        # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
-        chunks_l = plan.tp_pack // tp_size
-        att = att.reshape(b, t, chunks_l, plan.wo_chunk)
-        if plan.wo_chunk_p != plan.wo_chunk:
-            att = jnp.pad(
-                att,
-                ((0, 0), (0, 0), (0, 0), (0, plan.wo_chunk_p - plan.wo_chunk)),
-            )
-        att = att.reshape(b, t, chunks_l * plan.wo_chunk_p)
         par = cfg.parallel_residual
-        if (
-            can_fuse(lp, "wo") and tp_axis is None and not cfg.post_norms
-            and not par and not cfg.proj_bias
-        ):
-            # [attn_sub_norm] + quant + wo GEMM + residual in one kernel
-            from vlut_tpu.ops.matmul import ternary_matmul_fused
-
-            x = ternary_matmul_fused(
-                att, _layer_tensor(lp, "wo", specs["wo"]),
-                mode="norm" if cfg.use_subnorms else "plain",
-                norm_g=lp.get("attn_sub_norm"),
-                norm_n=cfg.n_heads * plan.hd, eps=cfg.rms_eps,
-                residual=x, impl=impl, out_dtype=x.dtype,
-            )
-        else:
-            if cfg.use_subnorms:
-                att = _rms(
-                    att, lp["attn_sub_norm"], cfg.rms_eps,
-                    cfg.n_heads * plan.hd, tp_axis,
+        attn_out = None
+        if has_attn:
+            if cfg.attn_gate and "w_attn_gate" in lp:
+                # afmoe attention output gate (src/models/afmoe.cpp):
+                # gate = w_attn_gate @ attn-normed input, and the
+                # PRE-o_proj attention output is scaled by sigmoid(gate)
+                assert h_attn is not None, (
+                    "attn_gate requires the unfused qkv path"
                 )
-            o = proj(att, lp, "wo")
-            if tp_axis is not None:
-                o = jax.lax.psum(o, tp_axis)
-            if cfg.proj_bias and "bo" in lp:
-                o = o + lp["bo"].astype(o.dtype)
-            if cfg.post_norms:
-                o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
-                         plus_one=p1)
-            if par:
-                # gptneox/phi-2/cohere: the FFN branches off the SAME layer
-                # input; both branch outputs add to the residual at the end
-                attn_out = o
+                g = proj(h_attn, lp, "w_attn_gate")
+                att = att.reshape(b, t, -1).astype(jnp.float32) * (
+                    jax.nn.sigmoid(g.astype(jnp.float32))
+                )
+            # chunk-pad into the wo packed-K layout (no-op when chunk == chunk_p)
+            plan_l = _dyn["plan"]
+            chunks_l = plan_l.tp_pack // tp_size
+            att = att.reshape(b, t, chunks_l, plan_l.wo_chunk)
+            if plan_l.wo_chunk_p != plan_l.wo_chunk:
+                att = jnp.pad(
+                    att,
+                    ((0, 0), (0, 0), (0, 0), (0, plan_l.wo_chunk_p - plan_l.wo_chunk)),
+                )
+            att = att.reshape(b, t, chunks_l * plan_l.wo_chunk_p)
+            if (
+                can_fuse(lp, "wo") and tp_axis is None and not cfg.post_norms
+                and not par and not cfg.proj_bias
+            ):
+                # [attn_sub_norm] + quant + wo GEMM + residual in one kernel
+                from vlut_tpu.ops.matmul import ternary_matmul_fused
+
+                x = ternary_matmul_fused(
+                    att, _layer_tensor(lp, "wo", _dyn["specs"]["wo"]),
+                    mode="norm" if cfg.use_subnorms else "plain",
+                    norm_g=lp.get("attn_sub_norm"),
+                    norm_n=cfg.n_heads * plan.hd, eps=cfg.rms_eps,
+                    residual=x, impl=impl, out_dtype=x.dtype,
+                )
             else:
-                x = x + o.astype(x.dtype)
+                if cfg.use_subnorms:
+                    att = _rms(
+                        att, lp["attn_sub_norm"], cfg.rms_eps,
+                        cfg.n_heads * plan.hd, tp_axis,
+                    )
+                o = proj(att, lp, "wo")
+                if tp_axis is not None:
+                    o = jax.lax.psum(o, tp_axis)
+                if cfg.proj_bias and "bo" in lp:
+                    o = o + lp["bo"].astype(o.dtype)
+                if cfg.post_norms:
+                    o = _rms(o, lp["post_attn_norm"], cfg.rms_eps, cfg.d_model,
+                             plus_one=p1)
+                if par:
+                    # gptneox/phi-2/cohere: the FFN branches off the SAME layer
+                    # input; both branch outputs add to the residual at the end
+                    attn_out = o
+                else:
+                    x = x + o.astype(x.dtype)
 
         ffn_fused = (
             not cfg.n_experts
@@ -1675,8 +1741,11 @@ def run_layers(
             # gather/capacity machinery; optimal when tokens*k >= n_experts
             # (the serving regime), and the weights are 2 bpw so a full
             # sweep costs 1/8th of a bf16 MoE's bandwidth.
+            r_in = (
+                x_in if cfg.moe_router_input == "layer_input" else h
+            )  # smallthinker routes on the RAW layer input
             r_logits = jnp.einsum(
-                "btd,de->bte", h.astype(jnp.float32),
+                "btd,de->bte", r_in.astype(jnp.float32),
                 lp["router"].astype(jnp.float32),
             )
             if "router_b" in lp:
@@ -1968,9 +2037,30 @@ def run_layers(
             from vlut_tpu.runtime.kv_cache import to_layered
 
             kv_state = to_layered(kv)
+        hetero = cfg.heads_per_layer or cfg.d_ff_per_layer
         for i, lp in enumerate(layers):
+            if hetero:
+                # per-layer head counts / FFN widths (openelm/deci/mimo2/
+                # plamo3): swap in this layer's spec table + dim plan
+                import dataclasses as _dc
+
+                hp = (cfg.heads_per_layer[i] if cfg.heads_per_layer
+                      else (cfg.n_heads, cfg.n_kv_heads))
+                ffi = (cfg.d_ff_per_layer[i] if cfg.d_ff_per_layer
+                       else cfg.d_ff)
+                cfg_l = _dc.replace(
+                    cfg, n_heads=max(hp[0], 1),
+                    n_kv_heads=max(hp[1] or hp[0], 1), d_ff=max(ffi, 1),
+                    heads_per_layer=None, d_ff_per_layer=None,
+                )
+                _dyn["plan"] = make_plan(cfg_l)
+                _dyn["specs"] = weight_specs(
+                    cfg_l, tp=tp_size, plan=_dyn["plan"]
+                )
             kvio = _SlotKV(kv_state, i) if use_cache else None
             x = layer_step(x, (lp, kvio, layer_window[i], rope_on[i]))
+        if hetero:
+            _dyn["plan"], _dyn["specs"] = plan, specs
         return x, kv_state
 
     if use_cache:

@@ -184,3 +184,18 @@ def apply_rope(
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(x.dtype)
+
+
+def apply_rope_rows(
+    x: jax.Array,  # (..., T, H, head_dim)
+    c: jax.Array,  # (..., T, 1, half) — already gathered at positions
+    s: jax.Array,
+) -> jax.Array:
+    """apply_rope for callers that gathered cos/sin at the token positions
+    themselves (e.g. to select between a global and a local-theta table on
+    the gathered rows instead of the full tables)."""
+    half = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)
