@@ -112,3 +112,608 @@ def test_gemma_embedding_parity(tmp_path):
     )
     got = np.asarray(got, np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+# --- reference-graph transcription protocol ---------------------------------
+# Each test writes a tiny HF-style checkpoint, converts it, runs our
+# forward on float twins, and compares against a direct numpy transcription
+# of the reference graph builder (cited per test).
+
+D, L, H, KV, HD, FF = 32, 2, 4, 2, 8, 48
+E, TOPK = 4, 2
+
+
+def _write(dirp, cfg: dict, tensors: dict):
+    from safetensors.numpy import save_file
+
+    dirp.mkdir(parents=True, exist_ok=True)
+    (dirp / "config.json").write_text(json.dumps(cfg))
+    save_file({k: np.ascontiguousarray(v, np.float32)
+               for k, v in tensors.items()}, str(dirp / "model.safetensors"))
+
+
+def _our_logits(ckpt_dir, toks):
+    cfg, params, _ = load_checkpoint(ckpt_dir)
+    pf = float_twin_params(params, cfg, dtype=jnp.float32)
+    t = toks.shape[1]
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (toks.shape[0], 1))
+    lg, _ = forward(pf, cfg, jnp.asarray(toks, jnp.int32), pos, None,
+                    impl="xla")
+    return np.asarray(lg, np.float32), cfg
+
+
+def _t2(rng, k, n, scale=0.02):
+    return rng.integers(-1, 2, (k, n)).astype(np.float32) * scale
+
+
+def _gain(rng, n):
+    return (np.abs(rng.standard_normal(n)) + 0.5).astype(np.float32)
+
+
+def _rms_np(x, w, eps=1e-5):
+    v = np.mean(x.astype(np.float64) ** 2, -1, keepdims=True)
+    return (x / np.sqrt(v + eps) * w).astype(np.float64)
+
+
+def _rope_np(x, pos, theta, rot=None):
+    """NEOX split-half rope on the first `rot` dims of (T, H, HD)."""
+    hd = x.shape[-1]
+    rot = rot or hd
+    half = rot // 2
+    inv = 1.0 / theta ** (np.arange(0, rot, 2, dtype=np.float64) / rot)
+    ang = pos[:, None].astype(np.float64) * inv[None]
+    c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x1, x2 = x[..., :half], x[..., half:rot]
+    xr = np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+    return np.concatenate([xr, x[..., rot:]], -1)
+
+
+def _attn_np(q, k, v, scale, window=0, sinks=None, local_theta_mask=None):
+    """Causal GQA attention on (T, H, HD) / (T, KV, HD) numpy arrays."""
+    T, Hq, _ = q.shape
+    KVh = k.shape[1]
+    g = Hq // KVh
+    out = np.zeros_like(q)
+    qi = np.arange(T)[:, None]
+    ki = np.arange(T)[None, :]
+    mask = ki <= qi
+    if window:
+        mask = mask & (ki > qi - window)
+    for h in range(Hq):
+        sc = (q[:, h] @ k[:, h // g].T) * scale
+        sc = np.where(mask, sc, -1e30)
+        if sinks is not None:
+            m = np.maximum(sc.max(-1), sinks[h])
+            p = np.exp(sc - m[:, None]) * mask
+            p = p / (p.sum(-1) + np.exp(sinks[h] - m))[:, None]
+        else:
+            p = np.exp(sc - sc.max(-1, keepdims=True)) * mask
+            p = p / p.sum(-1, keepdims=True)
+        out[:, h] = p @ v[:, h // g]
+    return out
+
+
+def _silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def _moe_np(x, router_w, experts, k_used, score="softmax", sel_bias=None,
+            norm_w=True, w_scale=1.0, act=_silu, router_in=None):
+    """build_moe_ffn transcription (src/llama-graph.cpp:1045): router
+    scores, optional selection-only bias, top-k, optional renorm + scale,
+    act(gate)*up -> down combine."""
+    logits = (router_in if router_in is not None else x) @ router_w
+    if score == "softmax":
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+    else:
+        probs = 1.0 / (1.0 + np.exp(-logits))
+    sel = probs + sel_bias if sel_bias is not None else probs
+    out = np.zeros_like(x)
+    for t in range(x.shape[0]):
+        idx = np.argsort(-sel[t], kind="stable")[:k_used]
+        w = probs[t, idx]
+        if norm_w:
+            w = w / w.sum()
+        w = w * w_scale
+        for wi, e_ in zip(w, idx):
+            g_, u_, d_ = experts[e_]
+            out[t] = out[t] + wi * ((act(x[t] @ g_) * (x[t] @ u_)) @ d_)
+    return out
+
+
+def test_deepseek_v1_transcription(tmp_path):
+    """deepseek V1 (src/models/deepseek.cpp): llama attention, leading
+    dense layers, softmax MoE with top-k NOT renormalized (norm_w=false,
+    scale_w=false) + always-on shared experts."""
+    rng = np.random.default_rng(11)
+    Vv = 64
+    NSH = 2  # n_shared_experts
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "input_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        if i == 0:  # dense lead layer (first_k_dense_replace=1)
+            w[p + "mlp.gate_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.up_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.down_proj.weight"] = _t2(rng, D, FF * 2)
+        else:
+            w[p + "mlp.gate.weight"] = rng.standard_normal(
+                (E, D)).astype(np.float32) * 0.1
+            for e in range(E):
+                q = f"{p}mlp.experts.{e}."
+                w[q + "gate_proj.weight"] = _t2(rng, FF, D)
+                w[q + "up_proj.weight"] = _t2(rng, FF, D)
+                w[q + "down_proj.weight"] = _t2(rng, D, FF)
+            w[p + "mlp.shared_experts.gate_proj.weight"] = _t2(
+                rng, NSH * FF, D)
+            w[p + "mlp.shared_experts.up_proj.weight"] = _t2(
+                rng, NSH * FF, D)
+            w[p + "mlp.shared_experts.down_proj.weight"] = _t2(
+                rng, D, NSH * FF)
+    cfgd = {
+        "model_type": "deepseek",
+        "architectures": ["DeepseekForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "intermediate_size": FF * 2, "moe_intermediate_size": FF,
+        "n_routed_experts": E, "num_experts_per_tok": TOPK,
+        "n_shared_experts": NSH, "first_k_dense_replace": 1,
+        "norm_topk_prob": False, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 64,
+        "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.first_k_dense == 1 and not cfg.moe_norm_topk
+
+    # transcription
+    T = toks.shape[1]
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        h = _rms_np(x, w[p + "input_layernorm.weight"])
+        q = (h @ w[p + "self_attn.q_proj.weight"].T).reshape(T, H, HD)
+        k = (h @ w[p + "self_attn.k_proj.weight"].T).reshape(T, KV, HD)
+        v = (h @ w[p + "self_attn.v_proj.weight"].T).reshape(T, KV, HD)
+        q = _rope_np(q, pos, 10000.0)
+        k = _rope_np(k, pos, 10000.0)
+        att = _attn_np(q, k, v, HD ** -0.5).reshape(T, H * HD)
+        x = x + att @ w[p + "self_attn.o_proj.weight"].T
+        h = _rms_np(x, w[p + "post_attention_layernorm.weight"])
+        if i == 0:
+            ff = (_silu(h @ w[p + "mlp.gate_proj.weight"].T)
+                  * (h @ w[p + "mlp.up_proj.weight"].T)
+                  ) @ w[p + "mlp.down_proj.weight"].T
+        else:
+            experts = [
+                (w[f"{p}mlp.experts.{e}.gate_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.up_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.down_proj.weight"].T)
+                for e in range(E)
+            ]
+            ff = _moe_np(h, w[p + "mlp.gate.weight"].T, experts, TOPK,
+                         score="softmax", norm_w=False)
+            ff = ff + (_silu(h @ w[p + "mlp.shared_experts.gate_proj.weight"].T)
+                       * (h @ w[p + "mlp.shared_experts.up_proj.weight"].T)
+                       ) @ w[p + "mlp.shared_experts.down_proj.weight"].T
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_minimax_m2_transcription(tmp_path):
+    """MiniMax-M2 (src/models/minimax-m2.cpp): WHOLE-width q/k RMSNorm
+    applied before the head reshape, partial rotary (rotary_dim < head
+    dim), sigmoid MoE with e_score_correction selection bias + top-k
+    renormalization."""
+    rng = np.random.default_rng(21)
+    Vv = 64
+    ROT = HD // 2
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "self_attn.q_norm.weight"] = _gain(rng, H * HD)
+        w[p + "self_attn.k_norm.weight"] = _gain(rng, KV * HD)
+        w[p + "input_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        w[p + "block_sparse_moe.gate.weight"] = rng.standard_normal(
+            (E, D)).astype(np.float32) * 0.1
+        w[p + "block_sparse_moe.e_score_correction_bias"] = (
+            rng.standard_normal(E).astype(np.float32) * 0.5)
+        for e in range(E):
+            q = f"{p}block_sparse_moe.experts.{e}."
+            w[q + "w1.weight"] = _t2(rng, FF, D)   # gate
+            w[q + "w3.weight"] = _t2(rng, FF, D)   # up
+            w[q + "w2.weight"] = _t2(rng, D, FF)   # down
+    cfgd = {
+        "model_type": "minimax_m2",
+        "architectures": ["MiniMaxM2ForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "head_dim": HD, "rotary_dim": ROT,
+        "intermediate_size": FF, "moe_intermediate_size": FF,
+        "num_local_experts": E, "num_experts_per_tok": TOPK,
+        "scoring_func": "sigmoid", "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 64,
+        "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.qk_norm_scope == "whole" and cfg.rope_pct == 0.5
+
+    T = toks.shape[1]
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        h = _rms_np(x, w[p + "input_layernorm.weight"])
+        q = h @ w[p + "self_attn.q_proj.weight"].T   # (T, H*HD)
+        k = h @ w[p + "self_attn.k_proj.weight"].T
+        v = h @ w[p + "self_attn.v_proj.weight"].T
+        q = _rms_np(q, w[p + "self_attn.q_norm.weight"])  # WHOLE width
+        k = _rms_np(k, w[p + "self_attn.k_norm.weight"])
+        q = _rope_np(q.reshape(T, H, HD), pos, 10000.0, rot=ROT)
+        k = _rope_np(k.reshape(T, KV, HD), pos, 10000.0, rot=ROT)
+        att = _attn_np(q, k, v.reshape(T, KV, HD),
+                       HD ** -0.5).reshape(T, H * HD)
+        x = x + att @ w[p + "self_attn.o_proj.weight"].T
+        h = _rms_np(x, w[p + "post_attention_layernorm.weight"])
+        experts = [
+            (w[f"{p}block_sparse_moe.experts.{e}.w1.weight"].T,
+             w[f"{p}block_sparse_moe.experts.{e}.w3.weight"].T,
+             w[f"{p}block_sparse_moe.experts.{e}.w2.weight"].T)
+            for e in range(E)
+        ]
+        ff = _moe_np(
+            h, w[p + "block_sparse_moe.gate.weight"].T, experts, TOPK,
+            score="sigmoid",
+            sel_bias=w[p + "block_sparse_moe.e_score_correction_bias"],
+            norm_w=True,
+        )
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_smallthinker_transcription(tmp_path):
+    """SmallThinker (src/models/smallthinker.cpp): router logits on the
+    RAW layer input (pre-norm), relu-gated experts, NoPE on il%4==0
+    layers when SWA is on."""
+    rng = np.random.default_rng(31)
+    Vv = 64
+    LL = 4
+    swl = [1, 1, 1, 0]  # sliding_window_layout; layer 0 NoPE (il%4==0)
+    WIN = 4
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(LL):
+        p = f"model.layers.{i}."
+        w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "input_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        w[p + "block_sparse_moe.primary_router.weight"] = (
+            rng.standard_normal((E, D)).astype(np.float32) * 0.1)
+        for e in range(E):
+            q = f"{p}block_sparse_moe.experts.{e}."
+            w[q + "gate.weight"] = _t2(rng, FF, D)
+            w[q + "up.weight"] = _t2(rng, FF, D)
+            w[q + "down.weight"] = _t2(rng, D, FF)
+    cfgd = {
+        "model_type": "smallthinker",
+        "architectures": ["SmallThinkerForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": LL,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "moe_ffn_hidden_size": FF, "num_experts": E,
+        "moe_num_active_primary_experts": TOPK,
+        "num_experts_per_tok": TOPK,
+        "moe_primary_router_apply_softmax": True,
+        "sliding_window_layout": swl, "sliding_window_size": WIN,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.moe_router_input == "layer_input" and cfg.act_fn == "relu"
+    assert cfg.nope_layers == (True, False, False, False)
+
+    T = toks.shape[1]
+    relu = lambda z: np.maximum(z, 0.0)  # noqa: E731
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(LL):
+        p = f"model.layers.{i}."
+        x_in = x
+        h = _rms_np(x, w[p + "input_layernorm.weight"])
+        q = (h @ w[p + "self_attn.q_proj.weight"].T).reshape(T, H, HD)
+        k = (h @ w[p + "self_attn.k_proj.weight"].T).reshape(T, KV, HD)
+        v = (h @ w[p + "self_attn.v_proj.weight"].T).reshape(T, KV, HD)
+        if i % 4 != 0:  # rope only on non-NoPE layers
+            q = _rope_np(q, pos, 10000.0)
+            k = _rope_np(k, pos, 10000.0)
+        att = _attn_np(q, k, v, HD ** -0.5,
+                       window=WIN if swl[i] else 0).reshape(T, H * HD)
+        x = x + att @ w[p + "self_attn.o_proj.weight"].T
+        h = _rms_np(x, w[p + "post_attention_layernorm.weight"])
+        experts = [
+            (w[f"{p}block_sparse_moe.experts.{e}.gate.weight"].T,
+             w[f"{p}block_sparse_moe.experts.{e}.up.weight"].T,
+             w[f"{p}block_sparse_moe.experts.{e}.down.weight"].T)
+            for e in range(E)
+        ]
+        ff = _moe_np(
+            h, w[p + "block_sparse_moe.primary_router.weight"].T,
+            experts, TOPK, score="softmax", norm_w=True, act=relu,
+            router_in=x_in,  # router on the RAW layer input
+        )
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_afmoe_transcription(tmp_path):
+    """afmoe (src/models/afmoe.cpp): muP embed scale, sandwich norms on
+    both branches, per-head qk-norm, sigmoid attention gate applied to the
+    pre-o_proj attention output, rope only on sliding layers, sigmoid MoE
+    with selection bias + renorm + route scale + shared expert, dense
+    lead."""
+    rng = np.random.default_rng(41)
+    Vv = 64
+    WIN = 4
+    SCALE = 2.5
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.k_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.v_proj.weight"] = _t2(rng, KV * HD, D)
+        w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "self_attn.gate_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.q_norm.weight"] = _gain(rng, HD)
+        w[p + "self_attn.k_norm.weight"] = _gain(rng, HD)
+        w[p + "input_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        w[p + "pre_mlp_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_mlp_layernorm.weight"] = _gain(rng, D)
+        if i == 0:  # dense lead (num_dense_layers=1)
+            w[p + "mlp.gate_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.up_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.down_proj.weight"] = _t2(rng, D, FF * 2)
+        else:
+            w[p + "mlp.router.gate.weight"] = rng.standard_normal(
+                (E, D)).astype(np.float32) * 0.1
+            w[p + "mlp.expert_bias"] = (
+                rng.standard_normal(E).astype(np.float32) * 0.5)
+            for e in range(E):
+                q = f"{p}mlp.experts.{e}."
+                w[q + "gate_proj.weight"] = _t2(rng, FF, D)
+                w[q + "up_proj.weight"] = _t2(rng, FF, D)
+                w[q + "down_proj.weight"] = _t2(rng, D, FF)
+            w[p + "mlp.shared_experts.gate_proj.weight"] = _t2(rng, FF, D)
+            w[p + "mlp.shared_experts.up_proj.weight"] = _t2(rng, FF, D)
+            w[p + "mlp.shared_experts.down_proj.weight"] = _t2(rng, D, FF)
+    cfgd = {
+        "model_type": "afmoe", "architectures": ["AfmoeForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "intermediate_size": FF * 2, "moe_intermediate_size": FF,
+        "num_experts": E, "num_experts_per_tok": TOPK,
+        "num_shared_experts": 1, "num_dense_layers": 1,
+        "route_norm": True, "route_scale": SCALE,
+        "scoring_func": "sigmoid", "sliding_window": WIN,
+        "global_attn_every_n_layers": 2,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.attn_gate == "sigmoid" and cfg.post_norms
+    assert tuple(cfg.nope_layers) == (False, True)
+
+    T = toks.shape[1]
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))  # noqa: E731
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    x = x * np.sqrt(D)
+    pos = np.arange(T)
+    swa = [True, False]
+    for i in range(L):
+        p = f"model.layers.{i}."
+        h = _rms_np(x, w[p + "input_layernorm.weight"])
+        gate = h @ w[p + "self_attn.gate_proj.weight"].T
+        q = (h @ w[p + "self_attn.q_proj.weight"].T).reshape(T, H, HD)
+        k = (h @ w[p + "self_attn.k_proj.weight"].T).reshape(T, KV, HD)
+        v = (h @ w[p + "self_attn.v_proj.weight"].T).reshape(T, KV, HD)
+        q = _rms_np(q, w[p + "self_attn.q_norm.weight"])
+        k = _rms_np(k, w[p + "self_attn.k_norm.weight"])
+        if swa[i]:
+            q = _rope_np(q, pos, 10000.0)
+            k = _rope_np(k, pos, 10000.0)
+        att = _attn_np(q, k, v, HD ** -0.5,
+                       window=WIN if swa[i] else 0).reshape(T, H * HD)
+        att = att * sig(gate)
+        o = att @ w[p + "self_attn.o_proj.weight"].T
+        o = _rms_np(o, w[p + "post_attention_layernorm.weight"])
+        x = x + o
+        h = _rms_np(x, w[p + "pre_mlp_layernorm.weight"])
+        if i == 0:
+            ff = (_silu(h @ w[p + "mlp.gate_proj.weight"].T)
+                  * (h @ w[p + "mlp.up_proj.weight"].T)
+                  ) @ w[p + "mlp.down_proj.weight"].T
+        else:
+            experts = [
+                (w[f"{p}mlp.experts.{e}.gate_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.up_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.down_proj.weight"].T)
+                for e in range(E)
+            ]
+            ff = _moe_np(
+                h, w[p + "mlp.router.gate.weight"].T, experts, TOPK,
+                score="sigmoid", sel_bias=w[p + "mlp.expert_bias"],
+                norm_w=True, w_scale=SCALE,
+            )
+            ff = ff + (
+                _silu(h @ w[p + "mlp.shared_experts.gate_proj.weight"].T)
+                * (h @ w[p + "mlp.shared_experts.up_proj.weight"].T)
+            ) @ w[p + "mlp.shared_experts.down_proj.weight"].T
+        ff = _rms_np(ff, w[p + "post_mlp_layernorm.weight"])
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_mimo2_transcription(tmp_path):
+    """MiMo-V2 (src/models/mimo2-iswa.cpp): per-layer SWA with its own
+    rope base + fewer kv heads on SWA layers (heads_per_layer), learned
+    attention sinks, partial rotary, sigmoid MoE + selection bias, dense
+    lead layer."""
+    rng = np.random.default_rng(51)
+    Vv = 64
+    WIN, ROT = 4, HD // 2
+    KV_SWA = 1
+    pat = [1, 0]
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        kv_l = KV_SWA if pat[i] else KV
+        w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+        w[p + "self_attn.k_proj.weight"] = _t2(rng, kv_l * HD, D)
+        w[p + "self_attn.v_proj.weight"] = _t2(rng, kv_l * HD, D)
+        w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "self_attn.attention_sink_bias"] = (
+            rng.standard_normal(H).astype(np.float32) * 0.5)
+        w[p + "input_layernorm.weight"] = _gain(rng, D)
+        w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+        if i == 0:  # dense lead (first_k_dense_replace=1)
+            w[p + "mlp.gate_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.up_proj.weight"] = _t2(rng, FF * 2, D)
+            w[p + "mlp.down_proj.weight"] = _t2(rng, D, FF * 2)
+        else:
+            w[p + "mlp.gate.weight"] = rng.standard_normal(
+                (E, D)).astype(np.float32) * 0.1
+            w[p + "mlp.gate.e_score_correction_bias"] = (
+                rng.standard_normal(E).astype(np.float32) * 0.5)
+            for e in range(E):
+                q = f"{p}mlp.experts.{e}."
+                w[q + "gate_proj.weight"] = _t2(rng, FF, D)
+                w[q + "up_proj.weight"] = _t2(rng, FF, D)
+                w[q + "down_proj.weight"] = _t2(rng, D, FF)
+    cfgd = {
+        "model_type": "mimo2", "architectures": ["MiMoV2FlashForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "head_dim": HD, "partial_rotary_factor": 0.5,
+        "swa_num_key_value_heads": KV_SWA, "hybrid_layer_pattern": pat,
+        "sliding_window": WIN, "swa_rope_theta": 1000.0,
+        "intermediate_size": FF * 2, "moe_intermediate_size": FF,
+        "n_routed_experts": E, "num_experts_per_tok": TOPK,
+        "first_k_dense_replace": 1, "topk_method": "noaux_tc",
+        "norm_topk_prob": True, "layernorm_epsilon": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 64,
+        "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.attn_sinks and cfg.rope_pct == 0.5
+    assert tuple(map(tuple, cfg.heads_per_layer)) == ((H, KV_SWA), (H, KV))
+
+    T = toks.shape[1]
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        kv_l = KV_SWA if pat[i] else KV
+        theta = 1000.0 if pat[i] else 10000.0
+        h = _rms_np(x, w[p + "input_layernorm.weight"])
+        q = (h @ w[p + "self_attn.q_proj.weight"].T).reshape(T, H, HD)
+        k = (h @ w[p + "self_attn.k_proj.weight"].T).reshape(T, kv_l, HD)
+        v = (h @ w[p + "self_attn.v_proj.weight"].T).reshape(T, kv_l, HD)
+        q = _rope_np(q, pos, theta, rot=ROT)
+        k = _rope_np(k, pos, theta, rot=ROT)
+        att = _attn_np(
+            q, k, v, HD ** -0.5, window=WIN if pat[i] else 0,
+            sinks=w[p + "self_attn.attention_sink_bias"],
+        ).reshape(T, H * HD)
+        x = x + att @ w[p + "self_attn.o_proj.weight"].T
+        h = _rms_np(x, w[p + "post_attention_layernorm.weight"])
+        if i == 0:
+            ff = (_silu(h @ w[p + "mlp.gate_proj.weight"].T)
+                  * (h @ w[p + "mlp.up_proj.weight"].T)
+                  ) @ w[p + "mlp.down_proj.weight"].T
+        else:
+            experts = [
+                (w[f"{p}mlp.experts.{e}.gate_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.up_proj.weight"].T,
+                 w[f"{p}mlp.experts.{e}.down_proj.weight"].T)
+                for e in range(E)
+            ]
+            ff = _moe_np(
+                h, w[p + "mlp.gate.weight"].T, experts, TOPK,
+                score="sigmoid",
+                sel_bias=w[p + "mlp.gate.e_score_correction_bias"],
+                norm_w=True,
+            )
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))

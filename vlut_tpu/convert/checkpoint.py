@@ -160,7 +160,15 @@ def load_checkpoint(
             mc[k] = tuple(mc[k])
         cfg = HybridConfig(**mc)
     else:
-        cfg = ModelConfig(**meta["model_config"])
+        mc = dict(meta["model_config"])
+        for k, v in mc.items():
+            # JSON round-trips tuples as lists; restore tuple fields
+            # (swa_layers/nope_layers/dense_layers/heads_per_layer/...)
+            if isinstance(v, list):
+                mc[k] = tuple(
+                    tuple(e) if isinstance(e, list) else e for e in v
+                )
+        cfg = ModelConfig(**mc)
     flat = load_file(str(path / "model.safetensors"))
     params = _unflatten(flat)
     if meta.get("layers_tuple"):

@@ -962,6 +962,8 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 moe_norm_topk=raw.get("norm_topk_prob", True),
             )
     n_experts = raw.get("num_local_experts", raw.get("num_experts", 0)) or 0
+    if mt in ("smallthinker", "minimax_m2", "afmoe", "mimo2"):
+        n_experts = 0  # these archs configure their MoE in blocks below
     if n_experts and "n_experts" not in extra:
         extra.update(
             n_experts=n_experts,
@@ -1548,6 +1550,21 @@ def convert_hf(
             n_approx += 1
             trits, scale = ternarize(wf)
         c = cfg_over or cfg
+        if cfg_over is None and (cfg.heads_per_layer or cfg.d_ff_per_layer):
+            # per-layer head counts / FFN widths: pack this layer's
+            # tensors with its own dims so layouts match layer_step's
+            # per-layer spec table
+            import dataclasses as _dc
+
+            hp = (cfg.heads_per_layer[li] if cfg.heads_per_layer
+                  else (cfg.n_heads, cfg.n_kv_heads))
+            ffi = (cfg.d_ff_per_layer[li] if cfg.d_ff_per_layer
+                   else cfg.d_ff)
+            c = _dc.replace(
+                cfg, n_heads=max(hp[0], 1),
+                n_kv_heads=max(hp[1] or hp[0], 1), d_ff=max(ffi, 1),
+                heads_per_layer=None, d_ff_per_layer=None,
+            )
         note_layer(
             pname, li,
             pack_weight(pname, trits, scale, c, make_plan(c)), expert,
@@ -2451,7 +2468,8 @@ def convert_hf(
     # one array per name — emit a TUPLE of per-layer trees instead (the
     # engine's unrolled layer loop consumes it directly; the lax.scan
     # path requires homogeneous stacks and is not used for these models)
-    if cfg.first_k_dense or (cfg.dense_layers and any(cfg.dense_layers)):
+    if (cfg.first_k_dense or (cfg.dense_layers and any(cfg.dense_layers))
+            or cfg.heads_per_layer or cfg.d_ff_per_layer):
         lt: list[dict[str, Any]] = []
         for i in range(L):
             ld: dict[str, Any] = {}

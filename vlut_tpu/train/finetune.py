@@ -42,12 +42,21 @@ from vlut_tpu.ops.packing import TernaryTensor, unpack_ternary_np
 _TERNARY_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any]):
+def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any], li: int = -1):
     """Per-layer spec table for heterogeneous (tuple-layers) checkpoints:
-    deepseek dense first-k layers and shared experts pack at their own
-    FFN widths."""
+    deepseek dense first-k layers, shared experts, and per-layer
+    head-count/FFN-width archs (openelm/deci/mimo2) pack at their own
+    dims."""
     import dataclasses as _dc
 
+    if li >= 0 and (cfg.heads_per_layer or cfg.d_ff_per_layer):
+        hp = (cfg.heads_per_layer[li] if cfg.heads_per_layer
+              else (cfg.n_heads, cfg.n_kv_heads))
+        ffi = (cfg.d_ff_per_layer[li] if cfg.d_ff_per_layer else cfg.d_ff)
+        cfg = _dc.replace(
+            cfg, n_heads=max(hp[0], 1), n_kv_heads=max(hp[1] or hp[0], 1),
+            d_ff=max(ffi, 1), heads_per_layer=None, d_ff_per_layer=None,
+        )
     specs = dict(weight_specs(cfg))
     if cfg.n_experts and "router" not in lp and (
         cfg.first_k_dense or cfg.dense_layers
@@ -92,8 +101,8 @@ def float_twin_params(
     if isinstance(layers_in, (list, tuple)):
         # heterogeneous per-layer trees (deepseek first_k_dense): twin each
         # layer with its own spec table; leading-L stacking does not apply
-        def twin_layer(lp):
-            sp = _tuple_layer_specs(cfg, lp)
+        def twin_layer(lp, li):
+            sp = _tuple_layer_specs(cfg, lp, li)
             out: dict[str, Any] = {}
             for name, val in lp.items():
                 if isinstance(val, dict) and "packed" not in val:
@@ -121,7 +130,7 @@ def float_twin_params(
                     out[name] = {"dense": jnp.asarray(dense, dtype)}
             return out
 
-        out_t = tuple(twin_layer(lp) for lp in layers_in)
+        out_t = tuple(twin_layer(lp, i) for i, lp in enumerate(layers_in))
         return {
             k: (jnp.asarray(v) if k != "layers" else out_t)
             for k, v in params.items()
