@@ -717,3 +717,311 @@ def test_mimo2_transcription(tmp_path):
     np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
     np.testing.assert_array_equal(
         got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_openelm_transcription(tmp_path):
+    """OpenELM (src/models/openelm.cpp): per-layer query/kv head counts
+    and FFN widths (ffn_multipliers), fused [q;k;v] qkv, per-head q/k
+    RMSNorm before rope, fused [gate|up] proj_1, tied embeddings."""
+    rng = np.random.default_rng(61)
+    Vv = 64
+    NQH, NKV = [4, 2], [2, 1]
+    DIV = 16
+    FFD = [32, 64]  # _make_divisible(m * 32, 16) for m in [1.0, 2.0]
+    w = {
+        "transformer.token_embeddings.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "transformer.norm.weight": _gain(rng, D),
+    }
+    for i in range(L):
+        p = f"transformer.layers.{i}."
+        nh, kv = NQH[i], NKV[i]
+        w[p + "attn.qkv_proj.weight"] = _t2(rng, (nh + 2 * kv) * HD, D)
+        w[p + "attn.out_proj.weight"] = _t2(rng, D, nh * HD)
+        w[p + "attn.q_norm.weight"] = _gain(rng, HD)
+        w[p + "attn.k_norm.weight"] = _gain(rng, HD)
+        w[p + "attn_norm.weight"] = _gain(rng, D)
+        w[p + "ffn_norm.weight"] = _gain(rng, D)
+        w[p + "ffn.proj_1.weight"] = _t2(rng, 2 * FFD[i], D)
+        w[p + "ffn.proj_2.weight"] = _t2(rng, D, FFD[i])
+    cfgd = {
+        "model_type": "openelm", "architectures": ["OpenELMForCausalLM"],
+        "vocab_size": Vv, "model_dim": D, "num_transformer_layers": L,
+        "num_query_heads": NQH, "num_kv_heads": NKV, "head_dim": HD,
+        "ffn_multipliers": [1.0, 2.0], "ffn_dim_divisor": DIV,
+        "rope_freq_constant": 10000.0, "max_context_length": 64,
+        "share_input_output_layers": True,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert tuple(map(tuple, cfg.heads_per_layer)) == ((4, 2), (2, 1))
+    assert tuple(cfg.d_ff_per_layer) == (32, 64)
+
+    T = toks.shape[1]
+    emb = w["transformer.token_embeddings.weight"]
+    x = emb[toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"transformer.layers.{i}."
+        nh, kv = NQH[i], NKV[i]
+        h = _rms_np(x, w[p + "attn_norm.weight"], eps=1e-6)
+        qkv = h @ w[p + "attn.qkv_proj.weight"].T
+        q = qkv[:, : nh * HD].reshape(T, nh, HD)
+        k = qkv[:, nh * HD : (nh + kv) * HD].reshape(T, kv, HD)
+        v = qkv[:, (nh + kv) * HD :].reshape(T, kv, HD)
+        q = _rms_np(q, w[p + "attn.q_norm.weight"], eps=1e-6)
+        k = _rms_np(k, w[p + "attn.k_norm.weight"], eps=1e-6)
+        q = _rope_np(q, pos, 10000.0)
+        k = _rope_np(k, pos, 10000.0)
+        att = _attn_np(q, k, v, HD ** -0.5).reshape(T, nh * HD)
+        x = x + att @ w[p + "attn.out_proj.weight"].T
+        h = _rms_np(x, w[p + "ffn_norm.weight"], eps=1e-6)
+        gu = h @ w[p + "ffn.proj_1.weight"].T
+        ff = (_silu(gu[:, : FFD[i]]) * gu[:, FFD[i] :]
+              ) @ w[p + "ffn.proj_2.weight"].T
+        x = x + ff
+    x = _rms_np(x, w["transformer.norm.weight"], eps=1e-6)
+    want = x @ emb.T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_deci_transcription(tmp_path):
+    """Deci / Llama-3_1-Nemotron (src/models/deci.cpp): per-block
+    heterogeneity — normal GQA attention, replace_with_linear "attention"
+    (wo on the normed input), attention-free blocks, and FFN-free blocks
+    which the reference skips ENTIRELY (`if (n_ff == 0) continue;` — a
+    no-op layer even when attention weights exist)."""
+    rng = np.random.default_rng(71)
+    Vv = 64
+    LL = 4
+    FFD = 256  # _ffn_mult_to_intermediate_size floor
+    blocks = [
+        {"attention": {"n_heads_in_group": 2, "no_op": False,
+                       "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0, "no_op": False}},
+        {"attention": {"n_heads_in_group": None, "no_op": False,
+                       "replace_with_linear": True},
+         "ffn": {"ffn_mult": 1.0, "no_op": False}},
+        {"attention": {"n_heads_in_group": None, "no_op": True,
+                       "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0, "no_op": False}},
+        {"attention": {"n_heads_in_group": 2, "no_op": False,
+                       "replace_with_linear": False},
+         "ffn": {"ffn_mult": None, "no_op": True}},
+    ]
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i, bc in enumerate(blocks):
+        p = f"model.layers.{i}."
+        at = bc["attention"]
+        if at["n_heads_in_group"] is not None:
+            kv = H // at["n_heads_in_group"]
+            w[p + "self_attn.q_proj.weight"] = _t2(rng, H * HD, D)
+            w[p + "self_attn.k_proj.weight"] = _t2(rng, kv * HD, D)
+            w[p + "self_attn.v_proj.weight"] = _t2(rng, kv * HD, D)
+            w[p + "self_attn.o_proj.weight"] = _t2(rng, D, H * HD)
+            w[p + "input_layernorm.weight"] = _gain(rng, D)
+        elif at["replace_with_linear"]:
+            w[p + "self_attn.linear_attn.weight"] = _t2(rng, D, D)
+            w[p + "input_layernorm.weight"] = _gain(rng, D)
+        if bc["ffn"]["ffn_mult"] is not None:
+            w[p + "mlp.gate_proj.weight"] = _t2(rng, FFD, D)
+            w[p + "mlp.up_proj.weight"] = _t2(rng, FFD, D)
+            w[p + "mlp.down_proj.weight"] = _t2(rng, D, FFD)
+            w[p + "post_attention_layernorm.weight"] = _gain(rng, D)
+    cfgd = {
+        "model_type": "nemotron-nas",
+        "architectures": ["DeciLMForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": LL,
+        "num_attention_heads": H, "block_configs": blocks,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+        "intermediate_size": FFD,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert tuple(map(tuple, cfg.heads_per_layer)) == (
+        (4, 2), (4, 0), (0, 0), (4, 2))
+    assert tuple(cfg.d_ff_per_layer) == (FFD, FFD, FFD, 0)
+
+    T = toks.shape[1]
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i, bc in enumerate(blocks):
+        p = f"model.layers.{i}."
+        at = bc["attention"]
+        if bc["ffn"]["ffn_mult"] is None:
+            continue  # reference: whole block skipped (no-op layer)
+        if at["n_heads_in_group"] is not None:
+            kv = H // at["n_heads_in_group"]
+            h = _rms_np(x, w[p + "input_layernorm.weight"])
+            q = (h @ w[p + "self_attn.q_proj.weight"].T).reshape(T, H, HD)
+            k = (h @ w[p + "self_attn.k_proj.weight"].T).reshape(T, kv, HD)
+            v = (h @ w[p + "self_attn.v_proj.weight"].T).reshape(T, kv, HD)
+            q = _rope_np(q, pos, 10000.0)
+            k = _rope_np(k, pos, 10000.0)
+            att = _attn_np(q, k, v, HD ** -0.5).reshape(T, H * HD)
+            x = x + att @ w[p + "self_attn.o_proj.weight"].T
+        elif at["replace_with_linear"]:
+            h = _rms_np(x, w[p + "input_layernorm.weight"])
+            x = x + h @ w[p + "self_attn.linear_attn.weight"].T
+        h = _rms_np(x, w[p + "post_attention_layernorm.weight"])
+        ff = (_silu(h @ w[p + "mlp.gate_proj.weight"].T)
+              * (h @ w[p + "mlp.up_proj.weight"].T)
+              ) @ w[p + "mlp.down_proj.weight"].T
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"])
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_plamo3_transcription(tmp_path):
+    """PLaMo-3 (src/models/plamo3.cpp): fused [q;k;v] qkv, per-head q/k
+    norm and sandwich norms in the PLaMo offset parameterization (the
+    converter folds +1 / +1/5 / +5^-1.5 offsets), fused-swiglu SEQ FFN,
+    local rope theta on SWA layers."""
+    rng = np.random.default_rng(81)
+    Vv = 64
+    WIN = 4
+    swa = [True, False]  # sliding_window_pattern=2: every 2nd global
+    w = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D) - 1.0,  # stored offset form
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    for i in range(L):
+        p = f"model.layers.layers.{i}."
+        w[p + "mixer.qkv_proj.weight"] = _t2(rng, (H + 2 * KV) * HD, D)
+        w[p + "mixer.o_proj.weight"] = _t2(rng, D, H * HD)
+        w[p + "mixer.q_norm.weight"] = _gain(rng, HD) - 1.0
+        w[p + "mixer.k_norm.weight"] = _gain(rng, HD) - 1.0
+        w[p + "pre_mixer_norm.weight"] = _gain(rng, D) - 1.0
+        w[p + "post_mixer_norm.weight"] = _gain(rng, D) - 0.2
+        w[p + "pre_mlp_norm.weight"] = _gain(rng, D) - 1.0
+        w[p + "post_mlp_norm.weight"] = _gain(rng, D) - 5.0 ** -1.5
+        w[p + "mlp.gate_up_proj.weight"] = _t2(rng, 2 * FF, D)
+        w[p + "mlp.down_proj.weight"] = _t2(rng, D, FF)
+    cfgd = {
+        "model_type": "plamo3", "architectures": ["Plamo3ForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "head_dim": HD, "intermediate_size": FF,
+        "window_size": WIN, "sliding_window_pattern": 2,
+        "rope_theta": 10000.0, "rope_local_theta": 1000.0,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 64,
+        "tie_word_embeddings": False,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    toks = rng.integers(0, Vv, (1, 7))
+    got, cfg = _our_logits(tmp_path / "out", toks)
+    assert cfg.post_norms and cfg.rope_theta_local == 1000.0
+
+    T = toks.shape[1]
+    x = w["model.embed_tokens.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"model.layers.layers.{i}."
+        theta = 1000.0 if swa[i] else 10000.0
+        h = _rms_np(x, w[p + "pre_mixer_norm.weight"] + 1.0)
+        qkv = h @ w[p + "mixer.qkv_proj.weight"].T
+        q = qkv[:, : H * HD].reshape(T, H, HD)
+        k = qkv[:, H * HD : (H + KV) * HD].reshape(T, KV, HD)
+        v = qkv[:, (H + KV) * HD :].reshape(T, KV, HD)
+        q = _rms_np(q, w[p + "mixer.q_norm.weight"] + 1.0)
+        k = _rms_np(k, w[p + "mixer.k_norm.weight"] + 1.0)
+        q = _rope_np(q, pos, theta)
+        k = _rope_np(k, pos, theta)
+        att = _attn_np(q, k, v, HD ** -0.5,
+                       window=WIN if swa[i] else 0).reshape(T, H * HD)
+        o = att @ w[p + "mixer.o_proj.weight"].T
+        o = _rms_np(o, w[p + "post_mixer_norm.weight"] + 0.2)
+        x = x + o
+        h = _rms_np(x, w[p + "pre_mlp_norm.weight"] + 1.0)
+        gu = h @ w[p + "mlp.gate_up_proj.weight"].T
+        ff = (_silu(gu[:, :FF]) * gu[:, FF:]
+              ) @ w[p + "mlp.down_proj.weight"].T
+        ff = _rms_np(ff, w[p + "post_mlp_norm.weight"] + 5.0 ** -1.5)
+        x = x + ff
+    x = _rms_np(x, w["model.norm.weight"] + 1.0)
+    want = x @ w["lm_head.weight"].T
+    np.testing.assert_allclose(got[0, :, :Vv], want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        got[0, :, :Vv].argmax(-1), want.argmax(-1))
+
+
+def test_neobert_transcription(tmp_path):
+    """NeoBERT (src/models/neo-bert.cpp): RMS pre-norms, fused [q;k;v]
+    qkv, rope, bidirectional attention, swiglu-fused w12/w3 FFN, final
+    output_norm_enc — encoder family, hidden-state output."""
+    from vlut_tpu.models.encoder import forward_encoder
+
+    rng = np.random.default_rng(91)
+    Vv = 64
+    w = {
+        "encoder.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.05,
+        "layer_norm.weight": _gain(rng, D),
+    }
+    for i in range(L):
+        p = f"transformer_encoder.{i}."
+        w[p + "qkv.weight"] = _t2(rng, 3 * H * HD, D)
+        w[p + "wo.weight"] = _t2(rng, D, H * HD)
+        w[p + "attention_norm.weight"] = _gain(rng, D)
+        w[p + "ffn_norm.weight"] = _gain(rng, D)
+        w[p + "ffn.w12.weight"] = _t2(rng, 2 * FF, D)
+        w[p + "ffn.w3.weight"] = _t2(rng, D, FF)
+    cfgd = {
+        "model_type": "neobert", "architectures": ["NeoBERT"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "intermediate_size": FF,
+        "norm_eps": 1e-5, "rope_theta": 10000.0, "max_length": 64,
+    }
+    _write(tmp_path / "hf", cfgd, w)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    cfg, params, _ = load_checkpoint(tmp_path / "out")
+    assert cfg.arch == "neobert"
+    toks = rng.integers(0, Vv, (1, 7))
+    T = toks.shape[1]
+    mask = np.ones((1, T), np.int32)
+    got = np.asarray(forward_encoder(
+        params, cfg, jnp.asarray(toks, jnp.int32), jnp.asarray(mask)
+    ), np.float32)
+
+    x = w["encoder.weight"][toks[0]].astype(np.float64)
+    pos = np.arange(T)
+    for i in range(L):
+        p = f"transformer_encoder.{i}."
+        h = _rms_np(x, w[p + "attention_norm.weight"])
+        qkv = h @ w[p + "qkv.weight"].T
+        q = qkv[:, : H * HD].reshape(T, H, HD)
+        k = qkv[:, H * HD : 2 * H * HD].reshape(T, H, HD)
+        v = qkv[:, 2 * H * HD :].reshape(T, H, HD)
+        q = _rope_np(q, pos, 10000.0)
+        k = _rope_np(k, pos, 10000.0)
+        # bidirectional attention
+        att = np.zeros_like(q)
+        for hh in range(H):
+            sc = (q[:, hh] @ k[:, hh].T) * HD ** -0.5
+            pp = np.exp(sc - sc.max(-1, keepdims=True))
+            pp /= pp.sum(-1, keepdims=True)
+            att[:, hh] = pp @ v[:, hh]
+        x = x + att.reshape(T, H * HD) @ w[p + "wo.weight"].T
+        h = _rms_np(x, w[p + "ffn_norm.weight"])
+        wi = h @ w[p + "ffn.w12.weight"].T
+        x = x + (_silu(wi[:, :FF]) * wi[:, FF:]) @ w[p + "ffn.w3.weight"].T
+    want = _rms_np(x, w["layer_norm.weight"])
+    np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)

@@ -242,6 +242,68 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         raw.setdefault("rope_theta", ac.get("rope_theta", 10000.0))
         raw.setdefault("max_position_embeddings",
                        raw.get("max_seq_len", 2048))
+    elif mt == "openelm":
+        # apple OpenELM (reference src/models/openelm.cpp + OpenELMModel
+        # converter): per-layer query/kv head counts and FFN widths
+        # (ffn_multipliers -> make_divisible)
+        def _mkdiv(v, divisor):
+            nv = max(divisor, int(v + divisor / 2) // divisor * divisor)
+            return nv + divisor if nv < 0.9 * v else nv
+
+        nqh = raw["num_query_heads"]
+        nkvh = raw["num_kv_heads"]
+        ffd = [
+            _mkdiv(m * raw["model_dim"], raw.get("ffn_dim_divisor", 256))
+            for m in raw["ffn_multipliers"]
+        ]
+        raw.setdefault("hidden_size", raw["model_dim"])
+        raw.setdefault("num_hidden_layers", raw["num_transformer_layers"])
+        raw.setdefault("num_attention_heads", max(nqh))
+        raw.setdefault("num_key_value_heads", max(nkvh))
+        raw.setdefault("intermediate_size", max(ffd))
+        raw.setdefault("rms_norm_eps", 1e-6)
+        raw.setdefault("rope_theta", raw.get("rope_freq_constant", 10000.0))
+        raw.setdefault("max_position_embeddings",
+                       raw.get("max_context_length", 2048))
+        raw.setdefault("head_dim", raw.get("head_dim", 64))
+        raw.setdefault("tie_word_embeddings",
+                       raw.get("share_input_output_layers", True))
+        raw["_openelm_ffd"] = ffd
+    elif mt in ("deci", "nemotron-nas") and raw.get("block_configs"):
+        # DeciLM / Llama-3_1-Nemotron (reference src/models/deci.cpp +
+        # DeciModel converter): per-block attention kind (normal GQA /
+        # replace_with_linear / no-op) and FFN width (ffn_mult / no-op)
+        def _find_mult(n, k):
+            return n if n % k == 0 else n + k - (n % k)
+
+        nh = raw["num_attention_heads"]
+        kv_l, ffd = [], []
+        for bc in raw["block_configs"]:
+            at, ff_ = bc["attention"], bc["ffn"]
+            if at.get("n_heads_in_group") is None:
+                kv_l.append(
+                    (nh, 0) if at.get("replace_with_linear") else (0, 0)
+                )
+            else:
+                kv_l.append((nh, nh // at["n_heads_in_group"]))
+            m = ff_.get("ffn_mult")
+            ffd.append(
+                0 if m is None or ff_.get("no_op")
+                else _find_mult(int(2 * m * raw["hidden_size"] / 3), 256)
+            )
+        raw.setdefault("num_key_value_heads",
+                       max((kv for _, kv in kv_l), default=nh) or nh)
+        raw.setdefault("intermediate_size", max(ffd) or 256)
+        raw["_deci_heads"] = kv_l
+        raw["_deci_ffd"] = ffd
+    elif mt in ("plamo3", "plamo-3"):
+        # PLaMo-3 (reference src/models/plamo3.cpp): fused qkv, per-head
+        # qk-norm (+1-offset weights folded at convert), sandwich norms,
+        # fused-swiglu SEQ FFN, per-layer local rope theta on SWA layers
+        raw.setdefault("num_key_value_heads",
+                       raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]))
+        raw.setdefault("rms_norm_eps", raw.get("rms_norm_eps", 1e-5))
     d_model = raw["hidden_size"]
     extra: dict[str, Any] = {}
     if mt in ("qwen2", "qwen2_moe", "qwen2_vl_text", "qwen2_vl"):
@@ -1155,6 +1217,29 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 moe_norm_topk=raw.get("norm_topk_prob", True),
             )
         raw.setdefault("rms_norm_eps", raw.get("layernorm_epsilon", 1e-5))
+    if mt == "openelm":
+        extra.update(
+            qk_norm=True,
+            heads_per_layer=tuple(
+                (int(a), int(b))
+                for a, b in zip(raw["num_query_heads"],
+                                raw["num_kv_heads"])
+            ),
+            d_ff_per_layer=tuple(int(v) for v in raw["_openelm_ffd"]),
+        )
+    if mt in ("deci", "nemotron-nas") and raw.get("_deci_heads"):
+        extra.update(
+            heads_per_layer=tuple(raw["_deci_heads"]),
+            d_ff_per_layer=tuple(raw["_deci_ffd"]),
+        )
+    if mt in ("plamo3", "plamo-3"):
+        extra.update(
+            qk_norm=True, post_norms=True,
+            sliding_window=raw.get(
+                "window_size", raw.get("sliding_window", 0)) or 0,
+            sliding_window_pattern=raw.get("sliding_window_pattern", 0),
+            rope_theta_local=raw.get("rope_local_theta", 0.0) or 0.0,
+        )
     if "Gemma3TextModel" in archs or raw.get("use_bidirectional_attention"):
         # EmbeddingGemma (reference src/models/gemma-embedding.cpp +
         # convert_hf_to_gguf.py EmbeddingGemma): the gemma3 text body with
@@ -1495,7 +1580,7 @@ def convert_hf(
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)
-    if raw0.get("model_type") in ("bert", "modernbert"):
+    if raw0.get("model_type") in ("bert", "modernbert", "neobert"):
         from vlut_tpu.convert.encoder import convert_encoder
 
         return convert_encoder(hf_dir, out_dir)
@@ -1965,6 +2050,38 @@ def convert_hf(
         elif mt0 == "mimo2":
             name = name.replace(".self_attn.attention_sink_bias",
                                 ".self_attn.sink_bias")
+        elif mt0 == "openelm":
+            # apple OpenELM 'transformer.layers' scheme (src/models/
+            # openelm.cpp): fused [q;k;v] qkv at per-layer head counts,
+            # fused [gate|up] proj_1, per-head q/k norms
+            name = name.replace("transformer.token_embeddings.",
+                                "model.embed_tokens.")
+            name = name.replace("transformer.norm.", "model.norm.")
+            name = name.replace("transformer.layers.", "model.layers.")
+            name = name.replace(".attn_norm.", ".input_layernorm.")
+            name = name.replace(".attn.qkv_proj.", ".self_attn.qkv_proj.")
+            name = name.replace(".attn.q_norm.", ".self_attn.q_norm.")
+            name = name.replace(".attn.k_norm.", ".self_attn.k_norm.")
+            name = name.replace(".attn.out_proj.", ".self_attn.o_proj.")
+            name = name.replace(".ffn_norm.", ".post_attention_layernorm.")
+            name = name.replace(".ffn.proj_1.", ".mlp.gate_up_proj.")
+            name = name.replace(".ffn.proj_2.", ".mlp.down_proj.")
+        elif mt0 in ("plamo3", "plamo-3"):
+            # PLaMo-3 'model.layers.layers' + mixer scheme
+            # (src/models/plamo3.cpp); norm weights carry PLaMo offset
+            # parameterization, folded below
+            name = name.replace("model.layers.layers.", "model.layers.")
+            name = name.replace(".mixer.qkv_proj.", ".self_attn.qkv_proj.")
+            name = name.replace(".mixer.o_proj.", ".self_attn.o_proj.")
+            name = name.replace(".mixer.q_norm.", ".self_attn.q_norm.")
+            name = name.replace(".mixer.k_norm.", ".self_attn.k_norm.")
+            name = name.replace(".pre_mixer_norm.", ".input_layernorm.")
+            name = name.replace(".post_mixer_norm.",
+                                ".post_attention_layernorm.")
+            name = name.replace(".pre_mlp_norm.",
+                                ".pre_feedforward_layernorm.")
+            name = name.replace(".post_mlp_norm.",
+                                ".post_feedforward_layernorm.")
         elif is_embgemma and not name.startswith("model."):
             # EmbeddingGemma (Gemma3TextModel): tensors are saved WITHOUT
             # the "model." wrapper (embed_tokens/layers.N/norm)
@@ -1979,6 +2096,24 @@ def convert_hf(
         ):
             continue  # mistral3 text passthrough drops the vision tower
         name = canon(name)
+        if mt0 in ("plamo3", "plamo-3") and name.endswith(".weight"):
+            # PLaMo RMSNorm offset parameterization: effective gain =
+            # stored + offset (reference Plamo3Model.modify_tensors)
+            _off = {
+                ".input_layernorm.": 1.0,
+                ".post_attention_layernorm.": 1.0 / 5,
+                ".pre_feedforward_layernorm.": 1.0,
+                ".post_feedforward_layernorm.": 1.0 / 5 ** 1.5,
+                ".self_attn.q_norm.": 1.0,
+                ".self_attn.k_norm.": 1.0,
+            }
+            for pat_, o_ in _off.items():
+                if pat_ in name:
+                    w = np.asarray(w, np.float32) + o_
+                    break
+            else:
+                if name == "model.norm.weight":
+                    w = np.asarray(w, np.float32) + 1.0
         if name.endswith("weight_scale"):
             continue
         if name.endswith(".inv_freq"):
@@ -2425,12 +2560,17 @@ def convert_hf(
                 w = wf.reshape(-1, cfg.n_heads * hd_)
             pack_proj(_PROJ_MAP[sub], w, li)
             continue
-        # phi3-style fused projections
+        # phi3-style fused projections (openelm/plamo3: per-layer head
+        # counts — split at this layer's own widths)
         if sub == "self_attn.qkv_proj":
             wf = np.asarray(
                 _maybe_unpack_2bit(name, w, side_scales), np.float32
             )
-            qd, kvd = cfg.q_dim, cfg.kv_dim
+            if cfg.heads_per_layer:
+                nh, nkv = cfg.heads_per_layer[li]
+                qd, kvd = nh * cfg.head_dim_, nkv * cfg.head_dim_
+            else:
+                qd, kvd = cfg.q_dim, cfg.kv_dim
             pack_proj("wq", wf[:qd], li)
             pack_proj("wk", wf[qd : qd + kvd], li)
             pack_proj("wv", wf[qd + kvd :], li)
@@ -2439,8 +2579,14 @@ def convert_hf(
             wf = np.asarray(
                 _maybe_unpack_2bit(name, w, side_scales), np.float32
             )
-            pack_proj("w_gate", wf[: cfg.d_ff], li)
-            pack_proj("w_up", wf[cfg.d_ff :], li)
+            ff2 = wf.shape[0] // 2  # == cfg.d_ff except per-layer widths
+            pack_proj("w_gate", wf[:ff2], li)
+            pack_proj("w_up", wf[ff2:], li)
+            continue
+        if sub == "self_attn.linear_attn":
+            # deci replace_with_linear layer: wo applied straight to the
+            # attn-normed d_model input (src/models/deci.cpp n_head_kv==0)
+            pack_proj("w_lin_attn", w, li)
             continue
         if sub not in _PROJ_MAP:
             log.warning("skipping unrecognized layer tensor %s", name)

@@ -53,6 +53,15 @@ _BERT_LAYER = {
     "output.LayerNorm.bias": ("ffn_norm_b", False),
 }
 
+_NEOBERT_LAYER = {
+    "qkv.weight": ("wqkv", True),
+    "wo.weight": ("wo", True),
+    "attention_norm.weight": ("attn_norm", False),
+    "ffn_norm.weight": ("ffn_norm", False),
+    "ffn.w12.weight": ("w_in", True),
+    "ffn.w3.weight": ("w_out", True),
+}
+
 _MODERNBERT_LAYER = {
     "attn.Wqkv.weight": ("wqkv", True),
     "attn.Wo.weight": ("wo", True),
@@ -72,7 +81,7 @@ def convert_encoder(
     hf_dir = pathlib.Path(hf_dir)
     raw = json.loads((hf_dir / "config.json").read_text())
     mt = raw.get("model_type", "")
-    if mt not in ("bert", "modernbert"):
+    if mt not in ("bert", "modernbert", "neobert"):
         raise ValueError(f"not an encoder checkpoint: model_type={mt!r}")
 
     if pooling is None:
@@ -100,6 +109,24 @@ def convert_encoder(
             pooling=pooling,
         )
         layer_map, prefix = _BERT_LAYER, "encoder.layer."
+    elif mt == "neobert":
+        # NeoBERT (reference src/models/neo-bert.cpp + tensor_mapping
+        # 'transformer_encoder' scheme): RMS pre-norms, fused qkv, rope,
+        # swiglu-fused w12/w3 FFN
+        cfg = EncoderConfig(
+            arch="neobert",
+            vocab_size=raw["vocab_size"],
+            d_model=raw["hidden_size"],
+            n_layers=raw["num_hidden_layers"],
+            n_heads=raw["num_attention_heads"],
+            d_ff=raw["intermediate_size"],
+            max_seq_len=raw.get("max_length",
+                                raw.get("max_position_embeddings", 4096)),
+            ln_eps=raw.get("norm_eps", 1e-5),
+            rope_theta_global=raw.get("rope_theta", 10000.0),
+            pooling=pooling,
+        )
+        layer_map, prefix = _NEOBERT_LAYER, "transformer_encoder."
     else:
         cfg = EncoderConfig(
             arch="modernbert",
@@ -137,6 +164,11 @@ def convert_encoder(
                 "embeddings.token_type_embeddings.weight": "type_embed",
                 "embeddings.LayerNorm.weight": "embed_norm",
                 "embeddings.LayerNorm.bias": "embed_norm_b",
+            }
+        elif mt == "neobert":
+            tops = {
+                "encoder.weight": "embed",
+                "layer_norm.weight": "final_norm",
             }
         else:
             tops = {

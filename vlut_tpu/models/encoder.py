@@ -8,13 +8,15 @@ encoder is its own small functional model: a fixed-shape jitted forward
 over (tokens, mask) that returns pooled embeddings — serving batches them
 like any other request, no KV cache involved.
 
-Two graph families cover the reference's four encoder archs:
+Three graph families cover the reference's encoder archs:
 
 * ``bert`` — post-LN, learned absolute positions + token-type embeddings,
   biased projections, exact-gelu MLP.
 * ``modernbert`` — pre-LN (bias-free LayerNorm), fused qkv, rope with
   per-layer theta, alternating local (bidirectional sliding window) /
   global attention every `global_every` layers, GeGLU MLP.
+* ``neobert`` — RMS pre-norms, one fused [q;k;v] projection, rope,
+  swiglu-fused (w12/w3) sequential FFN (reference src/models/neo-bert.cpp).
 
 Weights stay dense (bf16/f32): encoder checkpoints are small and never
 ternary in the wild; the ternary path stays the decoder engine's job.
@@ -31,7 +33,7 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class EncoderConfig:
-    arch: str                    # "bert" | "modernbert"
+    arch: str                    # "bert" | "modernbert" | "neobert"
     vocab_size: int
     d_model: int
     n_layers: int
@@ -51,6 +53,12 @@ class EncoderConfig:
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+
+def _rms(x, w, eps):
+    x = x.astype(jnp.float32)
+    v = (x * x).mean(-1, keepdims=True)
+    return x * jax.lax.rsqrt(v + eps) * w
 
 
 def _ln(x, w, b, eps):
@@ -151,6 +159,35 @@ def forward_encoder(
             x = x + (a * gate) @ lp["w_out"]
         x = _ln(x, params["final_norm"], None, cfg.ln_eps)
         return x
+
+    if cfg.arch == "neobert":
+        # NeoBERT (reference src/models/neo-bert.cpp): RMS pre-norms, one
+        # fused [q;k;v] projection, rope, swiglu-fused SEQ FFN (w12 ->
+        # silu(half1)*half2 -> w3), final output_norm_enc
+        x = params["embed"][tokens].astype(jnp.float32)
+        H, hd = cfg.n_heads, cfg.head_dim
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        qd = H * hd
+
+        def layer(x, lp):
+            h = _rms(x, lp["attn_norm"], cfg.ln_eps)
+            qkv = h @ lp["wqkv"]
+            q = qkv[..., :qd].reshape(B, T, H, hd)
+            k = qkv[..., qd : 2 * qd].reshape(B, T, H, hd)
+            v = qkv[..., 2 * qd :].reshape(B, T, H, hd)
+            q = _rope(q, pos, cfg.rope_theta_global)
+            k = _rope(k, pos, cfg.rope_theta_global)
+            att = _attend(q, k, v, pad_bias).reshape(B, T, -1)
+            x = x + att @ lp["wo"]
+            h = _rms(x, lp["ffn_norm"], cfg.ln_eps)
+            wi = h @ lp["w_in"]
+            gate, up = wi[..., : cfg.d_ff], wi[..., cfg.d_ff :]
+            a = jax.nn.silu(gate.astype(jnp.float32)) * up
+            x = x + a @ lp["w_out"]
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        return _rms(x, params["final_norm"], cfg.ln_eps)
 
     raise ValueError(f"unknown encoder arch {cfg.arch!r}")
 

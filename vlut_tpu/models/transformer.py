@@ -98,6 +98,8 @@ def weight_specs(
     if cfg.attn_gate:
         # afmoe attention output gate: packs exactly like wq
         specs["w_attn_gate"] = TernarySpec(d, qd, fmt, kb)
+    # deci replace_with_linear "attention": a plain (D, D) projection
+    specs["w_lin_attn"] = TernarySpec(d, d, fmt, kb)
     if cfg.kv_lora_rank:
         dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
         specs["wkv_a"] = TernarySpec(d, cfg.kv_lora_rank + dr, fmt, kb)
@@ -161,6 +163,8 @@ def pack_weight(
         return pk(
             scatter_rows(trits, plan.ff_chunk, plan.ff_chunk_p, plan.ff_p)
         )
+    if name == "w_lin_attn":
+        return pk(trits)  # plain (D, D) packing, no head permutation
     if name in ("wq_a", "wq_b", "wq_full", "wkv_a"):
         # MLA projections (deepseek): plain packing, NO head permutation.
         # wq_a/wkv_a outputs are flat vectors — end-padding is sliced off
@@ -1402,11 +1406,11 @@ def run_layers(
         ):
             return x_in  # deci n_ff==0 no-op layer
         if not has_attn:
-            if "wo" in lp:
-                o = proj(norm_d(x, lp, "attn_norm"), lp, "wo")
+            if "w_lin_attn" in lp:
+                o = proj(norm_d(x, lp, "attn_norm"), lp, "w_lin_attn")
                 if tp_axis is not None:
                     o = jax.lax.psum(o, tp_axis)
-                x = x + o.astype(x.dtype)
+                x = x + o.astype(x.dtype)[..., : x.shape[-1]]
             h_attn = None
         elif cfg.kv_lora_rank:
             h_attn, att = mla_attention(x, lp, kvio, window)
