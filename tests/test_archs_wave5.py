@@ -1025,3 +1025,106 @@ def test_neobert_transcription(tmp_path):
         x = x + (_silu(wi[:, :FF]) * wi[:, FF:]) @ w[p + "ffn.w3.weight"].T
     want = _rms_np(x, w["layer_norm.weight"])
     np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)
+
+
+def test_cogvlm_dual_expert(tmp_path):
+    """CogVLM (src/models/cogvlm.cpp): llama body whose per-layer
+    attention/FFN weights switch between a language-expert and a
+    visual-expert set by batch kind.  Twin test: the cogvlm checkpoint's
+    text path must equal a llama built from the language weights, and
+    forward(visual_expert=True) must equal a llama built from the
+    vision-expert weights (norms shared)."""
+    rng = np.random.default_rng(101)
+    Vv = 64
+    KVm = H  # cogvlm is MHA
+
+    def proj_set(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "q": _t2(r, H * HD, D), "k": _t2(r, KVm * HD, D),
+            "v": _t2(r, KVm * HD, D), "o": _t2(r, D, H * HD),
+            "g": _t2(r, FF, D), "u": _t2(r, FF, D), "d": _t2(r, D, FF),
+        }
+
+    shared = {
+        "model.embed_tokens.weight": rng.standard_normal(
+            (Vv, D)).astype(np.float32) * 0.02,
+        "model.norm.weight": _gain(rng, D),
+        "lm_head.weight": _t2(rng, Vv, D),
+    }
+    norms = {}
+    lang, vis = {}, {}
+    for i in range(L):
+        norms[f"model.layers.{i}.input_layernorm.weight"] = _gain(rng, D)
+        norms[f"model.layers.{i}.post_attention_layernorm.weight"] = (
+            _gain(rng, D))
+        lang[i] = proj_set(1000 + i)
+        vis[i] = proj_set(2000 + i)
+
+    def llama_ckpt(dirp, ps):
+        t = {**shared, **norms}
+        for i in range(L):
+            p = f"model.layers.{i}."
+            t[p + "self_attn.q_proj.weight"] = ps[i]["q"]
+            t[p + "self_attn.k_proj.weight"] = ps[i]["k"]
+            t[p + "self_attn.v_proj.weight"] = ps[i]["v"]
+            t[p + "self_attn.o_proj.weight"] = ps[i]["o"]
+            t[p + "mlp.gate_proj.weight"] = ps[i]["g"]
+            t[p + "mlp.up_proj.weight"] = ps[i]["u"]
+            t[p + "mlp.down_proj.weight"] = ps[i]["d"]
+        _write(dirp, {
+            "model_type": "llama", "architectures": ["LlamaForCausalLM"],
+            "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+            "num_attention_heads": H, "num_key_value_heads": KVm,
+            "intermediate_size": FF, "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0, "max_position_embeddings": 64,
+            "tie_word_embeddings": False,
+        }, t)
+
+    t = {**shared, **norms}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.language_expert_query_key_value.weight"] = (
+            np.concatenate([lang[i]["q"], lang[i]["k"], lang[i]["v"]], 0))
+        t[p + "self_attn.language_expert_dense.weight"] = lang[i]["o"]
+        t[p + "mlp.language_mlp.gate_proj.weight"] = lang[i]["g"]
+        t[p + "mlp.language_mlp.up_proj.weight"] = lang[i]["u"]
+        t[p + "mlp.language_mlp.down_proj.weight"] = lang[i]["d"]
+        t[p + "self_attn.vision_expert_query_key_value.weight"] = (
+            np.concatenate([vis[i]["q"], vis[i]["k"], vis[i]["v"]], 0))
+        t[p + "self_attn.vision_expert_dense.weight"] = vis[i]["o"]
+        t[p + "mlp.vision_mlp.gate_proj.weight"] = vis[i]["g"]
+        t[p + "mlp.vision_mlp.up_proj.weight"] = vis[i]["u"]
+        t[p + "mlp.vision_mlp.down_proj.weight"] = vis[i]["d"]
+    # a vision-tower tensor that must be dropped
+    t["model.vision.patch_embedding.proj.weight"] = np.zeros(
+        (8, 8), np.float32)
+    _write(tmp_path / "cogvlm", {
+        "model_type": "cogvlm", "architectures": ["CogVLMForCausalLM"],
+        "vocab_size": Vv, "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": H, "intermediate_size": FF,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 64, "tie_word_embeddings": False,
+    }, t)
+    llama_ckpt(tmp_path / "lang", lang)
+    llama_ckpt(tmp_path / "visw", vis)
+    convert_hf(tmp_path / "cogvlm", tmp_path / "out_c", dtype_hp="float32")
+    convert_hf(tmp_path / "lang", tmp_path / "out_l", dtype_hp="float32")
+    convert_hf(tmp_path / "visw", tmp_path / "out_v", dtype_hp="float32")
+
+    toks = rng.integers(0, Vv, (1, 7))
+    cfg_c, params_c, _ = load_checkpoint(tmp_path / "out_c")
+    assert cfg_c.dual_expert
+    pf_c = float_twin_params(params_c, cfg_c, dtype=jnp.float32)
+    pos = jnp.arange(7, dtype=jnp.int32)[None]
+    tk = jnp.asarray(toks, jnp.int32)
+    got_text, _ = forward(pf_c, cfg_c, tk, pos, None, impl="xla")
+    got_vis, _ = forward(pf_c, cfg_c, tk, pos, None, impl="xla",
+                         visual_expert=True)
+    want_text, _ = _our_logits(tmp_path / "out_l", toks)
+    want_vis, _ = _our_logits(tmp_path / "out_v", toks)
+    np.testing.assert_allclose(
+        np.asarray(got_text), want_text, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_vis), want_vis, rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(got_text), np.asarray(got_vis))

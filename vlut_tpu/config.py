@@ -115,6 +115,9 @@ class ModelConfig:
     # dense(norm(ffn_inp))) — reference src/models/arctic.cpp
     nope_layers: tuple[bool, ...] | None = None  # per-layer "skip rope"
     # (cohere2 global layers, smollm3 no_rope_layers)
+    dual_expert: bool = False     # cogvlm: every layer carries a second
+    # (visual-expert) weight set vis_*; forward(visual_expert=True)
+    # selects it for image-embedding batches (src/models/cogvlm.cpp)
     attn_gate: str = ""           # "sigmoid": afmoe attention output gate —
     # gate = w_attn_gate @ attn_norm(x), attention output (pre-o_proj)
     # multiplied by sigmoid(gate) (reference src/models/afmoe.cpp)

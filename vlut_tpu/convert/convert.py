@@ -1240,6 +1240,9 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             sliding_window_pattern=raw.get("sliding_window_pattern", 0),
             rope_theta_local=raw.get("rope_local_theta", 0.0) or 0.0,
         )
+    if mt == "cogvlm" or "CogVLMForCausalLM" in archs:
+        # cogvlm: llama body with a duplicated visual-expert weight set
+        extra.update(dual_expert=True)
     if "Gemma3TextModel" in archs or raw.get("use_bidirectional_attention"):
         # EmbeddingGemma (reference src/models/gemma-embedding.cpp +
         # convert_hf_to_gguf.py EmbeddingGemma): the gemma3 text body with
@@ -2050,6 +2053,29 @@ def convert_hf(
         elif mt0 == "mimo2":
             name = name.replace(".self_attn.attention_sink_bias",
                                 ".self_attn.sink_bias")
+        elif mt0 == "cogvlm":
+            # CogVLM (src/models/cogvlm.cpp): llama body whose per-layer
+            # weights come in TWO sets — language expert (text batches)
+            # and visual expert (image-embedding batches); vision tower
+            # tensors (model.vision.*) are dropped like the reference
+            # CogVLMModel converter
+            name = name.replace(
+                ".self_attn.language_expert_query_key_value.",
+                ".self_attn.qkv_proj.")
+            name = name.replace(".self_attn.language_expert_dense.",
+                                ".self_attn.o_proj.")
+            name = name.replace(".mlp.language_mlp.", ".mlp.")
+            name = name.replace(
+                ".self_attn.vision_expert_query_key_value.",
+                ".self_attn.vis_qkv_proj.")
+            name = name.replace(".self_attn.vision_expert_dense.",
+                                ".self_attn.vis_o_proj.")
+            name = name.replace(".mlp.vision_mlp.gate_proj.",
+                                ".mlp.vis_gate_proj.")
+            name = name.replace(".mlp.vision_mlp.up_proj.",
+                                ".mlp.vis_up_proj.")
+            name = name.replace(".mlp.vision_mlp.down_proj.",
+                                ".mlp.vis_down_proj.")
         elif mt0 == "openelm":
             # apple OpenELM 'transformer.layers' scheme (src/models/
             # openelm.cpp): fused [q;k;v] qkv at per-layer head counts,
@@ -2089,6 +2115,8 @@ def convert_hf(
         return name
 
     for name, w in _iter_hf_tensors(hf_dir):
+        if mt0 == "cogvlm" and name.startswith("model.vision."):
+            continue  # vision tower handled by mtmd, not the LM graph
         if mt0 == "mistral3" and name.split(".", 2)[0] in (
             "vision_tower", "multi_modal_projector"
         ) or mt0 == "mistral3" and name.startswith(
@@ -2559,6 +2587,23 @@ def convert_hf(
                 wf = wf.reshape(-1, g_, s_, hd_).transpose(0, 2, 1, 3)
                 w = wf.reshape(-1, cfg.n_heads * hd_)
             pack_proj(_PROJ_MAP[sub], w, li)
+            continue
+        if sub == "self_attn.vis_qkv_proj":
+            # cogvlm visual-expert fused qkv
+            wf = np.asarray(w, np.float32)
+            qd, kvd = cfg.q_dim, cfg.kv_dim
+            pack_proj("vis_wq", wf[:qd], li)
+            pack_proj("vis_wk", wf[qd : qd + kvd], li)
+            pack_proj("vis_wv", wf[qd + kvd :], li)
+            continue
+        if sub in ("self_attn.vis_o_proj", "mlp.vis_gate_proj",
+                   "mlp.vis_up_proj", "mlp.vis_down_proj"):
+            pack_proj({
+                "self_attn.vis_o_proj": "vis_wo",
+                "mlp.vis_gate_proj": "vis_w_gate",
+                "mlp.vis_up_proj": "vis_w_up",
+                "mlp.vis_down_proj": "vis_w_down",
+            }[sub], w, li)
             continue
         # phi3-style fused projections (openelm/plamo3: per-layer head
         # counts — split at this layer's own widths)

@@ -100,6 +100,10 @@ def weight_specs(
         specs["w_attn_gate"] = TernarySpec(d, qd, fmt, kb)
     # deci replace_with_linear "attention": a plain (D, D) projection
     specs["w_lin_attn"] = TernarySpec(d, d, fmt, kb)
+    if cfg.dual_expert:
+        # cogvlm visual-expert twins share the language specs
+        for nm in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            specs["vis_" + nm] = specs[nm]
     if cfg.kv_lora_rank:
         dn, dr = cfg.qk_nope_dim, cfg.qk_rope_dim
         specs["wkv_a"] = TernarySpec(d, cfg.kv_lora_rank + dr, fmt, kb)
@@ -142,6 +146,8 @@ def pack_weight(
     plan = plan or make_plan(cfg)
     kb, fmt = plan.kb, cfg.weight_fmt
     hd, hd_p = plan.hd, plan.hd_p
+    if name.startswith("vis_"):
+        name = name[4:]  # cogvlm visual-expert twins pack identically
     pk = lambda tr: pack_ternary(tr, scale, fmt, kb, use_native=True)  # noqa: E731
     if name in ("wq", "wk", "wv", "w_attn_gate"):
         heads = cfg.n_kv_heads if name in ("wk", "wv") else cfg.n_heads
@@ -277,6 +283,8 @@ def unpack_weight(
 
     plan = plan or make_plan(cfg)
     hd, hd_p = plan.hd, plan.hd_p
+    if name.startswith("vis_"):
+        name = name[4:]  # cogvlm visual-expert twins unpack identically
     w = unpack_ternary_np(t)  # (k_padded-layout logical k, n)
 
     def gather_head_cols(w2, heads):
@@ -798,6 +806,7 @@ def forward(
     attn_mask: jax.Array | None = None,  # (B, T, S) full mask override
     mrope_pos: jax.Array | None = None,  # (B, 3, T) qwen2-vl M-RoPE rows;
     # None = standard rope from `positions` (equal rows are equivalent)
+    visual_expert: bool = False,  # cogvlm: use the vis_* weight set
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -849,6 +858,7 @@ def forward(
         cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
         ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
         attn_mask=attn_mask, mrope_pos=mrope_pos,
+        visual_expert=visual_expert,
     )
 
     if cfg.norm_type == "ln":
@@ -929,6 +939,7 @@ def run_layers(
     sp_axis: str | None = None,
     attn_mask: jax.Array | None = None,  # (B, T, S) override, see _attention
     mrope_pos: jax.Array | None = None,  # (B, 3, T) M-RoPE rows
+    visual_expert: bool = False,  # cogvlm vis_* weight set
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Scan the transformer stack over a (possibly stage-local) layers tree.
 
@@ -1393,6 +1404,15 @@ def run_layers(
     def layer_step(x, xs):
         # kvio: _LayerKV/_StackedKV or None (cache-less)
         lp, kvio, window, r_on = xs
+        if visual_expert and "vis_wq" in lp:
+            # cogvlm image batches swap in the visual-expert weight set
+            # (norms and everything else stay shared)
+            lp = {
+                **{k_: v_ for k_, v_ in lp.items()
+                   if not k_.startswith("vis_")},
+                **{k_[4:]: v_ for k_, v_ in lp.items()
+                   if k_.startswith("vis_")},
+            }
         x_in = x  # layer input (arctic's MoE branch reads it directly)
 
         # deci heterogeneous layer kinds (src/models/deci.cpp): a layer
