@@ -63,15 +63,19 @@ def main():
     # int8 output head: the reference's own default quantizes output.weight
     # to Q6_K (6.5 bpw, src/llama-quant.cpp:211) — int8 is higher fidelity
     params = quantize_head(params)
-    params = jax.device_put(
-        unstack_layers(fuse_projections(params, cfg), cfg)
-    )
+    params_scan = jax.device_put(fuse_projections(params, cfg))
     if jax.default_backend() == "tpu":
         # serving-time uint32 word layout, both formats (i2: 16 trits per
         # lane shift/mask; i1: 20 trits per lane SWAR base-243 decode)
         from vlut_tpu.ops.packing import word_pack_params
 
-        params = word_pack_params(params, cfg.weight_fmt)
+        params_scan = word_pack_params(params_scan, cfg.weight_fmt)
+    # two resident layer trees (~2x weight HBM, still <6 GB at 8B-1.58):
+    # prefill scans the STACKED tree (XLA pipelines the layer loop +
+    # unpack+int8-dot GEMMs best at M=4096 — 265 vs 393 ms pp128x32),
+    # decode unrolls the TUPLE tree (weights stream without scan's
+    # per-layer slice copies — 7.2 vs 16+ ms/step)
+    params = unstack_layers(params_scan, cfg)
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
     # kernels parity preflight: the timed path must be BIT-EXACT integer
@@ -117,10 +121,12 @@ def main():
     )
 
     def run_prefill():
-        # layered cache layout: unrolled decode updates per-layer buffers
-        # in place (kv_cache.py layout notes)
-        cache = init_kv_cache(cfg, NP_SLOTS, max_len=max_len, layout="layers")
-        logits, cache = prefill(params, cache, tokens, positions)
+        # stacked cache + scan prefill; decode converts to the layered
+        # layout once (to_layered below) and updates per-layer buffers in
+        # place (kv_cache.py layout notes)
+        cache = init_kv_cache(
+            cfg, NP_SLOTS, max_len=max_len, layout="stacked")
+        logits, cache = prefill(params_scan, cache, tokens, positions)
         return logits, cache
 
     logits, cache = run_prefill()  # compile
@@ -142,15 +148,19 @@ def main():
     lengths = jnp.full((NP_SLOTS,), PROMPT_LEN, jnp.int32)
     key = jax.random.PRNGKey(0)
 
+    from vlut_tpu.runtime.kv_cache import to_layered
+
     ts = {}
     for n in (N_LO, N_HI):
         gen = make_generate_fn(cfg, n_steps=n, features=feats)
         _, cache2 = run_prefill()
+        cache2 = to_layered(cache2)
         toks, _ = gen(params, cache2, last, lengths, sp, key)
         int(jnp.sum(toks))  # compile + warm
         best = float("inf")
         for _ in range(2):
             _, cache2 = run_prefill()
+            cache2 = to_layered(cache2)
             float(jnp.sum(cache2["k"][0][0, 0]))  # settle prefill
             t0 = time.time()
             toks, _ = gen(params, cache2, last, lengths, sp, key)

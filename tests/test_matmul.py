@@ -226,3 +226,31 @@ def test_word_packed_matches_byte_packed(fmt):
     np.testing.assert_array_equal(
         np.asarray(fa, np.float32), np.asarray(fb, np.float32)
     )
+
+
+def test_xla_impl_word_packed_matches_slab():
+    """The prefill XLA path must decode the serving-time uint32 word
+    layout identically to the byte-slab layout (both formats)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vlut_tpu.ops.matmul import ternary_matmul_quantized
+    from vlut_tpu.ops.packing import TernaryTensor, pack_ternary, word_pack
+
+    rng = np.random.default_rng(3)
+    for fmt, k in (("i2", 256), ("i1", 320)):
+        trits = rng.integers(-1, 2, (k, 256)).astype(np.int8)
+        t = pack_ternary(trits, np.float32(0.05), fmt)
+        tw = TernaryTensor(
+            word_pack(jnp.asarray(t.packed), fmt), t.scale,
+            t.k, t.n, t.fmt, t.kb,
+        )
+        xq = jnp.asarray(rng.integers(-127, 128, (300, k)), jnp.int8)
+        xs = jnp.ones((300, 1), jnp.float32)
+        a = ternary_matmul_quantized(xq, xs, t, impl="xla")
+        b = ternary_matmul_quantized(xq, xs, tw, impl="xla")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        want = (
+            np.asarray(xq, np.int32) @ trits.astype(np.int32)
+        ).astype(np.float32) * 0.05
+        np.testing.assert_array_equal(np.asarray(a), want)

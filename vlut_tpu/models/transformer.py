@@ -26,6 +26,7 @@ models/dims.py so shards stay tile-aligned.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any
 
@@ -192,18 +193,20 @@ def quantize_head(params: dict[str, Any]) -> dict[str, Any]:
     head = params.get("lm_head")
     if head is None or isinstance(head, dict):
         return params
-    w = np.asarray(head, np.float32)
-    amax = np.abs(w).max(axis=0)
-    scale = amax / 127.0
-    inv = np.where(amax > 0, 127.0 / np.maximum(amax, 1e-30), 0.0)
-    q = np.clip(np.round(w * inv[None, :]), -127, 127).astype(np.int8)
-    return {
-        **params,
-        "lm_head": {
-            "q": jnp.asarray(q),
-            "scale": jnp.asarray(scale, jnp.float32),
-        },
-    }
+
+    @jax.jit
+    def _q(w):
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=0)
+        scale = amax / 127.0
+        inv = jnp.where(amax > 0, 127.0 / jnp.maximum(amax, 1e-30), 0.0)
+        q = jnp.clip(jnp.round(wf * inv[None, :]), -127, 127)
+        return q.astype(jnp.int8), scale
+
+    # one jitted device pass: the numpy form pulled the multi-GB head
+    # through the host (measured 134 s of the flagship bench's cold start)
+    q, scale = _q(jnp.asarray(head))
+    return {**params, "lm_head": {"q": q, "scale": scale}}
 
 
 def unstack_layers(params: dict[str, Any], cfg: ModelConfig) -> dict[str, Any]:
@@ -356,18 +359,30 @@ def init_params_fast(
     # Benchmark bytes, not real values — valid code ranges so unpack cost
     # matches production exactly.
     key = jax.random.PRNGKey(seed)
-    lut = jnp.asarray(_I2_CODE_LUT)
+
+    @functools.partial(jax.jit, static_argnames=("shape", "fmt"))
+    def _gen(sub, shape, fmt):
+        if fmt == "i2":
+            # valid base-81 bytes via arithmetic digit packing — a LUT
+            # gather here lowers to an index-serial XLA gather (the same
+            # pathology as KV scatter; it was most of a 114 s cold start)
+            c = jax.random.randint(sub, shape, 0, 81, jnp.int32)
+            d0 = c % 3
+            c3 = c // 3
+            d1 = c3 % 3
+            c9 = c3 // 3
+            d2 = c9 % 3
+            d3 = c9 // 3
+            return (d0 | (d1 << 2) | (d2 << 4) | (d3 << 6)).astype(
+                jnp.uint8)
+        return jax.random.randint(sub, shape, 0, 243, jnp.uint8)
+
     layers: dict[str, Any] = {}
     for name, spec in specs.items():
         key, sub = jax.random.split(key)
         shape = (cfg.n_layers, rows(spec), cols(spec))
-        if cfg.weight_fmt == "i2":
-            codes = jax.random.randint(sub, shape, 0, 81, jnp.uint8)
-            packed = lut[codes]
-        else:
-            packed = jax.random.randint(sub, shape, 0, 243, jnp.uint8)
         layers[name] = {
-            "packed": packed,
+            "packed": _gen(sub, shape, cfg.weight_fmt),
             "scale": jnp.full((cfg.n_layers,), 0.05, jnp.float32),
         }
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)

@@ -231,9 +231,31 @@ def ternary_matmul_quantized(
     if impl == "auto":
         impl = _default_impl()
     m, k = x_q.shape
+    if impl == "pallas" and m > int(
+        os.environ.get("VLUT_TPU_XLA_MIN_M", "256")
+    ):
+        # prefill regime: XLA's unpack + int8 dot pipelines the trit
+        # decode under the MXU better than the Pallas kernel, which
+        # re-decodes the full weight for every M-tile (measured pp128x32
+        # e2e on v5e: 265 ms xla vs 372 ms pallas — the round-2 prefill
+        # regression; decode shapes m<=64 keep the fused Pallas kernels)
+        impl = "xla"
 
     if impl == "xla":
-        w = unpack_ternary(t)  # (k, n) int8
+        if t.word_packed:
+            # serving-time uint32 word layout: reuse the kernel's
+            # (jnp-traceable) word decode, fields - 1 = trits
+            from vlut_tpu.ops.pallas_gemm import _unpack_tile
+
+            w = (
+                _unpack_tile(
+                    jnp.asarray(t.packed), t.fmt, t.kb, t.k_padded,
+                    t.n_padded,
+                )
+                - jnp.int8(1)
+            )[: t.k, : t.n]
+        else:
+            w = unpack_ternary(t)  # (k, n) int8
         acc = jax.lax.dot_general(
             x_q,
             w,
