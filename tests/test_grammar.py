@@ -350,3 +350,102 @@ def test_tool_call_gbnf():
     g1 = tool_call_gbnf(tools[:1], parallel=False)
     assert _matches(g1, ok)
     assert not _matches(g1, ok + ok)
+
+
+def test_lazy_grammar_trigger_activation():
+    """tool_choice='auto' lazy grammar (reference: common/chat.cpp
+    grammar_lazy + grammar_triggers): unconstrained prose until the
+    trigger appears — even split across tokens — then the tool grammar
+    constrains everything from the trigger on."""
+    from vlut_tpu.runtime.grammar import GrammarSampler, LazyGrammarSampler
+
+    pieces = ["Hello", " world", "<tool", "_call>", '{"name": "add", '
+              '"arguments": {"a": 1, "b": 2}}', "</tool_call>", "<eos>",
+              "rubbish", '{"name": "rm", "arguments": {}}']
+    gbnf = (
+        'root ::= call+\n'
+        'call ::= "<tool_call>" "{\\"name\\": \\"add\\", \\"arguments\\": '
+        '{\\"a\\": 1, \\"b\\": 2}}" "</tool_call>"\n'
+    )
+    inner = GrammarSampler(gbnf, pieces, eos_ids=(6,))
+    lz = LazyGrammarSampler(inner, ["<tool_call>"])
+    lz.reset()
+    # prose: everything allowed, engine can skip the mask
+    assert lz.inactive
+    assert lz.mask().all()
+    lz.accept(0)  # "Hello"
+    lz.accept(1)  # " world"
+    assert lz.inactive and lz.mask().all()
+    # trigger split across two tokens
+    lz.accept(2)  # "<tool"
+    assert lz.inactive
+    lz.accept(3)  # "_call>"
+    assert not lz.inactive
+    # constrained now: only the schema-valid payload token is admissible
+    m = lz.mask()
+    assert m[4] and not m[7] and not m[8] and not m[6]
+    lz.accept(4)
+    lz.accept(5)  # "</tool_call>"
+    # grammar can end -> EOS allowed
+    assert lz.mask()[6]
+
+
+def test_lazy_grammar_mid_token_trigger_and_reset():
+    from vlut_tpu.runtime.grammar import (GrammarError, GrammarSampler,
+                                          LazyGrammarSampler)
+
+    pieces = ["Sure: <t>", "ok", "</t>", "no", "<eos>"]
+    inner = GrammarSampler('root ::= "<t>" "ok" "</t>"', pieces,
+                           eos_ids=(4,))
+    lz = LazyGrammarSampler(inner, ["<t>"])
+    lz.reset()
+    # prose prefix and the trigger in ONE token: grammar input starts at
+    # the trigger's first char
+    lz.accept(0)
+    assert not lz.inactive
+    m = lz.mask()
+    assert m[1] and not m[3]
+    lz.accept(1)
+    lz.accept(2)
+    assert lz.mask()[4]
+    # bad token after activation raises (engine fails the request)
+    lz.reset()
+    assert lz.inactive
+    lz.accept(0)
+    with pytest.raises(GrammarError):
+        lz.accept(3)
+
+
+def test_server_auto_tool_choice_wires_lazy_grammar():
+    """_grammar_from_body builds a LazyGrammarSampler for auto-mode tool
+    bodies (server attaches grammar_lazy + grammar_triggers)."""
+    from vlut_tpu.runtime.grammar import LazyGrammarSampler, tool_call_gbnf
+
+    class _Tok:
+        _trie = None
+        eos_id = 4
+
+        def pieces(self):
+            return ["<tool_call>", '{"name": "f", "arguments": {}}',
+                    "</tool_call>", "hi", "<eos>"]
+
+        def make_grammar(self, gbnf):
+            from vlut_tpu.utils.tokenizer import Tokenizer
+
+            return Tokenizer.make_grammar(self, gbnf)
+
+    from vlut_tpu.serving.server import _grammar_from_body
+
+    tools = [{"type": "function",
+              "function": {"name": "f", "parameters": {"type": "object"}}}]
+    body = {"grammar": tool_call_gbnf(tools), "grammar_lazy": True,
+            "grammar_triggers": ["<tool_call>"]}
+    g = _grammar_from_body(body, _Tok())
+    assert isinstance(g, LazyGrammarSampler)
+    g.reset()
+    g.accept(3)          # free-form prose ok
+    assert g.inactive
+    g.accept(0)          # trigger token
+    assert not g.inactive
+    m = g.mask()
+    assert m[1] and not m[3]

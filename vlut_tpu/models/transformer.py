@@ -801,6 +801,79 @@ def _attention_chunked(q, k, v, q_pos, k_pos, hd_logical, scale=0.0,
     return out
 
 
+def _ring_attention(q, k, v, q_pos, k_pos, hd_logical, sp_axis, scale=0.0,
+                    softcap=0.0, window=None, alibi=None, sinks=None,
+                    chunked_window=False, causal=True):
+    """Ring/blockwise context-parallel attention (SURVEY §2.3 stretch goal;
+    beyond the reference, which has no CP at all).
+
+    Each "sp" shard holds only its T/sp slice of K/V — per-device KV
+    memory scales 1/sp, unlike the gathered-KV form (the round-2 sp path)
+    where every device materialized the full context.  The sp blocks
+    rotate around the ring with ``jax.lax.ppermute`` (ICI
+    neighbor-exchange, overlappable with the block's compute) while a
+    flash-style online softmax merges partial results; masks are derived
+    from GLOBAL position values carried alongside the blocks, so causal /
+    SWA / chunked-window / ALiBi semantics are origin-independent and
+    bit-match the gathered form (tests/test_parallel.py).
+    """
+    sp = jax.lax.axis_size(sp_axis)
+    b, t, h, hd = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+    qf = q.astype(jnp.float32) * (scale or 1.0 / np.sqrt(hd_logical))
+    qf = qf.reshape(b, t, hkv, g, hd)
+    qp = q_pos[:, None, None, :, None]
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def body(carry, _):
+        kb, vb, kpb, m, l, acc = carry
+        sc = jnp.einsum("bthgd,bshd->bhgts", qf, kb.astype(jnp.float32))
+        if softcap:
+            sc = softcap * jnp.tanh(sc / softcap)
+        kp_ = kpb[:, None, None, None, :]
+        if alibi is not None:
+            slopes = jnp.asarray(alibi, jnp.float32).reshape(1, hkv, g, 1, 1)
+            sc = sc + slopes * (kp_ - qp).astype(jnp.float32)
+        mask = ((kp_ <= qp) & (kp_ >= 0)) if causal else (kp_ >= 0)
+        if window is not None:
+            if chunked_window:
+                ws = jnp.maximum(window, 1)
+                mask &= jnp.where(window > 0, (kp_ // ws) == (qp // ws), True)
+            elif causal:
+                mask &= jnp.where(window > 0, kp_ > qp - window, True)
+            else:
+                mask &= jnp.where(window > 0, jnp.abs(kp_ - qp) < window,
+                                  True)
+        sc = jnp.where(mask, sc, -1e30)
+        m_new = jnp.maximum(m, sc.max(-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new[..., None])
+        p = jnp.where(mask, p, 0.0)
+        l = l * corr + p.sum(-1)
+        pv = jnp.einsum("bhgts,bshd->bhgtd", p, vb.astype(jnp.float32))
+        acc = acc * corr[..., None] + pv
+        kb, vb, kpb = jax.lax.ppermute((kb, vb, kpb), sp_axis, perm)
+        return (kb, vb, kpb, m_new, l, acc), None
+
+    if sinks is not None:
+        m0 = jnp.broadcast_to(
+            jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1),
+            (b, hkv, g, t),
+        )
+        l0 = jnp.ones((b, hkv, g, t), jnp.float32)
+    else:
+        m0 = jnp.full((b, hkv, g, t), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    a0 = jnp.zeros((b, hkv, g, t, v.shape[-1]), jnp.float32)
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        body, (k, v, k_pos, m0, l0, a0), None, length=sp
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = jnp.moveaxis(out, 3, 1).reshape(b, t, h, v.shape[-1])
+    return out
+
+
 def forward(
     params: dict[str, Any],
     cfg: ModelConfig,
@@ -1583,18 +1656,38 @@ def run_layers(
                     k_all, v_all = kvio.peek()
                 else:
                     k_all, v_all = kvio.update(k, v, write_start)
-            elif sp_axis is not None:
-                # context parallel: gather K/V across sequence shards; Q
-                # stays local so each shard computes its T/sp output slice
-                k_all = jax.lax.all_gather(k, sp_axis, axis=1, tiled=True)
-                v_all = jax.lax.all_gather(v, sp_axis, axis=1, tiled=True)
-            else:
+            ring_att = None
+            if not use_cache and sp_axis is not None:
+                if attn_mask is None:
+                    # ring/blockwise context parallel: KV stays sharded
+                    # (per-device KV memory scales 1/sp); blocks rotate by
+                    # ppermute with an online-softmax merge
+                    ring_att = _ring_attention(
+                        q, k, v, safe_pos, positions, plan.hd, sp_axis,
+                        scale=cfg.attn_scale,
+                        softcap=cfg.attn_logit_softcap, window=window,
+                        alibi=alibi,
+                        sinks=lp["sinks"] if cfg.attn_sinks else None,
+                        chunked_window=cfg.swa_type == "chunked",
+                        causal=cfg.causal_attn,
+                    )
+                    k_all, v_all = k, v  # unused
+                else:
+                    # explicit (B, T, S-global) mask overrides need the
+                    # full context on-device: gathered-KV fallback
+                    k_all = jax.lax.all_gather(k, sp_axis, axis=1,
+                                               tiled=True)
+                    v_all = jax.lax.all_gather(v, sp_axis, axis=1,
+                                               tiled=True)
+            elif not use_cache:
                 k_all, v_all = k, v
 
             if "no_attn" in _ABLATE():
                 # perf-ablation only (VLUT_ABLATE): bypass attention to
                 # isolate its share; output shape/dtype match _attention
                 att = q.astype(jnp.float32)
+            elif ring_att is not None:
+                att = ring_att
             else:
                 att = _attention(
                     q, k_all, v_all, safe_pos, k_pos_row, plan.hd,

@@ -250,7 +250,7 @@ def ternary_matmul_quantized(
             w = (
                 _unpack_tile(
                     jnp.asarray(t.packed), t.fmt, t.kb, t.k_padded,
-                    t.n_padded,
+                    t.n_padded, kernel=False,
                 )
                 - jnp.int8(1)
             )[: t.k, : t.n]

@@ -270,29 +270,36 @@ def word_pack(packed, fmt: Format = "i2", kb: int | None = None):
 
     The byte kernels expand each uint8 into one 32-bit VPU lane (4x lane
     waste); decode is ALU-bound, so repacking 4 slab bytes per uint32 cuts
-    decode lane-ops ~4x.  Byte choice is stride-(slab/4) within each
-    slab-row group (rows w, w+8, w+16, w+24 -> one word at row w, for the
-    default slab of 32) so the kernel's shift-and-mask slices reassemble
-    with a PLAIN reshape — no transposes in the hot loop:
+    decode lane-ops ~4x.  Word w carries byte rows 4w..4w+3 little-endian —
+    i.e. the uint32 array is the PLAIN byte-order reinterpretation of the
+    byte layout.  This matches Mosaic's int32->int8 sublane bitcast (word
+    w byte b -> int8 sublane 4w+b, measured on v5e), so the kernel's
+    byte-plane decode exposes four decoded fields per lane-op:
 
-        i2: trit k = block*128 + q*32 + g*8 + w  <-  (word >> (8g + 2q)) & 3
-        i1: byte g of the word decodes 5 base-243 digits q covering
-            k = block*160 + q*32 + g*8 + w; the kernel splits even/odd
-            bytes into 16-bit SWAR fields so one 32-bit multiply-shift
-            extracts a digit of TWO bytes at once (pallas_gemm._unpack_tile)
+        i2: fields of byte row j=4w+b, all four b at once, via ONE
+            (word >> 2q) & 0x03030303 then a free sublane bitcast
+        i1: base-243 digits via even/odd 16-bit SWAR multiply-shift, the
+            two parity digit planes recombined into byte lanes
+            (h0 | h1<<8) and bitcast (pallas_gemm._unpack_tile)
 
     Works on (..., rows, n) uint8 with any leading dims.
     """
-    r = TRITS_PER_BYTE[fmt]
-    kb = kb or DEFAULT_BLOCK[fmt]
-    slab = kb // r  # 32 for both default blocks
-    assert slab % 4 == 0, (kb, r)
     *lead, rows, n = packed.shape
-    assert rows % slab == 0, (rows, slab)
-    x = jnp.asarray(packed).reshape(*lead, rows // slab, 4, slab // 4, n)
-    x = jnp.moveaxis(x, -3, -1)  # (..., nb, slab//4, n, 4): g bytes last
+    assert rows % 4 == 0, rows
+    x = jnp.asarray(packed).reshape(*lead, rows // 4, 4, n)
+    x = jnp.moveaxis(x, -2, -1)  # (..., rows//4, n, 4): bytes minor
     u32 = jax.lax.bitcast_convert_type(x, jnp.uint32)
     return u32.reshape(*lead, rows // 4, n)
+
+
+def word_unpack(words, fmt: Format = "i2"):
+    """Exact inverse of :func:`word_pack` (jnp-traceable): uint32 word
+    layout -> uint8 byte layout.  Used by the XLA (prefill) matmul path so
+    serving-time word-packed weights decode without a host repack."""
+    *lead, rows4, n = words.shape
+    b = jax.lax.bitcast_convert_type(jnp.asarray(words), jnp.uint8)
+    b = jnp.moveaxis(b, -1, -2)  # (..., rows//4, 4, n)
+    return b.reshape(*lead, rows4 * 4, n)
 
 
 def word_pack_params(params, fmt: str):

@@ -44,64 +44,71 @@ def _rows_per_bk(bk: int, fmt: str, packed_dtype) -> int:
 
 
 
-def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int):
+def _unpack_tile(p, fmt: str, kb: int, bk: int, bn: int,
+                 kernel: bool = True):
     """(bk//r, bn) uint8 tile -> (bk, bn) int8 FIELDS in {0, 1, 2}.
 
     Fields, not trits: the -1 bias is folded into the GEMM as an
     accumulator correction (x @ (F-1) == x @ F - rowsum(x)), saving one
-    VPU op per trit — the decode is ALU-bound (~3 ops/trit saturates the
-    v5e VPU around 280 GB/s), so every op off this path is bandwidth.
-    Callers MUST subtract the per-K-block rowsum of x (see the kernels).
+    VPU op per trit — the decode is ALU-bound, so every op off this path
+    is bandwidth.  Callers MUST subtract the per-K-block rowsum of x.
+
+    ``kernel=True`` (inside a Pallas kernel) uses the byte-plane decode:
+    one ``(word >> 2q) & 0x03030303`` extracts field q of FOUR byte rows
+    into the byte lanes of an int32, and ``pltpu.bitcast`` exposes them as
+    int8 sublanes (measured mapping on v5e: word w byte b -> sublane
+    4w+b, which is exactly packing.word_pack's byte order).  ~0.5
+    lane-ops/trit vs ~2-3 for per-trit extraction + int32->int8 relayout;
+    measured i2 ffxd 157 -> 747 GB/s, dxff 290 -> 531 (scripts/
+    exp_bitcast_decode.py).  ``kernel=False`` (the XLA prefill path)
+    bitcasts words back to the byte layout and uses the byte decode —
+    bit-identical output, XLA-traceable.
     """
     r = TRITS_PER_BYTE[fmt]
     nb = bk // kb
     if p.dtype != jnp.uint8:
-        # word-packed layouts (packing.word_pack): one uint32 lane carries
-        # 4 slab bytes.  Byte g sits at bits 8g and maps to slab row
-        # g*(slab/4) + w, so the slice order reassembles with a plain
-        # reshape — no cross-lane traffic in the hot loop.
-        p = p.reshape(nb, kb // (4 * r), bn)
-        if fmt == "i2":
+        if not kernel:
+            # XLA path: words -> byte layout, then the byte decode below
+            from vlut_tpu.ops.packing import word_unpack
+
+            p = word_unpack(p, fmt)
+        elif fmt == "i2":
             assert kb == 128, kb
-            # 16 trits per lane; field (q, g) extracts with ONE logical
-            # shift-and-mask — ~4x fewer VPU lane-ops than byte-per-lane
-            # decode (k = b*128 + q*32 + g*8 + w)
-            slabs = [
-                (p >> (8 * g + 2 * q)) & 3
+            mask = jnp.uint32(0x03030303)
+            planes = [
+                pltpu.bitcast((p >> (2 * q)) & mask, jnp.int8).reshape(
+                    nb, 1, kb // r, bn)
                 for q in range(4)
-                for g in range(4)
             ]
+            return jnp.concatenate(planes, axis=1).reshape(bk, bn)
         else:
             assert kb == 160, kb
-            # 20 trits per lane, base-243 bytes.  SWAR dual-byte decode:
-            # split the word into even (B0,B2) and odd (B1,B3) bytes as
-            # two 16-bit fields of one uint32, then each multiply-shift
-            # magic division (x//3^q == (x*m)>>s, exact for x<243 and
-            # carry-free across the 16-bit fields — products stay <2^16
-            # per field) extracts digit q of TWO bytes at once.  ~3.2
-            # lane-ops/trit at word density vs the byte path's same ops
-            # over 4x the lanes.  Digit (q, h, par) covers logical row
-            # k = b*160 + q*32 + h*16 + par*8 + w (h = 16-bit half,
-            # par = byte parity) — see packing.word_pack.
-            p = p.astype(jnp.uint32)
+            # base-243 bytes.  SWAR dual-byte decode: split the word into
+            # even (B0,B2) and odd (B1,B3) bytes as two 16-bit fields of
+            # one uint32, then each multiply-shift magic division
+            # (x//3^q == (x*m)>>s, exact for x<243 and carry-free across
+            # the 16-bit fields — products stay <2^16 per field) extracts
+            # digit q of TWO bytes at once; the parity planes recombine
+            # into byte lanes (h0 | h1<<8 -> digits of byte rows
+            # 4w..4w+3) and bitcast to sublanes.  ~2.2 lane-ops/trit.
+            pu = p.astype(jnp.uint32)
             emask = jnp.uint32(0x00FF00FF)
             halves = []
             for par in range(2):
-                v = ((p >> 8) if par else p) & emask
+                v = ((pu >> 8) if par else pu) & emask
                 t1 = ((v * 171) >> 9) & jnp.uint32(0x007F007F)  # x // 3
                 a = ((v * 57) >> 9) & jnp.uint32(0x001F001F)    # x // 9
                 b = ((v * 19) >> 9) & jnp.uint32(0x000F000F)    # x // 27
                 c = ((b * 11) >> 5) & jnp.uint32(0x00030003)    # x // 81
                 halves.append([v - 3 * t1, t1 - 3 * a, a - 3 * b,
                                b - 3 * c, c])
-            slabs = [
-                (halves[par][q] >> 16) if h else (halves[par][q] & 3)
+            planes = [
+                pltpu.bitcast(
+                    halves[0][q] | (halves[1][q] << 8), jnp.int8
+                ).reshape(nb, 1, kb // r, bn)
                 for q in range(5)
-                for h in range(2)
-                for par in range(2)
             ]
-        w = jnp.stack(slabs, axis=1).reshape(bk, bn)
-        return w.astype(jnp.int8)
+            return jnp.concatenate(planes, axis=1).reshape(bk, bn)
     slab = kb // r
     p = p.astype(jnp.int32).reshape(nb, slab, bn)
     if fmt == "i2":

@@ -969,6 +969,9 @@ class Engine:
             (i, self.slots[i].req.grammar)
             for i in active
             if self.slots[i].req.grammar is not None
+            # lazy (trigger-activated) grammars are no-ops until the
+            # trigger fires; skip them to keep the path transfer-free
+            and not getattr(self.slots[i].req.grammar, "inactive", False)
         ]
         if not grams:
             return None

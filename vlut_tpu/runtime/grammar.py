@@ -436,6 +436,83 @@ class GrammarSampler:
         return allowed
 
 
+class LazyGrammarSampler:
+    """Trigger-activated grammar constraint (tool_choice="auto").
+
+    Reference: common/chat.cpp builds tool grammars with ``grammar_lazy``
+    plus ``grammar_triggers`` (token ids / words / patterns), and the
+    sampler applies the grammar only once a trigger fires
+    (tools/server/server-context.cpp wiring; llama-sampling's lazy grammar
+    sampler).  Here: generation is unconstrained free-form text until one
+    of the trigger strings appears in the decoded output; from the
+    trigger's FIRST character on, the wrapped :class:`GrammarSampler`
+    constrains decoding, so auto-mode output is either prose or a
+    schema-valid tool call — never a malformed call.
+
+    A trigger may arrive split across tokens, or embedded mid-token with
+    prose before it; the rolling text buffer handles both, and the grammar
+    is fed the activating text starting at the trigger match.
+    """
+
+    def __init__(self, inner: GrammarSampler, triggers: Iterable[str]):
+        self.inner = inner
+        self.triggers = [t for t in triggers if t]
+        if not self.triggers:
+            raise GrammarError("lazy grammar needs at least one trigger")
+        self.active = False
+        self._buf = ""
+        # keep enough tail to catch a trigger split across token pieces
+        self._keep = max(len(t) for t in self.triggers) - 1
+
+    @property
+    def inactive(self) -> bool:
+        """True while unconstrained (engine skips mask application)."""
+        return not self.active
+
+    @property
+    def eos_ids(self):
+        return self.inner.eos_ids
+
+    def reset(self):
+        self.inner.reset()
+        self.active = False
+        self._buf = ""
+
+    def accept(self, token_id: int):
+        if self.active:
+            self.inner.accept(token_id)
+            return
+        if token_id in self.inner.eos_ids:
+            return
+        text = self.inner.pieces[token_id] or ""
+        self._buf += text
+        hit = min(
+            (i for i in (self._buf.find(t) for t in self.triggers)
+             if i >= 0),
+            default=-1,
+        )
+        if hit < 0:
+            if self._keep:
+                self._buf = self._buf[-self._keep:]
+            else:
+                self._buf = ""
+            return
+        # activate: grammar input starts at the trigger's first char
+        self.active = True
+        tail = self._buf
+        self._buf = ""
+        self.inner.state = self.inner.state.advance_text(tail[hit:])
+        if self.inner.state.dead:
+            raise GrammarError(
+                f"trigger text {tail[hit:]!r} not admissible under grammar"
+            )
+
+    def mask(self) -> np.ndarray:
+        if self.active:
+            return self.inner.mask()
+        return np.ones((self.inner.trie.n,), bool)
+
+
 # --- JSON schema -> GBNF -----------------------------------------------------
 
 _SPACE = 'ws ::= [ \\t\\n]{0,4}\n'

@@ -372,7 +372,16 @@ def _grammar_from_body(body: dict[str, Any], tok: Tokenizer):
     from vlut_tpu.runtime.grammar import json_schema_to_gbnf, regex_to_gbnf
 
     if body.get("grammar"):
-        return tok.make_grammar(body["grammar"])
+        g = tok.make_grammar(body["grammar"])
+        trig = body.get("grammar_triggers")
+        if body.get("grammar_lazy") and trig:
+            # trigger-activated grammar (reference: common/chat.cpp
+            # grammar_lazy + grammar_triggers): free-form text until a
+            # trigger string appears, constrained from there on
+            from vlut_tpu.runtime.grammar import LazyGrammarSampler
+
+            g = LazyGrammarSampler(g, trig)
+        return g
     # regex constraints (the reference's opt-in llguidance lane; the
     # `guided_regex` alias matches the common OpenAI-compat extension)
     rx = body.get("regex") or body.get("guided_regex")
@@ -962,6 +971,17 @@ def make_handler(router: Router):
                         return
                 body = {**body, "grammar": tool_call_gbnf(
                     sel, parallel=(tc == "required"))}
+            elif tools and tc in (None, "auto"):
+                # tool_choice="auto": lazily-activated grammar — prose is
+                # unconstrained, but the moment the model opens a tool
+                # call envelope the schema grammar takes over (reference:
+                # common/chat.cpp grammar_lazy + grammar_triggers)
+                from vlut_tpu.runtime.grammar import tool_call_gbnf
+
+                body = {**body,
+                        "grammar": tool_call_gbnf(tools, parallel=True),
+                        "grammar_lazy": True,
+                        "grammar_triggers": ["<tool_call>"]}
             req = self._make_request(ids, body)
             stops = self._stop_strings(body)
             created = int(time.time())
