@@ -10,7 +10,39 @@ mesh).
 import os
 
 import jax
+import pytest
 
 if not os.environ.get("VLUT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+
+
+# ---------------------------------------------------------------------------
+# Shard markers (reference: ctest labels, tests/CMakeLists.txt:81-113).
+# Every module maps to exactly one of {core, arch, engine}; unknown modules
+# default to core so new test files can never silently fall out of CI.
+# ---------------------------------------------------------------------------
+_ARCH_MODULES = {
+    "test_archs", "test_archs_clones", "test_archs_clones2",
+    "test_archs_hf", "test_archs_hf2", "test_archs_hf3",
+    "test_archs_list", "test_archs_moe_wave", "test_archs_wave4",
+    "test_archs_wave5", "test_archs_wave6", "test_audio", "test_diffusion",
+    "test_encoder", "test_hybrid", "test_llama4", "test_mamba2",
+    "test_model", "test_qwen2vl", "test_rwkv7", "test_ssm", "test_t5",
+    "test_tts", "test_vision", "test_multimodal",
+}
+_ENGINE_MODULES = {
+    "test_engine", "test_server", "test_sampling", "test_grammar",
+    "test_speculative", "test_lora", "test_runtime_ops", "test_chat",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in _ARCH_MODULES:
+            item.add_marker(pytest.mark.arch)
+        elif mod in _ENGINE_MODULES:
+            item.add_marker(pytest.mark.engine)
+        else:
+            item.add_marker(pytest.mark.core)

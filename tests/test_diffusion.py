@@ -64,8 +64,16 @@ _LLADA_CFG = {
 
 
 def test_llada_conversion_equals_llama_body(tmp_path):
-    """Same weights under llada names vs llama names -> identical logits
-    (the diffusion flags only change generation, not the forward)."""
+    """Same weights under llada names vs llama names -> identical logits.
+
+    llada's forward is genuinely bidirectional (causal_attn=False wired
+    into _attention), so the llama twin must be compared with
+    causal_attn=False too — the body math (norms/rope/FFN) is what this
+    test pins down, not the mask."""
+    import dataclasses
+
+    from vlut_tpu.models.transformer import forward
+
     w = _base_weights(seed=7)
     _write(tmp_path / "llama", _LLAMA_CFG, _llama_tensors(w))
     _write(tmp_path / "llada", _LLADA_CFG, _llada_tensors(w))
@@ -74,8 +82,24 @@ def test_llada_conversion_equals_llama_body(tmp_path):
                      dtype_hp="float32")
     assert not cfg.causal_attn and cfg.mask_token_id == MASK
     assert not cfg.diffusion_shift_logits
+
+    def bidir_logits(ckpt_dir):
+        c, params, _ = load_checkpoint(ckpt_dir)
+        c = dataclasses.replace(c, causal_attn=False)
+        pf = float_twin_params(params, c, dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        toks = rng.integers(0, V, (1, 7))
+        pos = jnp.arange(7, dtype=jnp.int32)[None]
+        lg, _ = forward(pf, c, jnp.asarray(toks, jnp.int32), pos, None,
+                        impl="xla")
+        return np.asarray(lg)[..., :V]
+
     np.testing.assert_array_equal(
-        _logits(tmp_path / "out_l")[0], _logits(tmp_path / "out_d")[0])
+        bidir_logits(tmp_path / "out_l"), bidir_logits(tmp_path / "out_d"))
+    # and the causal llama differs from bidirectional llada at non-final
+    # positions — i.e. the bidirectional wiring is real, not a no-op
+    causal = _logits(tmp_path / "out_l")[0]
+    assert not np.array_equal(causal, bidir_logits(tmp_path / "out_d"))
 
 
 def _mk_llada(tmp_path):

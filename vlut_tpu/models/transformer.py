@@ -99,8 +99,15 @@ def weight_specs(
     if cfg.attn_gate:
         # afmoe attention output gate: packs exactly like wq
         specs["w_attn_gate"] = TernarySpec(d, qd, fmt, kb)
-    # deci replace_with_linear "attention": a plain (D, D) projection
-    specs["w_lin_attn"] = TernarySpec(d, d, fmt, kb)
+    if cfg.heads_per_layer and any(
+        nh and not nkv for nh, nkv in cfg.heads_per_layer
+    ):
+        # deci replace_with_linear "attention": a plain (D, D) projection
+        # (src/models/deci.cpp n_head_kv==0 blocks).  Gated on the deci
+        # per-layer config so every other model's spec table — and
+        # init_params_fast's materialization of it — stays free of the
+        # dead (D, D) tensor per layer
+        specs["w_lin_attn"] = TernarySpec(d, d, fmt, kb)
     if cfg.dual_expert:
         # cogvlm visual-expert twins share the language specs
         for nm in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
@@ -2189,6 +2196,13 @@ def run_layers(
                 _dyn["specs"] = weight_specs(
                     cfg_l, tp=tp_size, plan=_dyn["plan"]
                 )
+                if "w_lin_attn" in lp:
+                    # deci replace_with_linear layer: the per-layer cfg
+                    # swap drops heads_per_layer, so re-add its spec here
+                    _dyn["specs"]["w_lin_attn"] = TernarySpec(
+                        cfg.d_model, cfg.d_model, cfg.weight_fmt,
+                        _dyn["plan"].kb,
+                    )
             kvio = _SlotKV(kv_state, i) if use_cache else None
             x = layer_step(x, (lp, kvio, layer_window[i], rope_on[i]))
         if hetero:

@@ -58,6 +58,14 @@ def _tuple_layer_specs(cfg: ModelConfig, lp: dict[str, Any], li: int = -1):
             d_ff=max(ffi, 1), heads_per_layer=None, d_ff_per_layer=None,
         )
     specs = dict(weight_specs(cfg))
+    if "w_lin_attn" in lp:
+        # deci replace_with_linear layer: the per-layer cfg swap above
+        # drops heads_per_layer, so the gated spec must be re-added
+        from vlut_tpu.models.transformer import TernarySpec, make_plan
+
+        specs["w_lin_attn"] = TernarySpec(
+            cfg.d_model, cfg.d_model, cfg.weight_fmt, make_plan(cfg).kb
+        )
     if cfg.n_experts and "router" not in lp and (
         cfg.first_k_dense or cfg.dense_layers
     ):
