@@ -99,8 +99,9 @@ ARCHS: list[tuple[str, str, str, str]] = [
      ""),
     ("internlm2", "yes", "tests/test_archs_hf.py::test_internlm2_name_mapping",
      "grouped fused qkv"),
-    ("minicpm", "partial", "tests/test_archs.py::test_granite_logit_scale",
-     "multiplier-fold mechanism verified; no direct minicpm parity test yet"),
+    ("minicpm", "yes",
+     "tests/test_archs_wave6.py::test_minicpm_equals_prefolded_llama",
+     "scale_emb/scale_depth/dim_model_base folds == prefolded llama twin"),
     ("minicpm3", "yes",
      "tests/test_archs_clones.py::test_minicpm3_equals_deepseek_mla",
      "MLA with unaligned v head dim"),
@@ -158,9 +159,11 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "relu^2 + LN(1+w)"),
     ("nemotron_h", "yes", "tests/test_hybrid.py::test_nemotron_h_mamba_twin",
      "M/*/- hybrid pattern"),
-    ("nemotron_h_moe", "no", "", "nemotron-h with MoE FFN slots — not yet"),
-    ("exaone", "partial", "",
-     "converter name map only (canon 'transformer.h' scheme); no parity test yet"),
+    ("nemotron_h_moe", "yes",
+     "tests/test_archs_wave6.py::test_nemotron_h_moe_transcription",
+     "sigmoid+e_score_correction noaux-tc MoE + relu^2 shared expert"),
+    ("exaone", "yes", "tests/test_archs_wave6.py::test_exaone_equals_llama",
+     "transformer.h name scheme + own config keys == llama twin"),
     ("exaone4", "yes", "tests/test_archs_hf3.py::test_exaone4_parity",
      "post-norm + qk-norm + SWA pattern"),
     ("rwkv6", "yes", "tests/test_rwkv7.py::test_wkv6_scan_matches_reference_loop",
@@ -170,8 +173,9 @@ ARCHS: list[tuple[str, str, str, str]] = [
     ("arwkv7", "yes", "tests/test_rwkv7.py::test_arwkv7_forward_and_state_carry", ""),
     ("granite", "yes", "tests/test_archs.py::test_granite_logit_scale",
      "logit/residual/embedding multipliers"),
-    ("granitemoe", "no", "",
-     "granite multipliers + fused-gate_up MoE — not yet"),
+    ("granitemoe", "yes", "tests/test_archs_wave6.py::test_granitemoe_parity",
+     "granite multipliers + JetMoe fused parallel experts "
+     "(+shared variant: test_granitemoe_shared_parity)"),
     ("granitehybrid", "yes",
      "tests/test_hybrid.py::test_granite_hybrid_parity", ""),
     ("chameleon", "yes", "tests/test_archs_hf3.py::test_chameleon_parity",
@@ -205,7 +209,8 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "attention sinks + clamped swiglu + expert biases"),
     ("lfm2", "yes", "tests/test_hybrid.py::test_lfm2_parity",
      "short-conv hybrid"),
-    ("lfm2moe", "no", "", "lfm2 with MoE FFN slots — not yet"),
+    ("lfm2moe", "yes", "tests/test_archs_wave6.py::test_lfm2moe_parity",
+     "lead-dense + sigmoid/e_bias renorm MoE on the shortconv body"),
     ("dream", "yes", "tests/test_diffusion.py", "diffusion denoiser"),
     ("smallthinker", "yes",
      "tests/test_archs_wave5.py::test_smallthinker_transcription",
@@ -232,8 +237,9 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "text passthrough; vision tower dropped"),
     ("mimo2", "yes", "tests/test_archs_wave5.py::test_mimo2_transcription",
      "per-layer SWA kv heads + local theta + sinks + noaux_tc MoE"),
-    ("llama-embed", "no", "",
-     "llama with embedding pooling served as its own arch — not yet"),
+    ("llama-embed", "yes",
+     "tests/test_archs_wave6.py::test_llama_embed_bidirectional_hidden",
+     "bidirectional no-cache llama body, hidden/embedding output"),
     ("maincoder", "yes", "tests/test_archs_clones.py::test_maincoder_equals_hunyuan_dense",
      "post-rope qk-norm"),
 ]

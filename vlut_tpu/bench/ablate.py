@@ -33,7 +33,9 @@ CONFIGS = [
     ("unfused", {"VLUT_TPU_FUSED_DECODE": "0"}),
     ("no_kv_write", {"VLUT_ABLATE": "no_kv_write"}),
     ("no_attn", {"VLUT_ABLATE": "no_attn"}),
+    ("no_head", {"VLUT_ABLATE": "no_head"}),
     ("gemms_only", {"VLUT_ABLATE": "no_kv_write,no_attn"}),
+    ("layer_gemms_only", {"VLUT_ABLATE": "no_kv_write,no_attn,no_head"}),
 ]
 
 
@@ -77,7 +79,16 @@ def main():
     t0 = time.time()
     params = init_params_fast(cfg, seed=0)
     params = quantize_head(params)
-    params = jax.device_put(unstack_layers(fuse_projections(params, cfg), cfg))
+    params = jax.device_put(fuse_projections(params, cfg))
+    if jax.default_backend() == "tpu":
+        # serving-time uint32 word layout — MUST match bench.py, or the
+        # ablation measures the byte-layout decode (~1.7 ms/step slower at
+        # 8B np=32; this mismatch was the round-3 "5.53 vs 7.1 ms"
+        # discrepancy, VERDICT r3 weak #3)
+        from vlut_tpu.ops.packing import word_pack_params
+
+        params = word_pack_params(params, cfg.weight_fmt)
+    params = unstack_layers(params, cfg)
     print(f"# params ready in {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)

@@ -184,6 +184,11 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         raw.setdefault("max_position_embeddings",
                        raw.get("seq_length", 2048))
         raw.setdefault("rms_norm_eps", raw.get("layer_norm_epsilon", 1e-6))
+    elif mt == "exaone":
+        # EXAONE-3.x (reference src/models/exaone.cpp — a plain llama
+        # graph; convert_hf_to_gguf.py ExaoneModel): own config key names
+        raw.setdefault("num_hidden_layers", raw.get("num_layers"))
+        raw.setdefault("rms_norm_eps", raw.get("layer_norm_epsilon", 1e-5))
     elif mt == "jais":
         raw.setdefault("hidden_size", raw.get("n_embd"))
         raw.setdefault("num_hidden_layers", raw.get("n_layer"))
@@ -732,16 +737,34 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
                 "beta_slow": raw.get("beta_slow", 1.0),
                 "attention_factor": raw.get("attn_factor"),
             }
-    if mt == "granite":
+    if mt in ("granite", "granitemoe", "granitemoeshared"):
         # granite's four multipliers (llm_build_granite): embedding and
         # attention map onto existing knobs; logits_scaling DIVIDES the
         # logits; residual_multiplier folds into wo/down weight scales in
-        # convert_hf (so the forward graph stays multiplier-free)
+        # convert_hf (so the forward graph stays multiplier-free).
+        # granitemoe (reference LLM_ARCH_GRANITE_MOE, same builder with
+        # build_moe_ffn softmax/renorm; convert GraniteMoeModel): the same
+        # multipliers plus a JetMoe-style fused-expert MoE; the shared
+        # variant adds an always-on parallel shared FFN (n_ff_shexp)
         extra.update(
             embed_scale=raw.get("embedding_multiplier", 1.0),
             attn_scale=raw.get("attention_multiplier", 0.0) or 0.0,
             logit_scale=1.0 / raw.get("logits_scaling", 1.0),
         )
+        if mt != "granite":
+            sh = raw.get("shared_intermediate_size", 0) or 0
+            extra.update(
+                n_experts=raw.get("num_local_experts", 0) or 0,
+                n_experts_used=raw.get("num_experts_per_tok", 2),
+                n_shared_experts=1 if sh else 0,
+                d_ff_shared=sh,
+            )
+    if mt == "exaone":
+        # EXAONE-3.x rope_pct (reference ExaoneModel rotary_factor,
+        # convert_hf_to_gguf.py:8401-8403; defaults to full rotary)
+        rp = raw.get("partial_rotary_factor") or raw.get("rope_pct")
+        if rp:
+            extra.update(rope_pct=float(rp))
     if mt == "minicpm":
         # minicpm: scale_emb on embeddings, scale_depth/sqrt(L) on every
         # residual branch (folded into weights), head divided by
@@ -1243,6 +1266,13 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
     if mt == "cogvlm" or "CogVLMForCausalLM" in archs:
         # cogvlm: llama body with a duplicated visual-expert weight set
         extra.update(dual_expert=True)
+    if "LlamaBidirectionalModel" in archs:
+        # llama-embed (reference src/models/llama.cpp llm_build_llama<true>
+        # via LLM_ARCH_LLAMA_EMBED, llama-arch.cpp:120; converter
+        # LlamaEmbedNemotronModel): plain llama body with bidirectional
+        # no-cache attention and embedding (t_embd) output — no lm_head
+        extra.update(causal_attn=False)
+        raw.setdefault("tie_word_embeddings", True)
     if "Gemma3TextModel" in archs or raw.get("use_bidirectional_attention"):
         # EmbeddingGemma (reference src/models/gemma-embedding.cpp +
         # convert_hf_to_gguf.py EmbeddingGemma): the gemma3 text body with
@@ -1579,7 +1609,8 @@ def convert_hf(
 
         return convert_rwkv6(hf_dir, out_dir)
     if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
-                                  "lfm2", "qwen3_next", "nemotron_h"):
+                                  "lfm2", "lfm2_moe", "qwen3_next",
+                                  "nemotron_h"):
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)
@@ -1600,7 +1631,8 @@ def convert_hf(
     # scale_depth/sqrt(L)): folded into the wo + down weight magnitudes so
     # the serving graph needs no extra multiply (see config_from_hf)
     res_mult = 1.0
-    if raw0.get("model_type") == "granite":
+    if raw0.get("model_type") in ("granite", "granitemoe",
+                                  "granitemoeshared"):
         res_mult = float(raw0.get("residual_multiplier", 1.0))
     elif raw0.get("model_type") in ("minicpm", "minicpm3"):
         res_mult = float(raw0.get("scale_depth", L ** 0.5)) / L ** 0.5
@@ -1628,8 +1660,11 @@ def convert_hf(
                   expert: int | None = None, cfg_over=None):
         nonlocal n_approx
         wf = np.asarray(wf, np.float32).T  # HF (out,in) -> (K, N)
-        if res_mult != 1.0 and pname in ("wo", "w_down"):
-            wf = wf * res_mult  # residual-branch multiplier fold
+        if res_mult != 1.0 and pname in ("wo", "w_down", "w_shared_down"):
+            # residual-branch multiplier fold (granite ggml_scale on the
+            # whole branch output, src/models/granite.cpp:140-142,200-202 —
+            # covers the MoE experts AND the parallel shared FFN)
+            wf = wf * res_mult
         exact, s = _is_exact_ternary(wf)
         if exact:
             trits = np.sign(wf).astype(np.int8)
@@ -2303,6 +2338,45 @@ def convert_hf(
                 for e in range(wf.shape[0]):
                     pack_proj("w_down", wf[e].T, li_g, expert=e)
                 continue
+        if mg and mt0 in ("granitemoe", "granitemoeshared"):
+            # GraniteMoe (reference convert GraniteMoeModel:8548-8583):
+            # JetMoe-style parallel experts — input_linear is a stacked
+            # (E, 2*ff, D) with [gate; up] as row halves, output_linear is
+            # (E, D, ff); the shared variant carries the same fusion at
+            # shared_intermediate_size as plain 2-D tensors
+            li_g, sub_g = int(mg.group(1)), mg.group(2)
+            if sub_g == "block_sparse_moe.input_linear.weight":
+                wf = np.asarray(w, np.float32)
+                ff2 = wf.shape[1] // 2
+                for e in range(wf.shape[0]):
+                    pack_proj("w_gate", wf[e, :ff2], li_g, expert=e)
+                    pack_proj("w_up", wf[e, ff2:], li_g, expert=e)
+                continue
+            if sub_g == "block_sparse_moe.output_linear.weight":
+                wf = np.asarray(w, np.float32)  # (E, D, ff)
+                for e in range(wf.shape[0]):
+                    pack_proj("w_down", wf[e], li_g, expert=e)
+                continue
+            if sub_g == "block_sparse_moe.router.layer.weight":
+                note_layer("router", li_g, np.asarray(w, np.float32).T)
+                continue
+            if sub_g.startswith("shared_mlp."):
+                import dataclasses as _dc
+
+                cfg_sh = _dc.replace(cfg, d_ff=cfg.d_ff_shared,
+                                     n_experts=0)
+                if sub_g == "shared_mlp.input_linear.weight":
+                    wf = np.asarray(w, np.float32)  # (2*sh, D)
+                    sh2 = wf.shape[0] // 2
+                    pack_proj("w_shared_gate", wf[:sh2], li_g,
+                              cfg_over=cfg_sh)
+                    pack_proj("w_shared_up", wf[sh2:], li_g,
+                              cfg_over=cfg_sh)
+                    continue
+                if sub_g == "shared_mlp.output_linear.weight":
+                    pack_proj("w_shared_down", np.asarray(w, np.float32),
+                              li_g, cfg_over=cfg_sh)
+                    continue
         if mg and mt0 == "gpt_oss":
             li_g, sub_g = int(mg.group(1)), mg.group(2)
             if sub_g == "self_attn.sinks":

@@ -169,19 +169,28 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
         # nemotron-h (reference src/models/nemotron-h.cpp): each layer is
         # ONE norm + one of {mamba2, NoPE attention, relu^2 ungated MLP}
         # + residual, chosen by hybrid_override_pattern (M / * / -)
+        # MoE variant (reference LLM_ARCH_NEMOTRON_H_MOE, nemotron-h.cpp
+        # build_ffn_layer:109-145 + convert NemotronHModel:8728-8790):
+        # "E" pattern slots carry a sigmoid-routed, selection-biased,
+        # renormalized+scaled ungated-relu^2 MoE with a parallel ungated
+        # relu^2 shared expert — the dense "-" body otherwise
+        is_moe = "num_experts_per_tok" in raw
         pat = raw.get("hybrid_override_pattern", "M" * nl)
-        kind = {"M": "mamba2", "*": "attention", "-": "ffn"}
+        kind = {"M": "mamba2", "*": "attention", "-": "ffn", "E": "ffn"}
         lt = tuple(kind[c] for c in pat)
         m2h = raw.get("mamba_num_heads", 128)
         cfg = HybridConfig(
-            arch="nemotron_h", vocab_size=raw["vocab_size"],
+            arch="nemotron_h_moe" if is_moe else "nemotron_h",
+            vocab_size=raw["vocab_size"],
             d_model=hidden, n_layers=nl,
             n_heads=raw["num_attention_heads"],
             n_kv_heads=raw.get("num_key_value_heads",
                                raw["num_attention_heads"]),
             head_dim=raw.get("attention_head_dim")
             or raw.get("head_dim") or None,
-            d_ff=raw["intermediate_size"],
+            d_ff=(raw.get("moe_intermediate_size")
+                  if is_moe else raw["intermediate_size"])
+            or raw.get("intermediate_size"),
             layer_types=lt, ffn_types=("none",) * nl,
             rms_eps=raw.get("rms_norm_eps", 1e-5),
             rope=False,  # nemotron-h attention is NoPE
@@ -191,6 +200,14 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
             m2_state=raw.get("ssm_state_size", 128),
             m2_conv=raw.get("conv_kernel", 4),
             ffn_act="relu2", ffn_gated=False,
+            n_experts=raw.get("n_routed_experts", 0) if is_moe else 0,
+            n_experts_used=raw.get("num_experts_per_tok", 0)
+            if is_moe else 0,
+            moe_score="sigmoid",
+            moe_renorm=bool(raw.get("norm_topk_prob", True)),
+            routed_scale=float(raw.get("routed_scaling_factor", 1.0)),
+            d_ff_shared=raw.get(
+                "moe_shared_expert_intermediate_size", 0) or 0,
             tie_embeddings=raw.get("tie_word_embeddings", False),
             max_seq_len=raw.get("max_position_embeddings", 4096),
         )
@@ -212,6 +229,38 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
             rope=True, rope_theta=raw.get("rope_theta", 1000000.0),
             qk_norm=True,
             conv_l=raw.get("conv_L_cache", 3),
+            tie_embeddings=raw.get("tie_word_embeddings", True),
+            max_seq_len=raw.get("max_position_embeddings", 4096),
+        )
+    elif mt == "lfm2_moe":
+        # LFM2-MoE (reference LLM_ARCH_LFM2MOE, llama-model.cpp:2233-2246
+        # + src/models/lfm2.cpp build_moe_feed_forward: SIGMOID gating with
+        # a selection-only expert bias, renormalized top-k, silu experts;
+        # convert LFM2MoeModel:9951-10010): the lfm2 shortconv/attention
+        # body with MoE FFNs after num_dense_layers leading dense blocks
+        lt = tuple(
+            "attention" if t == "full_attention" else "conv"
+            for t in raw.get("layer_types", ["conv"] * nl)
+        )
+        lead = raw.get("num_dense_layers", 0)
+        cfg = HybridConfig(
+            arch="lfm2moe", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl, n_heads=raw["num_attention_heads"],
+            n_kv_heads=raw.get("num_key_value_heads",
+                               raw["num_attention_heads"]),
+            d_ff=raw.get("moe_intermediate_size",
+                         raw.get("intermediate_size")),
+            layer_types=lt,
+            ffn_types=tuple(
+                "dense" if i < lead else "moe" for i in range(nl)
+            ),
+            rms_eps=raw.get("norm_eps", 1e-5),
+            rope=True, rope_theta=raw.get("rope_theta", 1000000.0),
+            qk_norm=True,
+            conv_l=raw.get("conv_L_cache", 3),
+            n_experts=raw.get("num_experts", 0) or 0,
+            n_experts_used=raw.get("num_experts_per_tok", 4),
+            moe_score="sigmoid", moe_renorm=True,
             tie_embeddings=raw.get("tie_word_embeddings", True),
             max_seq_len=raw.get("max_position_embeddings", 4096),
         )
@@ -473,20 +522,35 @@ def convert_hybrid(
             pname, mult = fmap[sub]
             lp[pname] = w.T * mult
             continue
-        if sub == "feed_forward.router.weight":
+        if sub in ("feed_forward.router.weight", "feed_forward.gate.weight"):
             lp["router"] = w.T
+            continue
+        if sub in ("feed_forward.expert_bias", "feed_forward.expert_bias.bias",
+                   "mlp.gate.e_score_correction",
+                   "mlp.gate.e_score_correction.bias",
+                   "mlp.gate.e_score_correction_bias"):
+            # selection-only bias (ffn_exp_probs_b): lfm2moe .expert_bias /
+            # nemotron-h-moe mixer.gate.e_score_correction
+            lp["e_bias"] = w.reshape(-1)
+            continue
+        if sub in ("mlp.shared_experts.up_proj.weight",
+                   "mlp.shared_experts.down_proj.weight"):
+            # nemotron-h-moe parallel ungated relu^2 shared expert
+            lp["w_shared_up" if "up_proj" in sub else "w_shared_down"] = w.T
             continue
         if sub == "block_sparse_moe.router.layer.weight":
             lp["router"] = w.T
             continue
         em = re.match(
             r"(?:feed_forward|mlp)\.experts\.(\d+)\."
-            r"(gate|up|down)_proj\.weight$",
+            r"(gate_proj|up_proj|down_proj|w1|w3|w2)\.weight$",
             sub,
         )
         if em:
+            pn = {"gate_proj": "gate", "up_proj": "up", "down_proj": "down",
+                  "w1": "gate", "w3": "up", "w2": "down"}[em.group(2)]
             experts[li].setdefault(
-                "e_" + em.group(2), {}
+                "e_" + pn, {}
             )[int(em.group(1))] = w.T
             continue
         if sub == "shared_mlp.input_linear.weight":

@@ -84,6 +84,11 @@ class HybridConfig:
     n_experts: int = 0
     n_experts_used: int = 0
     moe_renorm: bool = True       # False: jamba (softmax-all, no renorm)
+    routed_scale: float = 1.0     # expert_weights_scale on the combine
+    moe_score: str = "softmax"    # "sigmoid": lfm2moe / nemotron-h-moe
+    # (reference build_moe_ffn LLAMA_EXPERT_GATING_FUNC_TYPE_SIGMOID;
+    # selection may add lp["e_bias"] — ffn_exp_probs_b — while combine
+    # weights stay the raw scores, deepseek-V3 noaux_tc semantics)
     d_ff_shared: int = 0
     # scales kept as graph constants (everything foldable is folded into
     # the weights at convert time)
@@ -355,8 +360,20 @@ def _ffn(cfg: HybridConfig, lp, h, kind):
                    cfg.d_ff_shared or cfg.d_ff)
     if kind in ("moe", "shared_moe"):
         logits = (h @ lp["router"]).astype(jnp.float32)
-        scores = jax.nn.softmax(logits, axis=-1)
-        top_w, top_i = jax.lax.top_k(scores, cfg.n_experts_used)
+        if cfg.moe_score == "sigmoid":
+            scores = jax.nn.sigmoid(logits)
+        else:
+            scores = jax.nn.softmax(logits, axis=-1)
+        if "e_bias" in lp:
+            # selection-only bias (ffn_exp_probs_b): top-k on
+            # scores+bias, combine weights from the raw scores
+            _, top_i = jax.lax.top_k(
+                scores + lp["e_bias"].astype(jnp.float32),
+                cfg.n_experts_used,
+            )
+            top_w = jnp.take_along_axis(scores, top_i, axis=-1)
+        else:
+            top_w, top_i = jax.lax.top_k(scores, cfg.n_experts_used)
         if cfg.moe_renorm:
             top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
         comb = jnp.zeros_like(logits)
@@ -411,6 +428,37 @@ def forward(
             mix = _deltanet(cfg, lp, h)
         elif kind == "conv":
             mix = _lfm2_conv(cfg, lp, h)
+        elif kind == "ffn" and "router" in lp:
+            # nemotron-h-moe E block (src/models/nemotron-h.cpp
+            # build_ffn_layer:118-145): sigmoid router + selection-only
+            # e_score_correction bias, renormalize per expert_weights_norm,
+            # scale by expert_weights_scale; ungated relu^2 experts plus a
+            # parallel ungated relu^2 shared expert, summed
+            relu2 = lambda z: jnp.square(jax.nn.relu(z))  # noqa: E731
+            scores = jax.nn.sigmoid(
+                (h @ lp["router"]).astype(jnp.float32))
+            sel = (scores + lp["e_bias"].astype(jnp.float32)
+                   if "e_bias" in lp else scores)
+            _, top_i = jax.lax.top_k(sel, cfg.n_experts_used)
+            top_w = jnp.take_along_axis(scores, top_i, axis=-1)
+            if cfg.moe_renorm:
+                top_w = top_w / (top_w.sum(-1, keepdims=True) + 1e-20)
+            top_w = top_w * cfg.routed_scale
+            comb = jnp.zeros_like(scores)
+            t_ = h.shape[1]
+            comb = jax.vmap(
+                lambda c, ii, w_: c.at[jnp.arange(t_)[:, None], ii].add(w_)
+            )(comb, top_i, top_w)
+
+            def nemo_expert(acc, exs):
+                u_, d_, w_e = exs
+                return acc + w_e[..., None] * (relu2(h @ u_) @ d_), None
+
+            mix, _ = jax.lax.scan(
+                nemo_expert, jnp.zeros(h.shape, jnp.float32),
+                (lp["e_up"], lp["e_down"], jnp.moveaxis(comb, -1, 0)),
+            )
+            mix = mix + relu2(h @ lp["w_shared_up"]) @ lp["w_shared_down"]
         elif kind == "ffn":
             # nemotron-h MLP block: norm + (gated or plain) MLP + residual
             if cfg.ffn_gated:

@@ -977,6 +977,15 @@ def forward(
     elif logits_last_only:
         x = x[:, -1:]
     head = params.get("lm_head")
+    if "no_head" in _ABLATE():
+        # perf-ablation only: skip the output-head stream (0.53 GB int8 at
+        # 8B shapes) while keeping a data dependency on x and the logits
+        # shape, so the sampler/argmax cost stays in the measurement
+        v = head["q"].shape[1] if isinstance(head, dict) else (
+            params["embed"].shape[0] if head is None else head.shape[1])
+        logits = jnp.zeros((x.shape[0], x.shape[1], v), jnp.float32) + (
+            jnp.sum(x, axis=-1, keepdims=True).astype(jnp.float32))
+        return logits, new_cache
     if isinstance(head, dict):
         # int8-quantized output head (reference quantizes output.weight to
         # Q6_K by default, src/llama-quant.cpp:211; int8+per-channel scale
@@ -1307,6 +1316,24 @@ def run_layers(
                 )
                 arrs[self.i] = jax.vmap(upd)(arrs[self.i], u, start)
             self.state[name] = tuple(arrs)
+
+        def fused_attend(self, q, k, v, start, window, scale):
+            """KV row write + flash attention in ONE kernel launch
+            (ops/decode_attention.py) — replaces _put_pair + _attention
+            on the standard decode path; the cache streams once in bf16
+            instead of being upcast to f32 by the XLA einsum."""
+            from vlut_tpu.ops.decode_attention import (
+                decode_attention_pallas,
+            )
+
+            st, i = self.state, self.i
+            ks, vs = list(st["k"]), list(st["v"])
+            att, ks[i], vs[i] = decode_attention_pallas(
+                q, k, v, ks[i], vs[i], start,
+                window if window is not None else 0, scale=scale,
+            )
+            st["k"], st["v"] = tuple(ks), tuple(vs)
+            return att
 
         def _put_pair(self, name_a, ua, name_b, ub, start):
             """K and V rows in one kernel launch (same shapes)."""
@@ -1658,8 +1685,30 @@ def run_layers(
                     r_on > 0, 1.0, tf[..., None, None]
                 ).astype(q.dtype)
 
+            att_fused = None
             if use_cache:
-                if "no_kv_write" in _ABLATE():
+                fused_attn_ok = (
+                    t == 1
+                    and not quant_kv
+                    and isinstance(kvio, _SlotKV)
+                    and impl in ("auto", "pallas")
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("VLUT_TPU_FUSED_ATTN", "1") != "0"
+                    and not _ABLATE()
+                    and alibi is None
+                    and not cfg.attn_sinks
+                    and not cfg.attn_logit_softcap
+                    and cfg.swa_type != "chunked"
+                    and cfg.causal_attn
+                    and attn_mask is None
+                )
+                if fused_attn_ok:
+                    att_fused = kvio.fused_attend(
+                        q, k, v, write_start, window,
+                        cfg.attn_scale or 1.0 / float(np.sqrt(plan.hd)),
+                    )
+                    k_all = v_all = None
+                elif "no_kv_write" in _ABLATE():
                     k_all, v_all = kvio.peek()
                 else:
                     k_all, v_all = kvio.update(k, v, write_start)
@@ -1689,7 +1738,9 @@ def run_layers(
             elif not use_cache:
                 k_all, v_all = k, v
 
-            if "no_attn" in _ABLATE():
+            if att_fused is not None:
+                att = att_fused
+            elif "no_attn" in _ABLATE():
                 # perf-ablation only (VLUT_ABLATE): bypass attention to
                 # isolate its share; output shape/dtype match _attention
                 att = q.astype(jnp.float32)
