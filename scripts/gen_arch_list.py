@@ -52,13 +52,21 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "encoder family"),
     ("modern-bert", "yes", "tests/test_encoder.py::test_modernbert_parity",
      "encoder family"),
-    ("nomic-bert", "no", "", "bert variant (rope + swiglu) — not yet"),
-    ("nomic-bert-moe", "no", "", "bert-moe variant — not yet"),
+    ("nomic-bert", "yes",
+     "tests/test_encoder_variants.py::test_nomic_bert_transcription",
+     "fused no-bias Wqkv, full-head rope, swiglu-par (fc12 gate/fc11 up)"),
+    ("nomic-bert-moe", "yes",
+     "tests/test_encoder_variants.py::test_nomic_bert_moe_transcription",
+     "softmax NO-renorm GELU up/down MoE on odd layers"),
     ("neo-bert", "yes",
      "tests/test_archs_wave5.py::test_neobert_transcription",
      "encoder family: RMS prenorm, fused qkv, rope, swiglu w12/w3"),
-    ("jina-bert-v2", "no", "", "bert variant (alibi + GLU) — not yet"),
-    ("jina-bert-v3", "no", "", "bert variant (lora adapters) — not yet"),
+    ("jina-bert-v2", "yes",
+     "tests/test_encoder_variants.py::test_jina_bert_v2_transcription",
+     "ALiBi(8) + q/k LayerNorms + fused GEGLU"),
+    ("jina-bert-v3", "yes",
+     "tests/test_encoder_variants.py::test_jina_bert_v3_task_loras",
+     "rope XLM-R + per-task LoRA adapters from .parametrizations"),
     ("bloom", "yes", "tests/test_archs_hf2.py::test_bloom_parity",
      "alibi + embed LayerNorm"),
     ("stablelm", "yes", "tests/test_archs_hf.py::test_stablelm_parity",
@@ -90,7 +98,8 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "LN+bias mixtral body"),
     ("plamo", "yes", "tests/test_archs_clones2.py::test_plamo_gqa_shuffle_equals_expanded_mha",
      "single-norm parallel residual + q/o head shuffle"),
-    ("plamo2", "no", "", "mamba hybrid with dt/B/C norms — not yet"),
+    ("plamo2", "yes", "tests/test_hybrid.py::test_plamo2_transcription",
+     "scalar-A SSD + dt/B/C norms + sandwich-norm offsets folded"),
     ("plamo3", "yes", "tests/test_archs_wave5.py::test_plamo3_transcription",
      "offset-parameterized norms, fused qkv/swiglu, SWA-local theta"),
     ("codeshell", "yes", "tests/test_archs_clones2.py::test_codeshell_equals_starcoder2",

@@ -301,3 +301,180 @@ def test_nemotron_h_mamba_twin(tmp_path):
     out = hybrid_forward(cfg=cfg_x, params=p_x,
                          tokens=jnp.asarray(toks, jnp.int32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plamo2_transcription(tmp_path):
+    """plamo2 (reference src/models/plamo2.cpp; converter Plamo2Model
+    convert_hf_to_gguf.py:4885-4975): mamba2-style scalar-A SSD mixer with
+    dt/B/C RMS norms + per-head [z; x] in_proj on even layers, GQA
+    attention (fused qkv, per-head q/k RMS norm, NEOX rope) on odd layers
+    (mamba_step=2); every layer carries a fused-swiglu FFN and sandwich
+    norms with +1 / +1/5 / +1/5^1.5 offsets folded at convert.  Full-model
+    logits vs a direct numpy transcription of that graph."""
+    import json as _json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from vlut_tpu.convert.convert import convert_hf
+
+    rng = np.random.default_rng(51)
+    D, NL, H, KV, HD = 32, 2, 4, 2, 8
+    M2H, HD2, ST, DC, DTD, FF = 4, 8, 8, 4, 16, 48
+    DI = M2H * HD2
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.1).astype(np.float32)
+
+    t = {
+        "model.embed_tokens.weight": r(V, D),
+        "model.norm.weight": r(D),          # +1 at convert
+        "lm_head.weight": r(V, D),
+    }
+    for i in range(NL):
+        p = f"model.layers.layers.{i}."
+        t[p + "pre_mixer_norm.weight"] = r(D)
+        t[p + "post_mixer_norm.weight"] = r(D)
+        t[p + "pre_mlp_norm.weight"] = r(D)
+        t[p + "post_mlp_norm.weight"] = r(D)
+        t[p + "mlp.gate_up_proj.weight"] = r(2 * FF, D)
+        t[p + "mlp.down_proj.weight"] = r(D, FF)
+    p0 = "model.layers.layers.0."   # mamba layer (i%2 != 1)
+    t[p0 + "mixer.in_proj.weight"] = r(2 * DI, D)
+    t[p0 + "mixer.conv1d.weight"] = r(DI, 1, DC)
+    t[p0 + "mixer.bcdt_proj.weight"] = r(2 * ST + DTD, DI)
+    t[p0 + "mixer.dt_proj.weight"] = r(M2H, DTD)
+    t[p0 + "mixer.dt_bias"] = r(M2H)
+    t[p0 + "mixer.dt_norm_weight"] = np.abs(r(DTD)) + 0.5
+    t[p0 + "mixer.B_norm_weight"] = np.abs(r(ST)) + 0.5
+    t[p0 + "mixer.C_norm_weight"] = np.abs(r(ST)) + 0.5
+    t[p0 + "mixer.A_log"] = r(M2H)
+    t[p0 + "mixer.D"] = np.abs(r(M2H)) + 0.5
+    t[p0 + "mixer.out_proj.weight"] = r(D, DI)
+    p1 = "model.layers.layers.1."   # attention layer
+    t[p1 + "mixer.qkv_proj.weight"] = r((H + 2 * KV) * HD, D)
+    t[p1 + "mixer.o_proj.weight"] = r(D, H * HD)
+    t[p1 + "mixer.q_weight"] = np.abs(r(HD)) + 0.5
+    t[p1 + "mixer.k_weight"] = np.abs(r(HD)) + 0.5
+
+    cfg_raw = {
+        "model_type": "plamo2", "architectures": ["Plamo2ForCausalLM"],
+        "vocab_size": V, "hidden_size": D, "num_hidden_layers": NL,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "hidden_size_per_head": HD, "intermediate_size": FF,
+        "mamba_num_heads": M2H, "mamba_d_state": ST, "mamba_d_conv": DC,
+        "mamba_step": 2, "mamba_enabled": True, "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0, "tie_word_embeddings": False,
+        "max_position_embeddings": 64,
+    }
+    (tmp_path / "hf").mkdir()
+    (tmp_path / "hf" / "config.json").write_text(_json.dumps(cfg_raw))
+    save_file({k: np.ascontiguousarray(v) for k, v in t.items()},
+              str(tmp_path / "hf" / "model.safetensors"))
+    cfg = convert_hf(tmp_path / "hf", tmp_path / "out")
+    assert cfg.arch == "plamo2"
+    assert cfg.layer_types == ("plamo2_mamba", "attention")
+
+    cfg2, params, _ = load_checkpoint(tmp_path / "out")
+    params = jax.tree.map(jnp.asarray, params)
+    rng2 = np.random.default_rng(5)
+    toks = rng2.integers(0, V, (2, 7))
+    got = np.asarray(forward(params, cfg2, jnp.asarray(toks, jnp.int32)),
+                     np.float64)
+
+    # ---- numpy transcription -------------------------------------------
+    eps = 1e-6
+
+    def nrms(z, w):
+        z = z.astype(np.float64)
+        return z / np.sqrt((z * z).mean(-1, keepdims=True) + eps) * w
+
+    def softplus(z):
+        return np.log1p(np.exp(z))
+
+    def silu(z):
+        return z / (1 + np.exp(-z))
+
+    B_, T_ = toks.shape
+    x = t["model.embed_tokens.weight"][toks].astype(np.float64)
+
+    # layer 0: mamba
+    h = nrms(x, t[p0 + "pre_mixer_norm.weight"] + 1.0)
+    zx = (h @ t[p0 + "mixer.in_proj.weight"].T).reshape(B_, T_, M2H,
+                                                        2 * HD2)
+    z = zx[..., :HD2].reshape(B_, T_, DI)
+    xm = zx[..., HD2:].reshape(B_, T_, DI)
+    cw = t[p0 + "mixer.conv1d.weight"][:, 0, :]  # (DI, DC)
+    pad = np.concatenate([np.zeros((B_, DC - 1, DI)), xm], axis=1)
+    xc = sum(pad[:, i : i + T_] * cw[None, None, :, i].transpose(0, 1, 2)
+             for i in range(DC))
+    xc = silu(xc)
+    bcdt = xc @ t[p0 + "mixer.bcdt_proj.weight"].T.astype(np.float64)
+    Bm = nrms(bcdt[..., :ST], t[p0 + "mixer.B_norm_weight"])
+    Cm = nrms(bcdt[..., ST : 2 * ST], t[p0 + "mixer.C_norm_weight"])
+    dt_in = nrms(bcdt[..., 2 * ST :], t[p0 + "mixer.dt_norm_weight"])
+    dt = softplus(dt_in @ t[p0 + "mixer.dt_proj.weight"].T
+                  + t[p0 + "mixer.dt_bias"])          # (B,T,M2H)
+    A = -np.exp(t[p0 + "mixer.A_log"].astype(np.float64))
+    y = np.zeros((B_, T_, DI))
+    for bi in range(B_):
+        S = np.zeros((M2H, HD2, ST))
+        for ti in range(T_):
+            for hh in range(M2H):
+                dA = np.exp(dt[bi, ti, hh] * A[hh])
+                xh = xc[bi, ti, hh * HD2 : (hh + 1) * HD2]
+                S[hh] = S[hh] * dA + dt[bi, ti, hh] * np.outer(
+                    xh, Bm[bi, ti])
+                y[bi, ti, hh * HD2 : (hh + 1) * HD2] = S[hh] @ Cm[bi, ti]
+    y = y + np.repeat(t[p0 + "mixer.D"], HD2) * xc
+    y = silu(z) * y
+    mix = y @ t[p0 + "mixer.out_proj.weight"].T
+    mix = nrms(mix, t[p0 + "post_mixer_norm.weight"] + 0.2)
+    x = x + mix
+    # layer-0 FFN (fused swiglu)
+    h = nrms(x, t[p0 + "pre_mlp_norm.weight"] + 1.0)
+    gu = h @ t[p0 + "mlp.gate_up_proj.weight"].T
+    fo = (silu(gu[..., :FF]) * gu[..., FF:]) @ t[p0 + "mlp.down_proj.weight"].T
+    fo = nrms(fo, t[p0 + "post_mlp_norm.weight"] + 1.0 / 5 ** 1.5)
+    x = x + fo
+
+    # layer 1: attention
+    h = nrms(x, t[p1 + "pre_mixer_norm.weight"] + 1.0)
+    qkv = h @ t[p1 + "mixer.qkv_proj.weight"].T
+    q = qkv[..., : H * HD].reshape(B_, T_, H, HD)
+    k = qkv[..., H * HD : (H + KV) * HD].reshape(B_, T_, KV, HD)
+    v = qkv[..., (H + KV) * HD :].reshape(B_, T_, KV, HD)
+    q = nrms(q, t[p1 + "mixer.q_weight"])
+    k = nrms(k, t[p1 + "mixer.k_weight"])
+    inv = 1.0 / (10000.0 ** (np.arange(0, HD, 2) / HD))
+    ang = np.arange(T_)[:, None] * inv[None]
+    cos, sin = np.cos(ang)[None, :, None, :], np.sin(ang)[None, :, None, :]
+
+    def rope(u):
+        u1, u2 = u[..., : HD // 2], u[..., HD // 2 :]
+        return np.concatenate([u1 * cos - u2 * sin, u2 * cos + u1 * sin],
+                              -1)
+
+    q, k = rope(q), rope(k)
+    k = np.repeat(k, H // KV, axis=2)
+    v = np.repeat(v, H // KV, axis=2)
+    sc = np.einsum("bthd,bshd->bhts", q, k) / np.sqrt(HD)
+    causal = np.where(np.arange(T_)[None, :] <= np.arange(T_)[:, None],
+                      0.0, -1e30)
+    sc = sc + causal[None, None]
+    pm = np.exp(sc - sc.max(-1, keepdims=True))
+    pm = pm / pm.sum(-1, keepdims=True)
+    att = np.einsum("bhts,bshd->bthd", pm, v).reshape(B_, T_, H * HD)
+    mix = att @ t[p1 + "mixer.o_proj.weight"].T
+    mix = nrms(mix, t[p1 + "post_mixer_norm.weight"] + 0.2)
+    x = x + mix
+    h = nrms(x, t[p1 + "pre_mlp_norm.weight"] + 1.0)
+    gu = h @ t[p1 + "mlp.gate_up_proj.weight"].T
+    fo = (silu(gu[..., :FF]) * gu[..., FF:]) @ t[p1 + "mlp.down_proj.weight"].T
+    fo = nrms(fo, t[p1 + "post_mlp_norm.weight"] + 1.0 / 5 ** 1.5)
+    x = x + fo
+
+    x = nrms(x, t["model.norm.weight"] + 1.0)
+    want = x @ t["lm_head.weight"].T
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

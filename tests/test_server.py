@@ -537,3 +537,127 @@ def test_parse_tool_calls_formats():
     # plain text: no calls
     calls, rest = _parse_tool_calls("just an answer")
     assert calls == [] and rest == "just an answer"
+
+
+def test_parse_tool_calls_formats_wave2():
+    """Round-4 parser breadth (VERDICT r3 item 9): GLM 4.5, Qwen3-coder
+    XML, Seed-OSS, MiniMax-M2, Kimi-K2, nemotron-v2, apriel-1.5, LFM2,
+    Apertus, GPT-OSS harmony — acceptance AND rejection per format
+    (reference: common/chat-parser.cpp + chat.cpp xml_tool_call_format
+    tables)."""
+    from vlut_tpu.serving.server import _parse_tool_calls, _split_reasoning
+
+    # GLM 4.5: <arg_key>/<arg_value> pairs inside <tool_call>
+    calls, rest = _parse_tool_calls(
+        "ok\n<tool_call>get_weather\n"
+        "<arg_key>city</arg_key>\n<arg_value>SF</arg_value>\n"
+        "<arg_key>days</arg_key>\n<arg_value>3</arg_value>\n</tool_call>"
+    )
+    assert calls == [{"name": "get_weather",
+                      "arguments": {"city": "SF", "days": 3}}]
+    assert rest == "ok"
+    # rejection: an arg_key with no tool_call envelope parses nothing
+    calls, rest = _parse_tool_calls("<arg_key>city</arg_key> loose text")
+    assert calls == []
+
+    # Qwen3-coder XML: <function=NAME> + <parameter=K> raw values
+    calls, rest = _parse_tool_calls(
+        "<tool_call>\n<function=search>\n<parameter=query>\n"
+        "jax pallas\n</parameter>\n<parameter=limit>\n5\n</parameter>\n"
+        "</function>\n</tool_call>"
+    )
+    assert calls == [{"name": "search",
+                      "arguments": {"query": "jax pallas", "limit": 5}}]
+    # rejection: function without the tool_call wrapper is functionary's
+    # JSON form, which requires {json} — a parameter tag must not parse
+    calls, _ = _parse_tool_calls(
+        "<function=search><parameter=q>x</parameter></function> hm")
+    assert calls == []
+
+    # Seed-OSS
+    calls, rest = _parse_tool_calls(
+        "<seed:tool_call><function=calc><parameter=n>7</parameter>"
+        "</function></seed:tool_call>"
+    )
+    assert calls == [{"name": "calc", "arguments": {"n": 7}}]
+    calls, _ = _parse_tool_calls("<seed:tool_call>garbage</seed:tool_call>")
+    assert calls == []
+
+    # MiniMax-M2
+    calls, rest = _parse_tool_calls(
+        'pre <minimax:tool_call>\n<invoke name="get_w">\n'
+        '<parameter name="city">Paris</parameter>\n</invoke>\n'
+        "</minimax:tool_call>"
+    )
+    assert calls == [{"name": "get_w", "arguments": {"city": "Paris"}}]
+    assert rest == "pre"
+
+    # Kimi-K2: functions.NAME:idx tool ids + JSON args
+    calls, rest = _parse_tool_calls(
+        "<|tool_calls_section_begin|>"
+        '<|tool_call_begin|>functions.get_w:0<|tool_call_argument_begin|>'
+        '{"city": "SF"}<|tool_call_end|>'
+        '<|tool_call_begin|>functions.get_t:1<|tool_call_argument_begin|>'
+        '{"z": 1}<|tool_call_end|>'
+        "<|tool_calls_section_end|> done"
+    )
+    assert [c["name"] for c in calls] == ["get_w", "get_t"]
+    assert calls[0]["arguments"] == {"city": "SF"} and rest == "done"
+    # rejection: malformed args JSON -> no call
+    calls, _ = _parse_tool_calls(
+        "<|tool_call_begin|>functions.f:0<|tool_call_argument_begin|>"
+        "{broken<|tool_call_end|>")
+    assert calls == []
+
+    # nemotron-v2 <TOOLCALL>[...]</TOOLCALL>
+    calls, rest = _parse_tool_calls(
+        '<TOOLCALL>[{"name": "f", "arguments": {"a": 1}}]</TOOLCALL>')
+    assert calls[0]["name"] == "f" and rest == ""
+    calls, _ = _parse_tool_calls("<TOOLCALL>[1, 2]</TOOLCALL>")
+    assert calls == []  # rejection: not name/arguments shaped
+
+    # apriel-1.5 <tool_calls>[...]</tool_calls>
+    calls, _ = _parse_tool_calls(
+        '<tool_calls>[{"name": "g", "arguments": {}}]</tool_calls>')
+    assert calls[0]["name"] == "g"
+
+    # LFM2 <|tool_call_start|>[...]<|tool_call_end|>
+    calls, rest = _parse_tool_calls(
+        '<|tool_call_start|>[{"name": "get_time", "arguments": '
+        '{"tz": "UTC"}}]<|tool_call_end|>Checking.'
+    )
+    assert calls == [{"name": "get_time", "arguments": {"tz": "UTC"}}]
+    assert rest == "Checking."
+
+    # Apertus <|tools_prefix|>[{NAME: args}]<|tools_suffix|>
+    calls, rest = _parse_tool_calls(
+        '<|tools_prefix|>[{"get_w": {"city": "SF"}}]<|tools_suffix|>')
+    assert calls == [{"name": "get_w", "arguments": {"city": "SF"}}]
+    # rejection: multi-key objects are not apertus calls
+    calls, _ = _parse_tool_calls(
+        '<|tools_prefix|>[{"a": 1, "b": 2}]<|tools_suffix|>')
+    assert calls == []
+
+    # GPT-OSS harmony: commentary-to-functions header + final channel
+    calls, rest = _parse_tool_calls(
+        "<|channel|>commentary to=functions.get_w <|constrain|>json"
+        '<|message|>{"city": "SF"}<|call|>'
+        "<|start|>assistant<|channel|>final<|message|>Sunny.<|end|>"
+    )
+    assert calls == [{"name": "get_w", "arguments": {"city": "SF"}}]
+    assert rest == "Sunny."
+    # analysis channel becomes reasoning via _split_reasoning
+    r, rest2 = _split_reasoning(
+        "<|channel|>analysis<|message|>think...<|end|>tail")
+    assert r == "think..." and rest2 == "tail"
+
+    # reasoning split variants
+    for op, cl in (("<think>", "</think>"), ("<thinking>", "</thinking>"),
+                   ("<seed:think>", "</seed:think>"),
+                   ("<|inner_prefix|>", "<|inner_suffix|>")):
+        r, c = _split_reasoning(f"{op}why{cl}answer")
+        assert r == "why" and c == "answer", (op, r, c)
+
+    # cross-format rejection: plain prose stays untouched
+    calls, rest = _parse_tool_calls("The tool_call was successful.")
+    assert calls == [] and rest == "The tool_call was successful."

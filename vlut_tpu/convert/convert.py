@@ -1610,11 +1610,12 @@ def convert_hf(
         return convert_rwkv6(hf_dir, out_dir)
     if raw0.get("model_type") in ("jamba", "falcon_h1", "granitemoehybrid",
                                   "lfm2", "lfm2_moe", "qwen3_next",
-                                  "nemotron_h"):
+                                  "nemotron_h", "plamo2"):
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)
-    if raw0.get("model_type") in ("bert", "modernbert", "neobert"):
+    if raw0.get("model_type") in ("bert", "modernbert", "neobert",
+                                  "nomic_bert", "xlm-roberta"):
         from vlut_tpu.convert.encoder import convert_encoder
 
         return convert_encoder(hf_dir, out_dir)

@@ -299,6 +299,48 @@ def _config(raw: dict[str, Any]) -> tuple[HybridConfig, dict[str, Any]]:
             tie_embeddings=raw.get("tie_word_embeddings", False),
             max_seq_len=raw.get("max_position_embeddings", 4096),
         )
+    elif mt == "plamo2":
+        # PLaMo-2 (reference src/models/plamo2.cpp + converter
+        # Plamo2Model convert_hf_to_gguf.py:4885-4975): mamba2-style
+        # scalar-A SSD mixers with dt/B/C RMS norms on layers where
+        # i % mamba_step != mamba_step//2, GQA attention (fused qkv,
+        # per-head q/k RMS norms, NEOX rope) elsewhere; EVERY layer has a
+        # fused-swiglu FFN and sandwich (post_mixer/post_mlp) norms whose
+        # +1 / +1/5 / +1/5^1.5 offsets are folded at convert
+        step = raw.get("mamba_step", 2)
+        enabled = raw.get("mamba_enabled", True)
+
+        def _is_mamba(i: int) -> bool:
+            if not enabled:
+                return False
+            if nl <= step // 2:
+                return i != nl - 1
+            return (i % step) != (step // 2)
+
+        hd = raw.get("hidden_size_per_head", 128)
+        cfg = HybridConfig(
+            arch="plamo2", vocab_size=raw["vocab_size"], d_model=hidden,
+            n_layers=nl,
+            n_heads=raw.get("num_attention_heads", 32),
+            n_kv_heads=raw.get("num_key_value_heads", 4),
+            head_dim=hd,
+            d_ff=raw["intermediate_size"],
+            layer_types=tuple(
+                "plamo2_mamba" if _is_mamba(i) else "attention"
+                for i in range(nl)
+            ),
+            ffn_types=("dense",) * nl,
+            rms_eps=raw.get("rms_norm_eps", 1e-6),
+            rope=True, rope_theta=raw.get("rope_theta", 10000.0),
+            qk_norm=True,
+            m2_heads=raw.get("mamba_num_heads", 64),
+            m2_head_dim=hd,
+            m2_state=raw.get("mamba_d_state", 64),
+            m2_conv=raw.get("mamba_d_conv", 4),
+            m2_groups=0,
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            max_seq_len=raw.get("max_position_embeddings", 2048),
+        )
     else:
         raise ValueError(f"not a hybrid checkpoint: {mt!r}")
     return cfg, aux
@@ -314,8 +356,10 @@ def convert_hybrid(
     res_mult = aux.get("residual", 1.0)
 
     # qwen3next's Qwen3NextRMSNorm is zero-init (1 + w): fold the +1 into
-    # the stored gains (the gated deltanet norm is a plain ones-init norm)
-    plus_one = 1.0 if mt == "qwen3_next" else 0.0
+    # the stored gains (the gated deltanet norm is a plain ones-init norm).
+    # plamo2's final model.norm also takes +1 (Plamo2Model ".norm.weight");
+    # its per-layer norm offsets are handled in the plamo2 branch below.
+    plus_one = 1.0 if mt in ("qwen3_next", "plamo2") else 0.0
 
     top: dict[str, Any] = {}
     per: list[dict[str, Any]] = [{} for _ in range(cfg.n_layers)]
@@ -325,6 +369,9 @@ def convert_hybrid(
     lre = re.compile(r"model\.layers\.(\d+)\.(.+)$")
 
     def canon(name: str) -> str:
+        if mt == "plamo2":
+            # PLaMo nests blocks one level deeper
+            name = name.replace("model.layers.layers.", "model.layers.")
         if mt == "nemotron_h":
             # backbone.* naming; the block-type-specific "mixer" module
             # maps onto the per-kind names the loop below understands
@@ -366,6 +413,65 @@ def convert_hybrid(
             continue
         li, sub = int(m.group(1)), m.group(2)
         lp = per[li]
+        if mt == "plamo2":
+            # reference Plamo2Model.modify_tensors: norm offsets folded
+            # (+1 pre, +1/5 post-mixer, +1/5^1.5 post-mlp), A_log ->
+            # -exp(A_log), fused qkv / gate_up split here (head counts
+            # are known at convert)
+            if sub == "pre_mixer_norm.weight":
+                lp["attn_norm"] = w + 1.0
+            elif sub == "post_mixer_norm.weight":
+                lp["post_mixer_norm"] = w + 1.0 / 5
+            elif sub == "pre_mlp_norm.weight":
+                lp["ffn_norm"] = w + 1.0
+            elif sub == "post_mlp_norm.weight":
+                lp["post_ffn_norm"] = w + 1.0 / 5 ** 1.5
+            elif sub == "mixer.qkv_proj.weight":
+                hd = cfg.head_dim_
+                qn = cfg.n_heads * hd
+                kn = cfg.n_kv_heads * hd
+                lp["wq"] = w[:qn].T
+                lp["wk"] = w[qn : qn + kn].T
+                lp["wv"] = w[qn + kn :].T
+            elif sub == "mixer.o_proj.weight":
+                lp["wo"] = w.T
+            elif sub in ("mixer.q_weight", "mixer.q.weight"):
+                lp["q_norm"] = w
+            elif sub in ("mixer.k_weight", "mixer.k.weight"):
+                lp["k_norm"] = w
+            elif sub == "mlp.gate_up_proj.weight":
+                ff = w.shape[0] // 2
+                lp["w_gate"], lp["w_up"] = w[:ff].T, w[ff:].T
+            elif sub == "mlp.down_proj.weight":
+                lp["w_down"] = w.T
+            elif sub == "mixer.in_proj.weight":
+                lp["in_proj"] = w.T
+            elif sub == "mixer.conv1d.weight":
+                lp["conv_w"] = (w[:, 0, :] if w.ndim == 3 else w).T
+            elif sub == "mixer.conv1d.bias":
+                lp["conv_b"] = w
+            elif sub == "mixer.bcdt_proj.weight":
+                lp["bcdt_proj"] = w.T
+            elif sub == "mixer.dt_proj.weight":
+                lp["dt_proj_w"] = w.T
+            elif sub in ("mixer.dt_bias", "mixer.dt_proj.bias"):
+                lp["dt_proj_b"] = w
+            elif sub == "mixer.dt_norm_weight":
+                lp["dt_norm"] = w
+            elif sub == "mixer.B_norm_weight":
+                lp["b_norm"] = w
+            elif sub == "mixer.C_norm_weight":
+                lp["c_norm"] = w
+            elif sub == "mixer.A_log":
+                lp["A_log"] = -np.exp(np.asarray(w, np.float64)).astype(
+                    np.float32)
+            elif sub == "mixer.D":
+                lp["D"] = w
+            elif sub == "mixer.out_proj.weight":
+                lp["out_proj"] = w.T
+            else:
+                log.warning("skipping unrecognized plamo2 tensor %s", name)
+            continue
         # --- norms -------------------------------------------------------
         if sub in ("input_layernorm.weight", "operator_norm.weight"):
             lp["attn_norm"] = w + plus_one

@@ -17,6 +17,15 @@ Three graph families cover the reference's encoder archs:
   global attention every `global_every` layers, GeGLU MLP.
 * ``neobert`` — RMS pre-norms, one fused [q;k;v] projection, rope,
   swiglu-fused (w12/w3) sequential FFN (reference src/models/neo-bert.cpp).
+* ``bert-variant`` — the reference's post-LN bert builder superset
+  (src/models/bert.cpp): nomic-bert (fused wqkv, full-head rope, swiglu
+  parallel FFN), nomic-bert-moe (GELU-seq dense layers + softmax NO-renorm
+  GELU up/down MoE on layers ``i % moe_every == 1``), jina-bert-v2 (ALiBi
+  max_bias=8, optional q/k LayerNorms, fused GEGLU FFN, all post-LN),
+  jina-bert-v3 (XLM-RoBERTa weights served with rope instead of absolute
+  positions + per-task LoRA adapters, reference convert XLMRobertaModel).
+  Layers are a tuple of dicts (not stacked) — MoE layers are
+  heterogeneous, and encoder depths are small enough to unroll.
 
 Weights stay dense (bf16/f32): encoder checkpoints are small and never
 ternary in the wild; the ternary path stays the decoder engine's job.
@@ -49,6 +58,15 @@ class EncoderConfig:
     rope_theta_global: float = 160000.0
     rope_theta_local: float = 10000.0
     normalize: bool = True       # L2-normalize pooled embeddings
+    # bert-variant family (src/models/bert.cpp superset)
+    rope: bool = False           # nomic / jina-v3: full-head NEOX rope
+    alibi: bool = False          # jina-v2: f_max_alibi_bias = 8
+    ffn_kind: str = "gelu_seq"   # "swiglu_par" (nomic) | "geglu" (jina-v2)
+    moe_every: int = 0           # nomic-moe: MoE on i % moe_every == 1
+    n_experts: int = 0
+    moe_top_k: int = 2
+    lora_alpha: float = 1.0      # jina-v3 task adapters
+    lora_tasks: tuple[str, ...] = ()
 
     @property
     def head_dim(self) -> int:
@@ -93,11 +111,23 @@ def _rope(x, pos, theta):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
 
+def _alibi_bias(n_heads: int, T: int):
+    """Bidirectional ALiBi: bias[h, i, j] = -slope_h * |i - j| (reference
+    llm_graph_input_attn_no_cache fills -|p_i - p_j|, ggml_soft_max_ext
+    scales per-head; jina-v2 f_max_alibi_bias = 8)."""
+    from vlut_tpu.models.transformer import alibi_slopes
+
+    sl = jnp.asarray(alibi_slopes(n_heads))          # (H,)
+    rel = jnp.abs(jnp.arange(T)[:, None] - jnp.arange(T)[None, :])
+    return -sl[:, None, None] * rel[None].astype(jnp.float32)  # (H, T, T)
+
+
 def forward_encoder(
     params: dict[str, Any],
     cfg: EncoderConfig,
     tokens: jax.Array,          # (B, T) int32
     mask: jax.Array,            # (B, T) 1 = real token, 0 = pad
+    task: str | None = None,    # jina-v3 LoRA task adapter
 ) -> jax.Array:
     """Returns token-level hidden states (B, T, D), float32."""
     B, T = tokens.shape
@@ -127,6 +157,114 @@ def forward_encoder(
             return x, None
 
         x, _ = jax.lax.scan(layer, x.astype(jnp.float32), L)
+        return x
+
+    if cfg.arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+                    "jina-bert-v3"):
+        # the reference's post-LN bert builder superset
+        # (src/models/bert.cpp llm_build_bert): token(+type) embeddings,
+        # embed LN, per layer: attention (opt fused qkv / q,k LNs / rope /
+        # alibi) -> add input -> LN -> FFN (gelu-seq | swiglu-par | geglu |
+        # softmax-no-renorm GELU MoE) -> add -> LN
+        ad = {}
+        if task is not None:
+            ad = params.get("adapters", {}).get(task, {})
+            if not ad:
+                raise KeyError(f"unknown adapter task {task!r}; have "
+                               f"{tuple(params.get('adapters', {}))}")
+
+        def w_of(store, key, path):
+            w = store[key]
+            if path in ad:
+                a, bm = ad[path]["a"], ad[path]["b"]
+                w = w + (cfg.lora_alpha / a.shape[-1]) * (
+                    a.astype(jnp.float32) @ bm.astype(jnp.float32))
+            return w
+
+        x = w_of(params, "embed", "embed")[tokens]
+        if "type_embed" in params:
+            x = x + w_of(params, "type_embed", "type_embed")[0][None, None]
+        x = _ln(x, params["embed_norm"], params.get("embed_norm_b"),
+                cfg.ln_eps)
+        H, hd = cfg.n_heads, cfg.head_dim
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        bias = pad_bias
+        if cfg.alibi:
+            bias = bias + _alibi_bias(H, T)[None]
+        for li, lp in enumerate(L):
+            lw = lambda key: w_of(lp, key, f"layers/{li}/{key}")  # noqa
+            inp = x
+            if "wqkv" in lp:
+                qkv = inp @ lw("wqkv")
+                if "bqkv" in lp:
+                    qkv = qkv + lp["bqkv"]
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = inp @ lw("wq") + lp["bq"]
+                k = inp @ lw("wk") + lp["bk"]
+                v = inp @ lw("wv") + lp["bv"]
+            if "q_norm" in lp:
+                # jina-v2 layer_norm_q/k: LayerNorm over the FULL width
+                # (reference reshapes to n_embd_head*n_head first)
+                q = _ln(q, lp["q_norm"], lp.get("q_norm_b"), cfg.ln_eps)
+                k = _ln(k, lp["k_norm"], lp.get("k_norm_b"), cfg.ln_eps)
+            q = q.reshape(B, T, H, hd)
+            k = k.reshape(B, T, H, hd)
+            v = v.reshape(B, T, H, hd)
+            if cfg.rope:
+                q = _rope(q, pos, cfg.rope_theta_global)
+                k = _rope(k, pos, cfg.rope_theta_global)
+            att = _attend(q, k, v, bias).reshape(B, T, -1)
+            o = att @ lw("wo")
+            if "bo" in lp:
+                o = o + lp["bo"]
+            x = _ln(inp + o, lp["attn_norm"], lp.get("attn_norm_b"),
+                    cfg.ln_eps)
+            if "attn_norm2" in lp:
+                # jina-v2-code attn_norm_2: re-add the layer input again
+                x = _ln(x + inp, lp["attn_norm2"], lp.get("attn_norm2_b"),
+                        cfg.ln_eps)
+            ffn_inp = x
+            if "router" in lp:
+                # nomic-moe layer: softmax router, top-k, NO renorm
+                # (build_moe_ffn norm_w=false), GELU up/down experts
+                scores = jax.nn.softmax(
+                    (ffn_inp @ lp["router"]).astype(jnp.float32), axis=-1)
+                top_w, top_i = jax.lax.top_k(scores, cfg.moe_top_k)
+                comb = jnp.zeros_like(scores)
+                comb = jax.vmap(
+                    lambda c, i, w: c.at[jnp.arange(T)[:, None], i].add(w)
+                )(comb, top_i, top_w)
+                dn = jnp.zeros(ffn_inp.shape, jnp.float32)
+                for e in range(cfg.n_experts):
+                    a = jax.nn.gelu(
+                        (ffn_inp @ lp["e_up"][e]).astype(jnp.float32),
+                        approximate=False)
+                    dn = dn + comb[..., e, None] * (a @ lp["e_down"][e])
+            elif cfg.ffn_kind == "swiglu_par" and "w_gate" in lp:
+                g = jax.nn.silu(
+                    (ffn_inp @ lw("w_gate")).astype(jnp.float32))
+                dn = (g * (ffn_inp @ lw("w_up"))) @ lw("w_down")
+            elif cfg.ffn_kind == "geglu" and "w_in" in lp:
+                z = ffn_inp @ lw("w_in")
+                if "b_in" in lp:
+                    z = z + lp["b_in"]
+                ff = z.shape[-1] // 2
+                a = jax.nn.gelu(z[..., :ff].astype(jnp.float32),
+                                approximate=False)
+                dn = (a * z[..., ff:]) @ lw("w_down")
+                if "b_down" in lp:
+                    dn = dn + lp["b_down"]
+            else:
+                up = ffn_inp @ lw("w_up")
+                if "b_up" in lp:
+                    up = up + lp["b_up"]
+                a = jax.nn.gelu(up.astype(jnp.float32), approximate=False)
+                dn = a @ lw("w_down")
+                if "b_down" in lp:
+                    dn = dn + lp["b_down"]
+            x = _ln(ffn_inp + dn, lp["ffn_norm"], lp.get("ffn_norm_b"),
+                    cfg.ln_eps)
         return x
 
     if cfg.arch == "modernbert":
@@ -197,9 +335,10 @@ def embed(
     cfg: EncoderConfig,
     tokens: jax.Array,
     mask: jax.Array,
+    task: str | None = None,
 ) -> jax.Array:
     """Pooled (B, D) embeddings (reference llama_pooling_type MEAN/CLS)."""
-    x = forward_encoder(params, cfg, tokens, mask)
+    x = forward_encoder(params, cfg, tokens, mask, task=task)
     if cfg.pooling == "cls":
         e = x[:, 0]
     else:

@@ -223,6 +223,50 @@ def _mamba2(cfg: HybridConfig, lp, h):
     return y @ lp["out_proj"]
 
 
+def _plamo2_mamba(cfg: HybridConfig, lp, h):
+    """PLaMo-2 mamba mixer (reference src/models/plamo2.cpp
+    build_plamo2_mamba_layer; converter Plamo2Model
+    convert_hf_to_gguf.py:4885-4975): per-head [z; x] interleaved in_proj,
+    conv+silu over x, bcdt_proj -> [B, C, dt] with PLaMo-specific RMS
+    norms on each, dt_proj to one dt per HEAD (mamba2-style scalar-A SSD),
+    y = SSD(x) + D*x gated by silu(z).  A is stored as -exp(A_log)
+    (folded at convert, like the reference)."""
+    b, t, _ = h.shape
+    md = cfg.m2_dims()
+    M2H, hd, ds, dc = md.n_heads, md.head_dim, md.d_state, md.d_conv
+    di = M2H * hd
+    zx = (h @ lp["in_proj"]).astype(jnp.float32)      # (b,t,2*di)
+    zx = zx.reshape(b, t, M2H, 2 * hd)
+    z = zx[..., :hd].reshape(b, t, di)
+    x = zx[..., hd:].reshape(b, t, di)
+    # depthwise causal conv over x only (plamo2 keeps B/C out of the conv)
+    win = jnp.concatenate([jnp.zeros((b, dc - 1, di), x.dtype), x], axis=1)
+    xc = sum(
+        win[:, i : i + t] * lp["conv_w"][i][None, None, :]
+        for i in range(dc)
+    )
+    if "conv_b" in lp:
+        xc = xc + lp["conv_b"][None, None, :]
+    xc = jax.nn.silu(xc)
+    bcdt = xc @ lp["bcdt_proj"]                        # (b,t,2*ds+dt_dim)
+    B = _rms(bcdt[..., :ds], lp["b_norm"], cfg.rms_eps)
+    C = _rms(bcdt[..., ds : 2 * ds], lp["c_norm"], cfg.rms_eps)
+    dt_in = _rms(bcdt[..., 2 * ds :], lp["dt_norm"], cfg.rms_eps)
+    dt = jax.nn.softplus(dt_in @ lp["dt_proj_w"] + lp["dt_proj_b"])
+    A = lp["A_log"].astype(jnp.float32)   # already -exp(A_log) (convert)
+    # per-head scalar decay broadcast over the head dim
+    dA = jnp.exp(dt * A[None, None, :])               # (b,t,M2H)
+    dA_bd = jnp.repeat(dA, hd, axis=-1)[..., None]    # (b,t,di,1)
+    dt_bd = jnp.repeat(dt, hd, axis=-1)               # (b,t,di)
+    dBx = (dt_bd * xc)[..., None] * B[:, :, None, :]  # (b,t,di,ds)
+    hs = _ssm_scan(jnp.broadcast_to(dA_bd, dBx.shape), dBx,
+                   jnp.zeros((b, di, ds), jnp.float32))
+    y = jnp.einsum("btds,bts->btd", hs, C)
+    y = y + jnp.repeat(lp["D"].astype(jnp.float32), hd) * xc
+    y = jax.nn.silu(z) * y
+    return y @ lp["out_proj"]
+
+
 def _lfm2_conv(cfg: HybridConfig, lp, h):
     """LFM2 gated short conv: in_proj -> (B, C, x); depthwise causal conv
     (NO activation) over B*x; y = C * conv; out_proj."""
@@ -426,6 +470,8 @@ def forward(
             mix = _mamba2(cfg, lp, h)
         elif kind == "deltanet":
             mix = _deltanet(cfg, lp, h)
+        elif kind == "plamo2_mamba":
+            mix = _plamo2_mamba(cfg, lp, h)
         elif kind == "conv":
             mix = _lfm2_conv(cfg, lp, h)
         elif kind == "ffn" and "router" in lp:
@@ -475,10 +521,17 @@ def forward(
                     mix = mix + lp["b_down"]
         else:
             mix = _jamba_mamba(cfg, lp, h)
+        if "post_mixer_norm" in lp:
+            # plamo2 sandwich norms (post_mixer_norm, offset folded at
+            # convert like the reference Plamo2Model +1/5)
+            mix = _rms(mix, lp["post_mixer_norm"], cfg.rms_eps)
         x = x + mix
         if cfg.ffn_types[i] != "none":
             h = _rms(x, lp["ffn_norm"], cfg.rms_eps)
-            x = x + _ffn(cfg, lp, h, cfg.ffn_types[i])
+            fo = _ffn(cfg, lp, h, cfg.ffn_types[i])
+            if "post_ffn_norm" in lp:
+                fo = _rms(fo, lp["post_ffn_norm"], cfg.rms_eps)
+            x = x + fo
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")
     if head is None:

@@ -1055,9 +1055,12 @@ def run_layers(
     * ``ep_axis``  — expert parallel: the experts dim of MoE weights is
       sharded; each shard computes its local experts' weighted outputs and
       the combine psums over the axis
-    * ``sp_axis``  — sequence/context parallel for the cache-less path:
-      queries stay local to each T-shard, K/V (and their positions)
-      all-gather per layer (DeepSpeed-Ulysses-style gathered-KV CP)
+    * ``sp_axis``  — ring/blockwise context parallel for the cache-less
+      path: queries stay local to each T-shard; K/V blocks (with their
+      global positions) rotate around the ring via ppermute with an
+      online-softmax merge, so per-device KV memory scales 1/sp
+      (:func:`_ring_attention`; tests/test_ring_attention.py).  An
+      explicit ``attn_mask`` override falls back to gathered-KV.
     """
     plan = plan or make_plan(cfg)
     specs = weight_specs(cfg, tp=tp_size, plan=plan)
@@ -1336,13 +1339,23 @@ def run_layers(
             return att
 
         def _put_pair(self, name_a, ua, name_b, ub, start):
-            """K and V rows in one kernel launch (same shapes)."""
+            """K and V rows in one kernel launch (same shapes).
+
+            VLUT_TPU_KV_WRITE=dus forces the vmap-dynamic_update_slice
+            form instead: a Pallas custom call pins its operands to the
+            DEFAULT layout, and XLA keeps the decode cache in the
+            attention dot's preferred {3,1,2,0} layout — so every pallas
+            write costs a full-cache layout round-trip copy per layer
+            (12 MB x 2 x 32 layers/step at 8B np=32; found via compiled-
+            HLO forensics, scripts/exp_hlo_copies.py).  The DUS form is
+            layout-polymorphic and updates in place with no copies."""
             from vlut_tpu.ops.kv_update import write_rows_pair_pallas
 
             use_pallas = (
                 ua.shape[1] == 1
                 and impl in ("auto", "pallas")
                 and jax.default_backend() == "tpu"
+                and os.environ.get("VLUT_TPU_KV_WRITE", "pallas") != "dus"
             )
             if not use_pallas:
                 self._put(name_a, ua, start)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _kernel(
+def _fused_decode_attn_kernel(
     # scalar prefetch
     start_ref,   # (B,) int32 — write row == query position
     win_ref,     # (1,) int32 — sliding window (0 = none)
@@ -185,7 +185,7 @@ def decode_attention_pallas(
     n_s = s // cs
 
     kernel = functools.partial(
-        _kernel, hkv=hkv, g=g, hd=hd, hdv=hdv, cs=cs, n_s=n_s, scale=scale,
+        _fused_decode_attn_kernel, hkv=hkv, g=g, hd=hd, hdv=hdv, cs=cs, n_s=n_s, scale=scale,
     )
 
     def q_map(i, si, start_, win_):

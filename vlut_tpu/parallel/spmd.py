@@ -68,10 +68,12 @@ def make_forward_tp(
 
 
 def make_forward_sp(cfg: ModelConfig, mesh: Mesh, impl: str = "auto"):
-    """Sequence/context-parallel cache-less forward: tokens shard over the
-    "sp" mesh axis along T, K/V all-gather per layer inside run_layers.
-    Params replicated.  Returns f(params, tokens, positions) -> logits with
-    the T dim sharded over "sp".  New capability vs the reference (it has no
+    """Ring/blockwise context-parallel cache-less forward: tokens shard
+    over the "sp" mesh axis along T; inside run_layers each layer's KV
+    blocks rotate via ppermute with an online-softmax merge
+    (_ring_attention), so per-device KV memory scales 1/sp.  Params
+    replicated.  Returns f(params, tokens, positions) -> logits with the
+    T dim sharded over "sp".  New capability vs the reference (it has no
     CP at all, SURVEY §2.3)."""
 
     def local_fn(params, tokens, positions):

@@ -416,6 +416,25 @@ def _parse_tool_calls(text: str):
     8. Command-R7B  — <|START_ACTION|>[{"tool_name","parameters"}, ...]
        <|END_ACTION|> (chat.cpp COMMON_CHAT_FORMAT_COMMAND_R7B)
     9. Granite      — <|tool_call|>[{...}] array prefix
+
+    Round-4 additions (checked BEFORE the generic forms — several reuse
+    the <tool_call> envelope):
+
+    10. GLM 4.5       — <tool_call>NAME <arg_key>/<arg_value> XML pairs
+    11. Qwen3-coder   — <tool_call><function=NAME><parameter=K>raw-or-
+        JSON values (COMMON_CHAT_FORMAT_QWEN3_CODER_XML)
+    12. Seed-OSS      — <seed:tool_call><function=NAME><parameter=K>
+    13. MiniMax-M2    — <minimax:tool_call><invoke name="..">
+        <parameter name="..">
+    14. Kimi-K2       — <|tool_calls_section_begin|> blocks with
+        functions.NAME:idx ids + JSON args
+    15. Nemotron-v2   — <TOOLCALL>[{name,arguments}...]</TOOLCALL>
+    16. Apriel-1.5    — <tool_calls>[{...}]</tool_calls>
+    17. LFM2          — <|tool_call_start|>[{...}]<|tool_call_end|>
+    18. Apertus       — <|tools_prefix|>[{NAME: args}, ...]<|tools_suffix|>
+    19. GPT-OSS       — harmony channels: "to=functions.NAME ...
+        <|message|>{args}<|call|>"; final channel is the content
+        (chat-parser.cpp common_chat_parse_gpt_oss)
     """
     calls = []
     import re
@@ -424,6 +443,164 @@ def _parse_tool_calls(text: str):
         return isinstance(obj, dict) and "name" in obj and (
             "arguments" in obj or "parameters" in obj
         )
+
+    def _val(s):
+        """XML arg value: JSON when it parses, raw string otherwise
+        (reference chat-parser-xml-toolcall.cpp value handling)."""
+        s = s.strip()
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return s
+
+    # --- GLM 4.5: <tool_call>NAME <arg_key>K</arg_key><arg_value>V
+    # </arg_value>...</tool_call> (chat.cpp init_glm_4_5 — must be checked
+    # before Hermes, both use <tool_call>)
+    if "<arg_key>" in text:
+        for m in re.finditer(r"<tool_call>\s*([\w./:-]+)\s*(.*?)</tool_call>",
+                             text, re.DOTALL):
+            args = {
+                k: _val(v) for k, v in re.findall(
+                    r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)"
+                    r"</arg_value>", m.group(2), re.DOTALL)
+            }
+            calls.append({"name": m.group(1), "arguments": args})
+        if calls:
+            rest = re.sub(r"<tool_call>.*?</tool_call>", "", text,
+                          flags=re.DOTALL).strip()
+            return calls, rest
+
+    # --- Qwen3-coder XML: <tool_call><function=NAME><parameter=K>V
+    # </parameter>...</function></tool_call> (chat.cpp
+    # init_qwen3_coder_xml; values raw-or-JSON)
+    if "<function=" in text and "<tool_call>" in text:
+        for m in re.finditer(
+            r"<tool_call>\s*<function=([\w.-]+)>\s*(.*?)</function>\s*"
+            r"</tool_call>", text, re.DOTALL,
+        ):
+            args = {
+                k: _val(v) for k, v in re.findall(
+                    r"<parameter=([\w.-]+)>\s*(.*?)\s*</parameter>",
+                    m.group(2), re.DOTALL)
+            }
+            calls.append({"name": m.group(1), "arguments": args})
+        if calls:
+            rest = re.sub(r"<tool_call>.*?</tool_call>", "", text,
+                          flags=re.DOTALL).strip()
+            return calls, rest
+
+    # --- Seed-OSS: <seed:tool_call><function=NAME><parameter=K>V
+    # </parameter>...</function></seed:tool_call> (chat.cpp init_seed_oss)
+    if "<seed:tool_call>" in text:
+        for m in re.finditer(
+            r"<seed:tool_call>\s*<function=([\w.-]+)>\s*(.*?)"
+            r"</function>\s*</seed:tool_call>", text, re.DOTALL,
+        ):
+            args = {
+                k: _val(v) for k, v in re.findall(
+                    r"<parameter=([\w.-]+)>\s*(.*?)\s*</parameter>",
+                    m.group(2), re.DOTALL)
+            }
+            calls.append({"name": m.group(1), "arguments": args})
+        if calls:
+            rest = re.sub(r"<seed:tool_call>.*?</seed:tool_call>", "",
+                          text, flags=re.DOTALL).strip()
+            return calls, rest
+
+    # --- MiniMax-M2: <minimax:tool_call><invoke name="NAME">
+    # <parameter name="K">V</parameter>...</invoke></minimax:tool_call>
+    if "<minimax:tool_call>" in text:
+        for m in re.finditer(r'<invoke name="([^"]+)">\s*(.*?)</invoke>',
+                             text, re.DOTALL):
+            args = {
+                k: _val(v) for k, v in re.findall(
+                    r'<parameter name="([^"]+)">(.*?)</parameter>',
+                    m.group(2), re.DOTALL)
+            }
+            calls.append({"name": m.group(1), "arguments": args})
+        if calls:
+            rest = re.sub(r"<minimax:tool_call>.*?</minimax:tool_call>",
+                          "", text, flags=re.DOTALL).strip()
+            return calls, rest
+
+    # --- Kimi-K2: <|tool_calls_section_begin|><|tool_call_begin|>
+    # functions.NAME:idx<|tool_call_argument_begin|>{json}
+    # <|tool_call_end|>...<|tool_calls_section_end|>
+    for m in re.finditer(
+        r"<\|tool_call_begin\|>\s*([\w.:-]+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(\{.*?\})\s*<\|tool_call_end\|>",
+        text, re.DOTALL,
+    ):
+        name = m.group(1)
+        name = re.sub(r"^functions\.", "", name)
+        name = re.sub(r":\d+$", "", name)
+        try:
+            calls.append({"name": name, "arguments": json.loads(m.group(2))})
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(
+            r"<\|tool_calls_section_begin\|>.*?<\|tool_calls_section_end\|>",
+            "", text, flags=re.DOTALL).strip()
+        return calls, rest
+
+    # --- shaped-JSON-array envelopes: nemotron-v2 <TOOLCALL>[...]
+    # </TOOLCALL>, apriel-1.5 <tool_calls>[...]</tool_calls>, lfm2
+    # <|tool_call_start|>[...]<|tool_call_end|>
+    for pat in (r"<TOOLCALL>\s*(\[.*?\])\s*</TOOLCALL>",
+                r"<tool_calls>\s*(\[.*?\])\s*</tool_calls>",
+                r"<\|tool_call_start\|>\s*(\[.*?\])\s*<\|tool_call_end\|>"):
+        m = re.search(pat, text, re.DOTALL)
+        if not m:
+            continue
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            arr = None
+        if isinstance(arr, list) and arr and all(_shaped(o) for o in arr):
+            rest = (text[: m.start()] + text[m.end():]).strip()
+            return arr, rest
+
+    # --- Apertus: <|tools_prefix|>[{NAME: {args}}, ...]<|tools_suffix|>
+    # (single-key objects keyed BY the function name, chat.cpp
+    # init_apertus)
+    m = re.search(r"<\|tools_prefix\|>\s*(\[.*?\])\s*<\|tools_suffix\|>",
+                  text, re.DOTALL)
+    if m:
+        try:
+            arr = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            arr = None
+        if isinstance(arr, list) and arr and all(
+            isinstance(o, dict) and len(o) == 1 for o in arr
+        ):
+            calls = [
+                {"name": k, "arguments": v}
+                for o in arr for k, v in o.items()
+            ]
+            rest = (text[: m.start()] + text[m.end():]).strip()
+            return calls, rest
+
+    # --- GPT-OSS harmony: headers like "<|channel|>commentary
+    # to=functions.NAME <|constrain|>json<|message|>{args}<|call|>";
+    # "<|channel|>final ...<|message|>content" is the user-visible text
+    # (chat-parser.cpp common_chat_parse_gpt_oss)
+    if "<|channel|>" in text:
+        for m in re.finditer(
+            r"to=functions\.([\w.-]+)[^{}]*?<\|message\|>\s*(\{.*?\})\s*"
+            r"(?=<\|call\|>|<\|end\|>|<\|channel\|>|$)",
+            text, re.DOTALL,
+        ):
+            try:
+                calls.append({"name": m.group(1),
+                              "arguments": json.loads(m.group(2))})
+            except json.JSONDecodeError:
+                continue
+        final = re.search(
+            r"<\|channel\|>final[^<]*<\|message\|>(.*?)"
+            r"(?:<\|end\|>|<\|return\|>|$)", text, re.DOTALL)
+        if calls or final:
+            return calls, (final.group(1).strip() if final else "")
 
     # 1. Hermes / Qwen
     for m in re.finditer(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", text,
@@ -546,11 +723,24 @@ def _parse_tool_calls(text: str):
 
 
 def _split_reasoning(text: str):
-    """<think>...</think> reasoning split (reference: server reasoning_
-    content handling for R1/Qwen-style models)."""
+    """Leading thinking-block split (reference: server reasoning_content
+    handling; chat.cpp try_parse_reasoning per format): <think> (R1/Qwen/
+    GLM/Kimi/MiniMax/nemotron-v2), <thinking> (apriel), <seed:think>
+    (seed-oss), <|inner_prefix|> (apertus), <|channel|>analysis harmony
+    blocks (gpt-oss)."""
     import re
 
-    m = re.match(r"\s*<think>(.*?)</think>(.*)", text, re.DOTALL)
+    for op, cl in (("<think>", "</think>"),
+                   ("<thinking>", "</thinking>"),
+                   ("<seed:think>", "</seed:think>"),
+                   ("<|inner_prefix|>", "<|inner_suffix|>")):
+        m = re.match(
+            rf"\s*{re.escape(op)}(.*?){re.escape(cl)}(.*)", text, re.DOTALL)
+        if m:
+            return m.group(1).strip(), m.group(2).strip()
+    m = re.match(
+        r"\s*<\|channel\|>analysis<\|message\|>(.*?)<\|end\|>(.*)",
+        text, re.DOTALL)
     if m:
         return m.group(1).strip(), m.group(2).strip()
     return None, text
