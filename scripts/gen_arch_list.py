@@ -119,7 +119,8 @@ ARCHS: list[tuple[str, str, str, str]] = [
      "softcaps + sandwich norms + SWA"),
     ("gemma3", "yes", "tests/test_archs_wave4.py::test_gemma3_parity",
      "per-layer local rope theta on SWA layers"),
-    ("gemma3n", "no", "", "altup/laurel/per-layer embd — not yet"),
+    ("gemma3n", "yes", "tests/test_gemma3n.py::test_gemma3n_parity",
+     "altup/laurel/per-layer embd/KV-sharing/activation sparsity — HF parity"),
     ("gemma-embedding", "yes",
      "tests/test_archs_wave5.py::test_gemma_embedding_parity",
      "Gemma3TextModel + bidirectional (symmetric-SWA) attention"),

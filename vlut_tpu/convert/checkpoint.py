@@ -102,7 +102,7 @@ def save_checkpoint(
             "MambaConfig": "mamba", "EncoderConfig": "encoder",
             "T5Config": "t5", "Mamba2Config": "mamba2",
             "HybridConfig": "hybrid", "Rwkv7Config": "rwkv7",
-            "Rwkv6Config": "rwkv6",
+            "Rwkv6Config": "rwkv6", "Gemma3nConfig": "gemma3n",
         }.get(family, "transformer"),
         "model_config": dataclasses.asdict(cfg),
         "layers_tuple": layers_tuple,
@@ -159,6 +159,13 @@ def load_checkpoint(
         for k in ("layer_types", "ffn_types"):
             mc[k] = tuple(mc[k])
         cfg = HybridConfig(**mc)
+    elif meta.get("model_family") == "gemma3n":
+        from vlut_tpu.models.gemma3n import Gemma3nConfig
+
+        mc = dict(meta["model_config"])
+        for k in ("d_ff", "layer_types", "sparsity"):
+            mc[k] = tuple(mc[k])
+        cfg = Gemma3nConfig(**mc)
     else:
         mc = dict(meta["model_config"])
         for k, v in mc.items():

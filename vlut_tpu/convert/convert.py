@@ -1619,6 +1619,10 @@ def convert_hf(
         from vlut_tpu.convert.encoder import convert_encoder
 
         return convert_encoder(hf_dir, out_dir)
+    if raw0.get("model_type") in ("gemma3n", "gemma3n_text"):
+        from vlut_tpu.convert.gemma3n import convert_gemma3n
+
+        return convert_gemma3n(hf_dir, out_dir)
     if raw0.get("model_type") in ("t5", "mt5"):
         from vlut_tpu.convert.t5 import convert_t5
 

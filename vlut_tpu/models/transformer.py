@@ -1706,7 +1706,14 @@ def run_layers(
                     and isinstance(kvio, _SlotKV)
                     and impl in ("auto", "pallas")
                     and jax.default_backend() == "tpu"
-                    and os.environ.get("VLUT_TPU_FUSED_ATTN", "1") != "0"
+                    # default OFF: drift-proof interleaved A/B (6 reps,
+                    # scripts/exp_ab_interleave.py) measured the fused
+                    # kernel at 6.00 ms/step vs 5.52 composed at 8B np=32
+                    # — XLA's attention+write pipeline already runs near
+                    # achievable bandwidth, and the kernel's per-row grid
+                    # reads the cache at lower effective bandwidth than
+                    # the fused XLA dot.  Kept for future shapes (long S).
+                    and os.environ.get("VLUT_TPU_FUSED_ATTN", "0") == "1"
                     and not _ABLATE()
                     and alibi is None
                     and not cfg.attn_sinks
