@@ -111,7 +111,7 @@ def test_qwen2vl_image_parity(tmp_path):
     assert mpos.shape == (3, t)
     got, _ = forward(
         pf, cfg, jnp.asarray([ids], jnp.int32),
-        jnp.asarray(mpos.max(0))[None].astype(jnp.int32),
+        jnp.arange(t, dtype=jnp.int32)[None],
         None, impl="xla",
         token_embeds=jnp.asarray(tok_emb)[None],
         mrope_pos=jnp.asarray(mpos, jnp.int32)[None],
@@ -181,4 +181,85 @@ def test_qwen3vl_text_parity(tmp_path):
     )
     got = np.asarray(got)[..., : want.shape[-1]]
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_qwen25vl_image_parity(tmp_path):
+    """Qwen2.5-VL window-attention ViT (reference mtmd
+    PROJECTOR_TYPE_QWEN25VL, tools/mtmd/clip-impl.h; HF
+    Qwen2_5_VisionTransformerPretrainedModel): RMSNorm block norms +
+    merger ln_q, silu gate/up/down MLP with biases, spatial-merge-unit
+    window reorder with RAGGED edge windows, full attention only on
+    fullatt_block_indexes, un-permute after the merger.  Full multimodal
+    pipeline parity vs HF."""
+    c = transformers.Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 1, 1]},
+        ),
+        vision_config=dict(
+            depth=3, hidden_size=32, num_heads=4, in_channels=3,
+            patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+            intermediate_size=48, out_hidden_size=32,
+            window_size=16,            # 2x2 merge units per window
+            fullatt_block_indexes=[2],
+        ),
+        image_token_id=IMG_TOK, vision_start_token_id=VIS_START,
+        video_token_id=V - 3,
+    )
+    torch.manual_seed(95)
+    m = transformers.Qwen2_5_VLForConditionalGeneration(c).float().eval()
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if name.endswith(".bias"):
+                p.copy_(0.05 * torch.randn_like(p))
+    import test_archs_hf2
+
+    test_archs_hf2._ternarize_model(m)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    cfg = convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    cfg2, params, meta = load_checkpoint(tmp_path / "out")
+    pf = float_twin_params(params, cfg2, dtype=jnp.float32)
+    vc, vp, extras = load_qwen_vision(tmp_path / "out")
+    assert vc.rms_norm and vc.gated_mlp
+    assert vc.window_size == 16 and vc.fullatt_blocks == (2,)
+    vp = jax.tree.map(jnp.asarray, vp)
+
+    rng = np.random.default_rng(14)
+    # 24x32 px at patch 4 -> grid (6, 8); llm grid 3x4 with 2-unit
+    # windows -> ragged bottom row (pad_h = 1)
+    img = rng.standard_normal((3, 24, 32)).astype(np.float32)
+    patches, grid = patchify(img, vc)
+    assert grid == (6, 8)
+    n_img = (grid[0] // 2) * (grid[1] // 2)
+
+    pre = [5, 6, VIS_START, *([IMG_TOK] * n_img)]
+    post = [7, 8, 9]
+    ids = pre + post
+    with torch.no_grad():
+        want = m(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([[1, grid[0], grid[1]]]),
+        ).logits.numpy()
+
+    img_emb = vision_forward(vp, vc, jnp.asarray(patches), grid)
+    assert img_emb.shape == (n_img, cfg2.d_model)
+    tok_emb = np.asarray(pf["embed"], np.float32)[np.asarray(ids)]
+    tok_emb[3 : 3 + n_img] = np.asarray(img_emb)
+    mpos = mrope_positions(3, grid, vc.spatial_merge_size, len(post))
+    # mask positions are SEQUENCE order (HF causal mask), not the mrope
+    # max: image-grid position values are non-monotonic for gh > 1
+    got, _ = forward(
+        pf, cfg2, jnp.asarray([ids], jnp.int32),
+        jnp.arange(len(ids), dtype=jnp.int32)[None],
+        None, impl="xla",
+        token_embeds=jnp.asarray(tok_emb)[None],
+        mrope_pos=jnp.asarray(mpos, jnp.int32)[None],
+    )
+    got = np.asarray(got)[..., : want.shape[-1]]
+    np.testing.assert_allclose(got, want, rtol=6e-3, atol=6e-3)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

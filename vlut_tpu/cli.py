@@ -23,7 +23,12 @@ def _load(model_dir, overrides=None):
 
     from vlut_tpu.convert.checkpoint import load_checkpoint
 
-    cfg, params, meta = load_checkpoint(model_dir)
+    import os as _os
+
+    cfg, params, meta = load_checkpoint(
+        model_dir,
+        stream=_os.environ.get("VLUT_STREAM_LOAD", "1") != "0",
+    )
     # --override key=value (the reference's --override-kv GGUF-metadata
     # override, common/arg.cpp): retype from the dataclass field
     for spec in overrides or ():

@@ -119,9 +119,13 @@ def save_checkpoint(
 
 def load_checkpoint(
     path: str | pathlib.Path,
+    stream: bool = False,
 ) -> tuple[ModelConfig, dict[str, Any], dict[str, Any]]:
-    """Returns (cfg, params, meta).  Arrays come back as numpy/jnp host
-    arrays; move to device (with shardings) via jax.device_put."""
+    """Returns (cfg, params, meta).  With stream=False arrays come back
+    as host numpy; move to device (with shardings) via jax.device_put.
+    With stream=True each tensor is device_put as it is read from the
+    mmap-backed safetensors file (one-tensor peak host memory; transfers
+    overlap reads) — the single-device serving fast path."""
     path = pathlib.Path(path)
     meta = json.loads((path / "vlut_config.json").read_text())
     if meta.get("format_version") != FORMAT_VERSION:
@@ -176,7 +180,23 @@ def load_checkpoint(
                     tuple(e) if isinstance(e, list) else e for e in v
                 )
         cfg = ModelConfig(**mc)
-    flat = load_file(str(path / "model.safetensors"))
+    if stream:
+        # shard-by-shard streaming load (reference analog: llama-mmap's
+        # instant-serve property, src/llama-mmap.cpp): safetensors is
+        # opened mmap-backed and each tensor is device_put as it is
+        # read, so peak host memory is ONE tensor and the host->device
+        # transfers pipeline with the reads instead of following a full
+        # host materialization of the checkpoint
+        import jax
+        from safetensors import safe_open
+
+        flat = {}
+        with safe_open(str(path / "model.safetensors"),
+                       framework="numpy") as sf:
+            for key in sf.keys():
+                flat[key] = jax.device_put(sf.get_tensor(key))
+    else:
+        flat = load_file(str(path / "model.safetensors"))
     params = _unflatten(flat)
     if meta.get("layers_tuple"):
         layers = params["layers"]
@@ -204,11 +224,53 @@ def load_qwen_vision(path: str | pathlib.Path):
             layers[k[len("layers."):]] = v
         else:
             params[k] = v
+    if "fullatt_blocks" in qv:
+        qv = {**qv, "fullatt_blocks": tuple(qv["fullatt_blocks"])}
     extras = {
         "image_token_id": meta.get("image_token_id"),
         "vision_start_token_id": meta.get("vision_start_token_id"),
     }
     return QwenVisionConfig(**qv), params, extras
+
+
+def _load_tower(path: pathlib.Path, fname: str):
+    flat = load_file(str(path / fname))
+    layers: dict[str, Any] = {}
+    params: dict[str, Any] = {"layers": layers}
+    for k, v in flat.items():
+        if k.startswith("layers."):
+            layers[k[len("layers."):]] = v
+        else:
+            params[k] = v
+    return params
+
+
+def load_siglip(path: str | pathlib.Path):
+    """Gemma3 SigLIP tower (+ avg-pool projector weights).  Returns
+    (SiglipConfig, params, image_token_id) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    sc = meta.get("siglip_config")
+    if not sc or not (path / "siglip.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_ext import SiglipConfig
+
+    return (SiglipConfig(**sc), _load_tower(path, "siglip.safetensors"),
+            meta.get("image_token_id"))
+
+
+def load_pixtral(path: str | pathlib.Path):
+    """Pixtral tower (+ llava projector).  Returns
+    (PixtralConfig, params, image_token_id) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    pc = meta.get("pixtral_config")
+    if not pc or not (path / "pixtral.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_ext import PixtralConfig
+
+    return (PixtralConfig(**pc), _load_tower(path, "pixtral.safetensors"),
+            meta.get("image_token_id"))
 
 
 def load_vision(path: str | pathlib.Path):

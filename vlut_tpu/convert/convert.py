@@ -311,7 +311,8 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
         raw.setdefault("rms_norm_eps", raw.get("rms_norm_eps", 1e-5))
     d_model = raw["hidden_size"]
     extra: dict[str, Any] = {}
-    if mt in ("qwen2", "qwen2_moe", "qwen2_vl_text", "qwen2_vl"):
+    if mt in ("qwen2", "qwen2_moe", "qwen2_vl_text", "qwen2_vl",
+              "qwen2_5_vl", "qwen2_5_vl_text"):
         extra.update(qkv_bias=True)
     if mt in ("qwen3_vl_text", "qwen3_vl", "qwen3_vl_moe_text",
               "qwen3_vl_moe"):
@@ -1708,7 +1709,8 @@ def convert_hf(
         """Arch-specific HF tensor names -> the llama-style canonical names
         the mapping tables below understand (the analog of the reference's
         per-arch TENSOR_NAMES tables, gguf-py tensor_mapping)."""
-        if mt0 in ("qwen2_vl", "qwen3_vl", "qwen3_vl_moe"):
+        if mt0 in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl",
+                   "qwen3_vl_moe"):
             name = name.replace("model.language_model.", "model.")
         elif mt0 == "llada":
             name = name.replace("model.transformer.wte.",
@@ -2213,7 +2215,7 @@ def convert_hf(
             vision_raw[name] = np.asarray(w)
             continue
         if name.startswith(("model.visual.", "visual.")):
-            if mt0 == "qwen2_vl":
+            if mt0 in ("qwen2_vl", "qwen2_5_vl"):
                 qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
             # qwen3-vl vision (deepstack) unsupported yet: text-only
             continue
@@ -2834,10 +2836,22 @@ def convert_hf(
         "ternarized_tensors": n_approx,
     }
     if vision_raw:
-        vcfg = _convert_vision_tower(
-            vision_raw, hf_dir, pathlib.Path(out_dir)
-        )
-        extra_meta["vision_config"] = vcfg
+        vmt = (raw0.get("vision_config") or {}).get("model_type", "")
+        if vmt == "siglip_vision_model":
+            extra_meta["siglip_config"] = _convert_siglip_gemma3(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "pixtral":
+            extra_meta["pixtral_config"] = _convert_pixtral(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
+        else:
+            vcfg = _convert_vision_tower(
+                vision_raw, hf_dir, pathlib.Path(out_dir)
+            )
+            extra_meta["vision_config"] = vcfg
     if qwen_vis_raw:
         qvcfg = _convert_qwen_vision(
             qwen_vis_raw, raw0, pathlib.Path(out_dir)
@@ -2862,17 +2876,29 @@ def _convert_qwen_vision(
     v = cfgd.get("vision_config", {})
     embed = v.get("embed_dim", v.get("hidden_size", 1280))
     depth = v.get("depth", 32)
+    # qwen2.5-VL window-attention ViT (reference mtmd
+    # PROJECTOR_TYPE_QWEN25VL, clip-impl.h; HF Qwen2_5_VLVisionConfig):
+    # RMSNorm block norms + merger ln_q, silu gate/up/down MLP with
+    # biases, window attention except on fullatt_block_indexes
+    is_25 = "fullatt_block_indexes" in v or v.get("window_size")
     qvcfg = {
         "depth": depth,
         "embed_dim": embed,
         "n_heads": v.get("num_heads", 16),
-        "mlp_dim": int(embed * v.get("mlp_ratio", 4)),
+        "mlp_dim": v.get("intermediate_size") if is_25
+        else int(embed * v.get("mlp_ratio", 4)),
         "patch_size": v.get("patch_size", 14),
         "temporal_patch_size": v.get("temporal_patch_size", 2),
         "spatial_merge_size": v.get("spatial_merge_size", 2),
         "in_channels": v.get("in_channels", 3),
-        "out_dim": v.get("hidden_size", embed),
+        "out_dim": v.get("out_hidden_size", v.get("hidden_size", embed)),
     }
+    if is_25:
+        qvcfg.update(
+            rms_norm=True, gated_mlp=True,
+            window_size=v.get("window_size", 112),
+            fullatt_blocks=tuple(v.get("fullatt_block_indexes", ())),
+        )
     g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
     pw = g("patch_embed.proj.weight")  # (D, C, tp, p, p)
     out: dict[str, np.ndarray] = {
@@ -2880,12 +2906,13 @@ def _convert_qwen_vision(
         # patchify emits exactly that order
         "patch_w": pw.reshape(pw.shape[0], -1).T,
         "merge_ln_w": g("merger.ln_q.weight"),
-        "merge_ln_b": g("merger.ln_q.bias"),
         "merge_w1": g("merger.mlp.0.weight").T,
         "merge_b1": g("merger.mlp.0.bias"),
         "merge_w2": g("merger.mlp.2.weight").T,
         "merge_b2": g("merger.mlp.2.bias"),
     }
+    if "merger.ln_q.bias" in raw:
+        out["merge_ln_b"] = g("merger.ln_q.bias")
     name_map = {
         "norm1.weight": "ln1_w", "norm1.bias": "ln1_b",
         "norm2.weight": "ln2_w", "norm2.bias": "ln2_b",
@@ -2893,6 +2920,10 @@ def _convert_qwen_vision(
         "attn.proj.weight": "wo", "attn.proj.bias": "bo",
         "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
         "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+        # qwen2.5 gated MLP (bias=True)
+        "mlp.gate_proj.weight": "w_gate", "mlp.gate_proj.bias": "b_gate",
+        "mlp.up_proj.weight": "w1", "mlp.up_proj.bias": "b1",
+        "mlp.down_proj.weight": "w2", "mlp.down_proj.bias": "b2",
     }
     stacks: dict[str, list] = {nm: [None] * depth
                                for nm in name_map.values()}
@@ -2911,12 +2942,143 @@ def _convert_qwen_vision(
             arr = arr.T
         stacks[nm][li] = arr
     for nm, vals in stacks.items():
+        if all(x is None for x in vals):
+            continue  # variant-specific tensors (LN biases vs gated MLP)
+        assert all(x is not None for x in vals), nm
         out[f"layers.{nm}"] = np.stack(vals)
     # safetensors silently serializes the UNDERLYING buffer of
     # non-contiguous arrays (transposed views) — force contiguity
     save_file({k: np.ascontiguousarray(v) for k, v in out.items()},
               str(out_dir / "qwen_vision.safetensors"))
     return qvcfg
+
+
+def _convert_siglip_gemma3(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Gemma3 SigLIP tower + avg-pool projector -> siglip.safetensors
+    (models/vision_ext.py layout; reference PROJECTOR_TYPE_GEMMA3)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    scfg = {
+        "image_size": v.get("image_size", 896),
+        "patch_size": v.get("patch_size", 14),
+        "d_model": v.get("hidden_size", 1152),
+        "n_layers": v.get("num_hidden_layers", 27),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 4304),
+        "ln_eps": v.get("layer_norm_eps", 1e-6),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 2560),
+        "mm_tokens_per_image": cfgd.get("mm_tokens_per_image", 256),
+    }
+    p = "vision_tower.vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}embeddings.patch_embedding.weight")  # (d, 3, ps, ps)
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
+        "patch_b": g(f"{p}embeddings.patch_embedding.bias"),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "post_ln_w": g(f"{p}post_layernorm.weight"),
+        "post_ln_b": g(f"{p}post_layernorm.bias"),
+        "soft_emb_norm": g(
+            "multi_modal_projector.mm_soft_emb_norm.weight"),
+        "mm_proj": g("multi_modal_projector.mm_input_projection_weight"),
+    }
+    name_map = {
+        "layer_norm1.weight": "ln1_w", "layer_norm1.bias": "ln1_b",
+        "layer_norm2.weight": "ln2_w", "layer_norm2.bias": "ln2_b",
+        "self_attn.q_proj.weight": "wq", "self_attn.q_proj.bias": "bq",
+        "self_attn.k_proj.weight": "wk", "self_attn.k_proj.bias": "bk",
+        "self_attn.v_proj.weight": "wv", "self_attn.v_proj.bias": "bv",
+        "self_attn.out_proj.weight": "wo", "self_attn.out_proj.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    L = scfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}encoder\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "siglip.safetensors"))
+    return scfg
+
+
+def _convert_pixtral(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Pixtral 2-D-rope tower + llava projector -> pixtral.safetensors
+    (models/vision_ext.py layout; reference PROJECTOR_TYPE_PIXTRAL)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    pcfg = {
+        "image_size": v.get("image_size", 1024),
+        "patch_size": v.get("patch_size", 16),
+        "d_model": v.get("hidden_size", 1024),
+        "n_layers": v.get("num_hidden_layers", 24),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 4096),
+        "rope_theta": v.get("rope_theta", 10000.0),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 5120),
+    }
+    p = "vision_tower."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}patch_conv.weight")  # (d, 3, ps, ps), no bias
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
+        "pre_norm": g(f"{p}ln_pre.weight"),
+        "proj_w1": g("multi_modal_projector.linear_1.weight").T,
+        "proj_b1": g("multi_modal_projector.linear_1.bias"),
+        "proj_w2": g("multi_modal_projector.linear_2.weight").T,
+        "proj_b2": g("multi_modal_projector.linear_2.bias"),
+    }
+    name_map = {
+        "attention_norm.weight": "attn_norm",
+        "ffn_norm.weight": "ffn_norm",
+        "attention.q_proj.weight": "wq",
+        "attention.k_proj.weight": "wk",
+        "attention.v_proj.weight": "wv",
+        "attention.o_proj.weight": "wo",
+        "feed_forward.gate_proj.weight": "w_gate",
+        "feed_forward.up_proj.weight": "w_up",
+        "feed_forward.down_proj.weight": "w_down",
+    }
+    L = pcfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}transformer\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "pixtral.safetensors"))
+    return pcfg
 
 
 def _convert_vision_tower(

@@ -40,6 +40,12 @@ class QwenVisionConfig:
     in_channels: int = 3
     out_dim: int = 3584          # language-model width
     ln_eps: float = 1e-6
+    # --- qwen2.5-VL variant (reference mtmd PROJECTOR_TYPE_QWEN25VL;
+    # HF Qwen2_5_VisionTransformerPretrainedModel) ------------------
+    rms_norm: bool = False       # RMSNorm block norms + merger ln_q
+    gated_mlp: bool = False      # silu gate/up/down MLP WITH biases
+    window_size: int = 0         # window attention size in PIXELS (112)
+    fullatt_blocks: tuple[int, ...] = ()  # blocks with full attention
 
     @property
     def head_dim(self) -> int:
@@ -78,6 +84,32 @@ def _rot_half(x):
     return jnp.concatenate([-x[..., h:], x[..., :h]], -1)
 
 
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    return xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, -1, keepdims=True) + eps) * w
+
+
+def _window_order(grid_hw: tuple[int, int], vc: QwenVisionConfig):
+    """Qwen2.5-VL window reorder (HF get_window_index): permutation of
+    spatial-merge UNITS into window-major order + per-window unit counts
+    (windows may be ragged at the right/bottom edges).  Host-side numpy —
+    grid is static per trace."""
+    m = vc.spatial_merge_size
+    gh, gw = grid_hw[0] // m, grid_hw[1] // m   # llm grid
+    vw = vc.window_size // m // vc.patch_size   # units per window side
+    idx = np.arange(gh * gw).reshape(gh, gw)
+    pad_h, pad_w = (-gh) % vw, (-gw) % vw
+    idxp = np.pad(idx, ((0, pad_h), (0, pad_w)), constant_values=-100)
+    nh, nw = (gh + pad_h) // vw, (gw + pad_w) // vw
+    idxp = idxp.reshape(nh, vw, nw, vw).transpose(0, 2, 1, 3)
+    idxp = idxp.reshape(nh * nw, vw * vw)
+    seqlens = (idxp != -100).sum(-1)            # units per window
+    order = idxp.reshape(-1)
+    order = order[order != -100]
+    return order, seqlens
+
+
 def vision_forward(
     params: dict[str, Any],
     vc: QwenVisionConfig,
@@ -89,6 +121,22 @@ def vision_forward(
     cos, sin = _vision_rot_table(grid_hw, vc.head_dim, vc.spatial_merge_size)
     H, hd = vc.n_heads, vc.head_dim
     n = x.shape[0]
+    m2 = vc.spatial_merge_size ** 2
+
+    win_mask = None
+    inv_units = None
+    if vc.window_size:
+        # qwen2.5-VL: reorder spatial-merge units window-major; window
+        # blocks use a block-diagonal mask, fullatt_blocks see everything
+        order, seqlens = _window_order(grid_hw, vc)
+        perm = (order[:, None] * m2 + np.arange(m2)[None]).reshape(-1)
+        x = x[jnp.asarray(perm)]
+        cos, sin = cos[jnp.asarray(perm)], sin[jnp.asarray(perm)]
+        wid = np.repeat(np.arange(len(seqlens)), seqlens * m2)
+        win_mask = jnp.asarray(
+            np.where(wid[:, None] == wid[None, :], 0.0, -1e30),
+            jnp.float32)
+        inv_units = np.argsort(order)
 
     def rope(z):  # (N, H, hd)
         return z * cos[:, None, :] + _rot_half(z) * sin[:, None, :]
@@ -96,24 +144,41 @@ def vision_forward(
     L = params["layers"]
     for i in range(vc.depth):
         lp = jax.tree.map(lambda a: a[i], L)
-        h_in = _ln(x, lp["ln1_w"], lp["ln1_b"], vc.ln_eps)
+        if vc.rms_norm:
+            h_in = _rms(x, lp["ln1_w"], vc.ln_eps)
+        else:
+            h_in = _ln(x, lp["ln1_w"], lp["ln1_b"], vc.ln_eps)
         qkv = (h_in @ lp["wqkv"] + lp["bqkv"]).reshape(n, 3, H, hd)
         q, k, v = rope(qkv[:, 0]), rope(qkv[:, 1]), qkv[:, 2]
         sc = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+        if win_mask is not None and i not in vc.fullatt_blocks:
+            sc = sc + win_mask[None]
         p = jax.nn.softmax(sc, axis=-1)
         att = jnp.einsum("hts,shd->thd", p, v).reshape(n, -1)
         x = x + (att @ lp["wo"] + lp["bo"])
-        h_in = _ln(x, lp["ln2_w"], lp["ln2_b"], vc.ln_eps)
-        a = jax.nn.gelu(h_in @ lp["w1"] + lp["b1"], approximate=False)
+        if vc.rms_norm:
+            h_in = _rms(x, lp["ln2_w"], vc.ln_eps)
+        else:
+            h_in = _ln(x, lp["ln2_w"], lp["ln2_b"], vc.ln_eps)
+        if vc.gated_mlp:
+            a = jax.nn.silu(h_in @ lp["w_gate"] + lp["b_gate"]) * (
+                h_in @ lp["w1"] + lp["b1"])
+        else:
+            a = jax.nn.gelu(h_in @ lp["w1"] + lp["b1"], approximate=False)
         x = x + (a @ lp["w2"] + lp["b2"])
 
-    # PatchMerger: LN then group merge^2 patches and MLP to out_dim
-    x = _ln(x, params["merge_ln_w"], params["merge_ln_b"], vc.ln_eps)
-    m2 = vc.spatial_merge_size ** 2
+    # PatchMerger: norm then group merge^2 patches and MLP to out_dim
+    if vc.rms_norm:
+        x = _rms(x, params["merge_ln_w"], vc.ln_eps)
+    else:
+        x = _ln(x, params["merge_ln_w"], params["merge_ln_b"], vc.ln_eps)
     x = x.reshape(n // m2, m2 * vc.embed_dim)
     x = jax.nn.gelu(x @ params["merge_w1"] + params["merge_b1"],
                     approximate=False)
-    return x @ params["merge_w2"] + params["merge_b2"]
+    out = x @ params["merge_w2"] + params["merge_b2"]
+    if inv_units is not None:
+        out = out[jnp.asarray(inv_units)]  # back to merge-block-major
+    return out
 
 
 def patchify(pixels: np.ndarray, vc: QwenVisionConfig) -> tuple[
