@@ -661,3 +661,59 @@ def test_parse_tool_calls_formats_wave2():
     # cross-format rejection: plain prose stays untouched
     calls, rest = _parse_tool_calls("The tool_call was successful.")
     assert calls == [] and rest == "The tool_call was successful."
+
+
+def test_parse_tool_calls_formats_wave3():
+    """Round-4 parser breadth, second batch: generic JSON envelope,
+    DeepSeek V3.1 unfenced blocks, FireFunction-v2 functools arrays,
+    Functionary v3.2 >>>name segments, magistral/solar reasoning
+    markers (reference chat-parser.cpp parse_generic /
+    parse_deepseek_v3_1_content / parse_firefunction_v2 /
+    parse_functionary_v3_2 / parse_magistral / parse_solar_open)."""
+    from vlut_tpu.serving.server import _parse_tool_calls, _split_reasoning
+
+    # generic: single tool_call envelope
+    calls, rest = _parse_tool_calls(
+        '{"tool_call": {"name": "f", "arguments": {"x": 1}}}')
+    assert calls == [{"name": "f", "arguments": {"x": 1}}] and rest == ""
+    # generic: tool_calls array + response envelope
+    calls, rest = _parse_tool_calls(
+        '{"tool_calls": [{"name": "a", "arguments": {}},'
+        ' {"name": "b", "arguments": {}}]}')
+    assert [c["name"] for c in calls] == ["a", "b"]
+    calls, rest = _parse_tool_calls('{"response": "plain answer"}')
+    assert calls == [] and rest == "plain answer"
+
+    # deepseek v3.1: NAME<tool_sep>{json} without the ```json fence
+    calls, rest = _parse_tool_calls(
+        "ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_w<｜tool▁sep｜>"
+        '{"city": "SF"}<｜tool▁call▁end｜><｜tool▁calls▁end｜>'
+    )
+    assert calls == [{"name": "get_w", "arguments": {"city": "SF"}}]
+    assert rest == "ok"
+
+    # firefunction v2
+    calls, rest = _parse_tool_calls(
+        'sure functools[{"name": "calc", "arguments": {"n": 2}}]')
+    assert calls == [{"name": "calc", "arguments": {"n": 2}}]
+    assert rest == "sure"
+
+    # functionary v3.2: leading call + >>> segments + raw python
+    calls, rest = _parse_tool_calls(
+        'get_w\n{"city": "SF"}\n>>>get_t\n{"z": 1}\n>>>python\nprint(1)')
+    assert [c["name"] for c in calls] == ["get_w", "get_t", "python"]
+    assert calls[2]["arguments"]["code"] == "print(1)"
+    calls, rest = _parse_tool_calls(
+        'all\nThe answer is 4.\n>>>calc\n{"n": 4}')
+    assert calls == [{"name": "calc", "arguments": {"n": 4}}]
+    assert rest == "The answer is 4."
+    # rejection: ordinary prose with a linebreak is NOT a call
+    calls, rest = _parse_tool_calls("Hello\nworld, how are you?")
+    assert calls == [] and rest == "Hello\nworld, how are you?"
+
+    # magistral + solar reasoning markers
+    r, c = _split_reasoning("[THINK]why[/THINK]answer")
+    assert r == "why" and c == "answer"
+    r, c = _split_reasoning(
+        "<|think|>hmm<|end|><|begin|>assistant<|content|>final")
+    assert r == "hmm" and c == "final"

@@ -177,3 +177,64 @@ def test_pixtral_parity(tmp_path):
     got = np.asarray(got)[..., : want.shape[-1]]
     np.testing.assert_allclose(got, want, rtol=6e-3, atol=6e-3)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_minicpmv_resampler_torch_reference():
+    """MiniCPM-V perceiver resampler (reference PROJECTOR_TYPE_MINICPMV,
+    tools/mtmd/models/minicpmv.cpp:40-110) vs an independent torch
+    reference built from the HF resampler.py semantics: ln_q(query)
+    cross-attends via nn.MultiheadAttention over ln_kv(kv_proj(x)), keys
+    carry the 2-D sincos position embedding, ln_post + proj.  The
+    converter splits torch's fused in_proj exactly."""
+    from vlut_tpu.convert.convert import convert_minicpmv_resampler
+    from vlut_tpu.models.vision_ext import (
+        minicpmv_pos_embed,
+        minicpmv_resampler,
+    )
+
+    d, d_llm, nq, gh, gw = 128, 32, 4, 2, 3
+    npos = gh * gw
+    torch.manual_seed(73)
+    mha = torch.nn.MultiheadAttention(d, d // 128, batch_first=False)
+    raw = {
+        "resampler.query": torch.randn(nq, d) * 0.2,
+        "resampler.kv_proj.weight": torch.randn(d, 48) * 0.2,
+        "resampler.ln_q.weight": torch.rand(d) + 0.5,
+        "resampler.ln_q.bias": torch.randn(d) * 0.1,
+        "resampler.ln_kv.weight": torch.rand(d) + 0.5,
+        "resampler.ln_kv.bias": torch.randn(d) * 0.1,
+        "resampler.attn.in_proj_weight": mha.in_proj_weight.detach(),
+        "resampler.attn.in_proj_bias": mha.in_proj_bias.detach(),
+        "resampler.attn.out_proj.weight": mha.out_proj.weight.detach(),
+        "resampler.attn.out_proj.bias": mha.out_proj.bias.detach(),
+        "resampler.ln_post.weight": torch.rand(d) + 0.5,
+        "resampler.ln_post.bias": torch.randn(d) * 0.1,
+        "resampler.proj": torch.randn(d, d_llm) * 0.2,
+    }
+    raw_np = {k: v.numpy() for k, v in raw.items()}
+    params = jax.tree.map(jnp.asarray,
+                          convert_minicpmv_resampler(raw_np))
+
+    rng = np.random.default_rng(33)
+    feats = rng.standard_normal((npos, 48)).astype(np.float32)
+    got = np.asarray(minicpmv_resampler(params, jnp.asarray(feats),
+                                        (gh, gw)))
+
+    # torch reference (resampler.py forward semantics)
+    def t_ln(x, w, b):
+        return torch.nn.functional.layer_norm(x, (d,), w, b, 1e-6)
+
+    with torch.no_grad():
+        q = t_ln(raw["resampler.query"], raw["resampler.ln_q.weight"],
+                 raw["resampler.ln_q.bias"])
+        v = torch.tensor(feats) @ raw["resampler.kv_proj.weight"].T
+        v = t_ln(v, raw["resampler.ln_kv.weight"],
+                 raw["resampler.ln_kv.bias"])
+        pos = torch.tensor(
+            np.asarray(minicpmv_pos_embed((gh, gw), d)))
+        k = v + pos
+        out, _ = mha(q.unsqueeze(1), k.unsqueeze(1), v.unsqueeze(1))
+        out = t_ln(out.squeeze(1), raw["resampler.ln_post.weight"],
+                   raw["resampler.ln_post.bias"])
+        want = (out @ raw["resampler.proj"]).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

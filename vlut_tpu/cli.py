@@ -12,8 +12,33 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (reference analog: llama.cpp has
+    no compile step; here the jit compiles dominate cold start — 170 s
+    load vs ~400 s of first-run compiles at 8B through the tunnel, see
+    PERF.md LTFT).  Second cold start of the same binary+shapes skips
+    them entirely.  VLUT_COMPILE_CACHE=0 disables; the default dir is
+    ~/.cache/vlut_tpu/xla."""
+    if os.environ.get("VLUT_COMPILE_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "VLUT_COMPILE_CACHE_DIR",
+            os.path.expanduser("~/.cache/vlut_tpu/xla"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover — older jax without the knobs
+        pass
 
 
 def _load(model_dir, overrides=None):
@@ -822,6 +847,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_convert_vocoder)
 
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     args.fn(args)
 
 

@@ -3081,6 +3081,33 @@ def _convert_pixtral(
     return pcfg
 
 
+def convert_minicpmv_resampler(
+    raw: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    """MiniCPM-V perceiver resampler HF weights ('resampler.*', torch
+    MultiheadAttention fused in_proj) -> models/vision_ext.py
+    minicpmv_resampler params (reference converter
+    convert_hf_to_gguf MiniCPM-V handling; graph
+    tools/mtmd/models/minicpmv.cpp)."""
+    g = lambda n: np.asarray(raw["resampler." + n], np.float32)  # noqa
+    inw = g("attn.in_proj_weight")       # (3d, d)
+    inb = g("attn.in_proj_bias")
+    d = inw.shape[1]
+    return {
+        "query": g("query"),
+        "kv_proj": g("kv_proj.weight").T,
+        "ln_q_w": g("ln_q.weight"), "ln_q_b": g("ln_q.bias"),
+        "ln_kv_w": g("ln_kv.weight"), "ln_kv_b": g("ln_kv.bias"),
+        "attn_q_w": inw[:d].T, "attn_q_b": inb[:d],
+        "attn_k_w": inw[d:2 * d].T, "attn_k_b": inb[d:2 * d],
+        "attn_v_w": inw[2 * d:].T, "attn_v_b": inb[2 * d:],
+        "attn_o_w": g("attn.out_proj.weight").T,
+        "attn_o_b": g("attn.out_proj.bias"),
+        "ln_post_w": g("ln_post.weight"), "ln_post_b": g("ln_post.bias"),
+        "mm_proj": g("proj"),
+    }
+
+
 def _convert_vision_tower(
     raw: dict[str, np.ndarray], hf_dir: pathlib.Path, out_dir: pathlib.Path
 ) -> dict[str, Any]:

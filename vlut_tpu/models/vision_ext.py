@@ -195,3 +195,53 @@ def pixtral_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
     y = feats @ params["proj_w1"] + params["proj_b1"]
     y = jax.nn.gelu(y, approximate=False)
     return y @ params["proj_w2"] + params["proj_b2"]
+
+
+def minicpmv_pos_embed(grid_hw: tuple[int, int], d: int) -> jnp.ndarray:
+    """MiniCPM-V resampler 2-D sincos table, (n_pos, d): omega of d/4
+    frequencies; [sin(w·ω) | cos(w·ω) | sin(h·ω) | cos(h·ω)] per patch
+    (reference tools/mtmd/models/minicpmv.cpp pos_embed block — x/w block
+    first, then y/h, matching resampler.py get_2d_sincos_pos_embed)."""
+    h, w = grid_hw
+    omega = 1.0 / (10000.0 ** (np.arange(d // 4, dtype=np.float64)
+                               / (d / 4)))
+    hp = np.repeat(np.arange(h), w).astype(np.float64)
+    wp = np.tile(np.arange(w), h).astype(np.float64)
+    tx = wp[:, None] * omega[None]
+    ty = hp[:, None] * omega[None]
+    pos = np.concatenate(
+        [np.sin(tx), np.cos(tx), np.sin(ty), np.cos(ty)], axis=-1)
+    return jnp.asarray(pos, jnp.float32)
+
+
+def minicpmv_resampler(
+    params: dict[str, Any],
+    feats: jax.Array,          # (n_pos, d_vit) ViT patch features
+    grid_hw: tuple[int, int],
+    d_head: int = 128,
+) -> jax.Array:
+    """MiniCPM-V perceiver resampler (reference PROJECTOR_TYPE_MINICPMV,
+    tools/mtmd/models/minicpmv.cpp:40-110): num_query learned queries
+    cross-attend over kv_proj'd patch features whose KEYS carry an added
+    2-D sincos position embedding; LN everywhere; final linear to the
+    decoder width.  Returns (num_query, d_llm)."""
+    eps = 1e-6
+    q = _ln(params["query"], params["ln_q_w"], params["ln_q_b"], eps)
+    v = feats @ params["kv_proj"]
+    v = _ln(v, params["ln_kv_w"], params["ln_kv_b"], eps)
+    d = q.shape[-1]
+    k = v + minicpmv_pos_embed(grid_hw, d)[:, :d]
+    nq, npos = q.shape[0], k.shape[0]
+    nh = d // d_head
+    Q = (q @ params["attn_q_w"] + params["attn_q_b"]).reshape(
+        nq, nh, d_head)
+    K = (k @ params["attn_k_w"] + params["attn_k_b"]).reshape(
+        npos, nh, d_head)
+    Vv = (v @ params["attn_v_w"] + params["attn_v_b"]).reshape(
+        npos, nh, d_head)
+    sc = jnp.einsum("qhd,khd->hqk", Q, K) * (d_head ** -0.5)
+    p = jax.nn.softmax(sc, axis=-1)
+    att = jnp.einsum("hqk,khd->qhd", p, Vv).reshape(nq, d)
+    out = att @ params["attn_o_w"] + params["attn_o_b"]
+    out = _ln(out, params["ln_post_w"], params["ln_post_b"], eps)
+    return out @ params["mm_proj"]

@@ -602,6 +602,69 @@ def _parse_tool_calls(text: str):
         if calls or final:
             return calls, (final.group(1).strip() if final else "")
 
+    # --- DeepSeek V3.1: <tool_call_begin>NAME<tool_sep>{json}
+    # <tool_call_end> — no 'function' prefix and no ```json fence
+    # (chat-parser.cpp parse_deepseek_v3_1_content; R1's fenced form is
+    # handled further down)
+    for m in re.finditer(
+        r"<｜tool▁call▁begin｜>([^\n<｜]+)<｜tool▁sep｜>\s*(\{.*?\})\s*"
+        r"<｜tool▁call▁end｜>", text, re.DOTALL,
+    ):
+        try:
+            calls.append({"name": m.group(1).strip(),
+                          "arguments": json.loads(m.group(2))})
+        except json.JSONDecodeError:
+            continue
+    if calls:
+        rest = re.sub(r"<｜tool▁calls▁begin｜>.*?<｜tool▁calls▁end｜>", "",
+                      text, flags=re.DOTALL)
+        rest = re.sub(r"<｜tool▁call▁begin｜>.*?<｜tool▁call▁end｜>", "",
+                      rest, flags=re.DOTALL).strip()
+        return calls, rest
+
+    # --- FireFunction v2: ' functools[{...}, ...]' JSON-array prefix
+    m = re.search(r" ?functools\[", text)
+    if m:
+        try:
+            arr = json.loads(text[m.end() - 1:])
+        except json.JSONDecodeError:
+            arr = None
+        if isinstance(arr, list) and arr and all(_shaped(o) for o in arr):
+            return arr, text[: m.start()].strip()
+
+    # --- Functionary v3.2: 'name\n{json}' at message start and
+    # '>>>name\n{json}' for subsequent calls; '>>>python\n<raw code>' is
+    # a raw code-interpreter call; 'all\n' prefixes plain content
+    # (chat-parser.cpp parse_functionary_v3_2).  Only committed when at
+    # least one call parses — bare 'word\n' prose must fall through.
+    if re.match(r"\w+\n\s*\{", text) or ">>>" in text:
+        rest_parts = []
+        for si, seg in enumerate(re.split(r">>>", text)):
+            m = re.match(r"(\w+)\n(.*)", seg, re.DOTALL)
+            if not m:
+                rest_parts.append(seg)
+                continue
+            nm, body = m.group(1), m.group(2)
+            if nm == "all" and si == 0:
+                rest_parts.append(body)
+                continue
+            if nm == "python" and si > 0:
+                calls.append({"name": "python",
+                              "arguments": {"code": body.rstrip()}})
+                continue
+            body_s = body.strip()
+            if body_s.startswith("{"):
+                try:
+                    calls.append({"name": nm,
+                                  "arguments": json.loads(body_s)})
+                    continue
+                except json.JSONDecodeError:
+                    pass
+            rest_parts.append(seg)
+        if calls:
+            return calls, "".join(rest_parts).strip()
+        calls = []
+
     # 1. Hermes / Qwen
     for m in re.finditer(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", text,
                          re.DOTALL):
@@ -653,15 +716,26 @@ def _parse_tool_calls(text: str):
                       flags=re.DOTALL).strip()
         return calls, rest
 
-    # 5. the whole message is one JSON call
+    # 5. the whole message is one JSON call; also the GENERIC format's
+    # {"tool_call": {...}} / {"tool_calls": [...]} / {"response": ...}
+    # envelope (chat-parser.cpp parse_generic)
     stripped = text.strip()
     if stripped.startswith("{"):
         try:
             obj = json.loads(stripped)
-            if _shaped(obj):
-                return [obj], ""
         except json.JSONDecodeError:
-            pass
+            obj = None
+        if _shaped(obj):
+            return [obj], ""
+        if isinstance(obj, dict):
+            if _shaped(obj.get("tool_call")):
+                return [obj["tool_call"]], ""
+            tc = obj.get("tool_calls")
+            if isinstance(tc, list) and tc and all(_shaped(o) for o in tc):
+                return tc, ""
+            if "response" in obj and len(obj) == 1:
+                r = obj["response"]
+                return [], r if isinstance(r, str) else json.dumps(r)
 
     # 6. Llama-3.x <|python_tag|> builtin tool (code interpreter)
     if stripped.startswith("<|python_tag|>"):
@@ -733,7 +807,10 @@ def _split_reasoning(text: str):
     for op, cl in (("<think>", "</think>"),
                    ("<thinking>", "</thinking>"),
                    ("<seed:think>", "</seed:think>"),
-                   ("<|inner_prefix|>", "<|inner_suffix|>")):
+                   ("<|inner_prefix|>", "<|inner_suffix|>"),
+                   ("[THINK]", "[/THINK]"),          # magistral
+                   # solar-open pre-content reasoning channel
+                   ("<|think|>", "<|end|><|begin|>assistant<|content|>")):
         m = re.match(
             rf"\s*{re.escape(op)}(.*?){re.escape(cl)}(.*)", text, re.DOTALL)
         if m:
@@ -1453,7 +1530,10 @@ def serve_multi(
 def main(argv=None):
     import argparse
 
+    from vlut_tpu.cli import _enable_compile_cache
     from vlut_tpu.convert.checkpoint import load_checkpoint
+
+    _enable_compile_cache()
 
     ap = argparse.ArgumentParser(description="vlut_tpu server")
     ap.add_argument("--model", required=True, action="append",
