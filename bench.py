@@ -158,7 +158,7 @@ def main():
         toks, _ = gen(params, cache2, last, lengths, sp, key)
         int(jnp.sum(toks))  # compile + warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: tunnel drift is ±10% day to day
             _, cache2 = run_prefill()
             cache2 = to_layered(cache2)
             float(jnp.sum(cache2["k"][0][0, 0]))  # settle prefill

@@ -79,6 +79,58 @@ def cmd_convert(args):
     print(f"converted: {cfg}")
 
 
+def cmd_embed(args):
+    """Embeddings from the command line (reference tools/embedding
+    llama-embedding analog).  Encoder-family checkpoints (bert/modernbert/
+    nomic/jina/gemma-embedding/...) run the bidirectional forward with
+    the checkpoint's pooling; jina-v3 task adapters select with --task."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlut_tpu.convert.checkpoint import load_checkpoint
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    cfg, params, meta = load_checkpoint(args.model, stream=True)
+    if meta.get("model_family") != "encoder":
+        raise SystemExit(
+            "embed: not an encoder-family checkpoint (decoder embeddings "
+            "are served by `vlut-tpu serve` /embedding)")
+    from vlut_tpu.models.encoder import embed as enc_embed
+
+    tok = Tokenizer(args.model)
+    params = jax.device_put(params)
+    texts = args.prompt or ["Hello world"]
+    outs = []
+    for text in texts:
+        ids = tok.encode(text)[: cfg.max_seq_len]
+        toks = jnp.asarray([ids], jnp.int32)
+        mask = jnp.ones_like(toks)
+        e = np.asarray(
+            enc_embed(params, cfg, toks, mask, task=args.task),
+            np.float32,
+        )[0]
+        outs.append(e)
+    if args.json:
+        print(_json.dumps({
+            "model": str(args.model),
+            "embeddings": [e.tolist() for e in outs],
+        }))
+    else:
+        for text, e in zip(texts, outs):
+            head = " ".join(f"{v:+.4f}" for v in e[:8])
+            print(f"{head} ...  dim={len(e)}  |  {text[:60]}")
+        if len(outs) > 1:
+            sim = np.asarray([
+                [float(a @ b) for b in outs] for a in outs
+            ])
+            print("cosine matrix:")
+            for row in sim:
+                print("  " + " ".join(f"{v:.3f}" for v in row))
+
+
 def cmd_inspect(args):
     """Checkpoint directory inspector (gguf-hash / gguf_dump analog):
     config, tensor directory with shapes/dtypes/bytes, optional xxhash-like
@@ -753,6 +805,15 @@ def main(argv=None):
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("embed",
+                       help="pooled embeddings (tools/embedding analog)")
+    p.add_argument("--model", required=True)
+    p.add_argument("-p", "--prompt", action="append")
+    p.add_argument("--task", default=None,
+                   help="jina-v3 task adapter (retrieval/classification/...)")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("describe",
                        help="image|audio + prompt (mtmd-cli analog)")

@@ -1581,7 +1581,10 @@ def main(argv=None):
             models[name] = (None, Tokenizer(path),
                             (cfg, jax.device_put(params)))
             continue
-        cfg, params, _ = load_checkpoint(path)
+        # streaming load unless a load-time repack needs host arrays
+        stream = (os.environ.get("VLUT_STREAM_LOAD", "1") != "0"
+                  and not args.promote)
+        cfg, params, _ = load_checkpoint(path, stream=stream)
         if args.promote and cfg.weight_fmt != args.promote:
             from vlut_tpu.convert.quantize import requantize_params
 
