@@ -46,3 +46,23 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.engine)
         else:
             item.add_marker(pytest.mark.core)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Keep the monolithic `pytest tests/` run viable: without this, the
+    single process accumulates thousands of live jitted executables /
+    jaxprs across ~460 tests and Python GC + XLA compiles slow down
+    super-linearly late in the run (a 20 s module measured >10 min at
+    the 95% mark).  Per-module cache clears bound the live heap; the
+    sharded CI scheme (core/arch/engine) is unaffected."""
+    yield
+    import gc
+
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()

@@ -717,3 +717,25 @@ def test_parse_tool_calls_formats_wave3():
     r, c = _split_reasoning(
         "<|think|>hmm<|end|><|begin|>assistant<|content|>final")
     assert r == "hmm" and c == "final"
+
+
+def test_parse_tool_calls_shared_wire_forms():
+    """Formats whose wire syntax rides an existing parser (reference
+    keeps separate COMMON_CHAT_FORMAT_* ids for them): xiaomi-mimo emits
+    hermes-style <tool_call>{json}</tool_call> (chat-parser.cpp
+    parse_xiaomi_mimo form table), and llama-3.x-with-builtin-tools emits
+    <|python_tag|>code<|eom_id|> (parse_llama_3_1 with_builtin_tools)."""
+    from vlut_tpu.serving.server import _parse_tool_calls
+
+    # xiaomi-mimo
+    calls, rest = _parse_tool_calls(
+        '<tool_call>\n{"name": "get_w", "arguments": {"city": "SF"}}\n'
+        "</tool_call>"
+    )
+    assert calls == [{"name": "get_w", "arguments": {"city": "SF"}}]
+
+    # llama-3.x builtin tools
+    calls, rest = _parse_tool_calls(
+        "<|python_tag|>wolfram_alpha.call(query=\"x^2\")<|eom_id|>")
+    assert calls[0]["name"] == "ipython"
+    assert "wolfram_alpha" in calls[0]["arguments"]["code"]
