@@ -66,9 +66,10 @@ def main():
         lambda p, c, t, pos: forward(p, cfg, t, pos, c, logits_at=logits_at)
     )
 
-    def run_prefill():
+    def run_prefill(quantized=False):
         cache = init_kv_cache(
-            cfg, NP_SLOTS, max_len=max_len, layout="stacked")
+            cfg, NP_SLOTS, max_len=max_len, layout="stacked",
+            quantized=quantized)
         logits, cache = prefill(params_scan, cache, tokens, positions)
         return logits, cache
 
@@ -82,18 +83,23 @@ def main():
     lengths = jnp.full((NP_SLOTS,), PROMPT_LEN, jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    ARMS = [
-        ("fused", {"VLUT_TPU_FUSED_ATTN": "1", "VLUT_TPU_KV_WRITE": "pallas"}),
-        ("pallas_w", {"VLUT_TPU_FUSED_ATTN": "0",
-                      "VLUT_TPU_KV_WRITE": "pallas"}),
-        ("dus_w", {"VLUT_TPU_FUSED_ATTN": "0", "VLUT_TPU_KV_WRITE": "dus"}),
-    ]
+    import json as _json
+
+    ARMS = _json.loads(os.environ.get("VLUT_AB_ARMS", _json.dumps([
+        ["fused", {"VLUT_TPU_FUSED_ATTN": "1", "VLUT_TPU_KV_WRITE": "pallas"}],
+        ["pallas_w", {"VLUT_TPU_FUSED_ATTN": "0",
+                      "VLUT_TPU_KV_WRITE": "pallas"}],
+        ["dus_w", {"VLUT_TPU_FUSED_ATTN": "0", "VLUT_TPU_KV_WRITE": "dus"}],
+    ])))
     fns = {}
+    quant_of = {}
     for arm, env in ARMS:
+        env = dict(env)
+        quant_of[arm] = env.pop("VLUT_AB_KVQ", "0") == "1"
         os.environ.update(env)
         for n in NS:
             gen = make_generate_fn(cfg, n_steps=n, features=feats)
-            _, c = run_prefill()
+            _, c = run_prefill(quant_of[arm])
             c = to_layered(c)
             toks, _ = gen(params, c, last, lengths, sp, key)
             int(jnp.sum(toks))
@@ -104,7 +110,7 @@ def main():
     for rep in range(REPS):
         for arm, _env in ARMS:
             for n in NS:
-                _, c = run_prefill()
+                _, c = run_prefill(quant_of[arm])
                 c = to_layered(c)
                 for kl in c["k"]:
                     kl.block_until_ready()

@@ -325,3 +325,68 @@ def test_int8_head_tracks_bf16():
     assert rel < 0.05
     # idempotent
     assert quantize_head(qp)["lm_head"] is qp["lm_head"]
+
+
+def test_int8_kv_deferred_scales_match_dequant():
+    """int8-KV decode with DEFERRED per-row scales (scores*ks, p*vs —
+    the codes stream as int8) must equal attending over dequantize_kv
+    outputs exactly: (q . codes*ks) == (q . codes)*ks and
+    p . (codes*vs) == (p*vs) . codes.  Covers the decode cache path
+    end-to-end via forward with a quantized cache vs a bf16 cache primed
+    with the DEQUANTIZED rows (so the only difference is where the scale
+    is applied)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlut_tpu.config import PRESETS
+    from vlut_tpu.models.transformer import (
+        forward,
+        init_kv_cache,
+        init_params,
+    )
+    from vlut_tpu.runtime.kv_cache import dequantize_kv, to_layered
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    b, t = 2, 6
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+
+    cache_q = init_kv_cache(cfg, b, max_len=16, quantized=True)
+    lg_q, cache_q = forward(params, cfg, tokens, pos, cache_q, impl="xla")
+
+    # bf16 cache primed with the dequantized rows: float32 storage
+    # removes the bf16 rounding difference from the comparison
+    cache_f = init_kv_cache(cfg, b, max_len=16, dtype=jnp.float32)
+    cache_f = {
+        "k": dequantize_kv(cache_q["k"], cache_q["k_scale"]),
+        "v": dequantize_kv(cache_q["v"], cache_q["v_scale"]),
+    }
+    tok2 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 1)), jnp.int32)
+    pos2 = jnp.full((b, 1), t, jnp.int32)
+    lg_a, _ = forward(params, cfg, tok2, pos2, cache_q, impl="xla")
+    lg_b, _ = forward(params, cfg, tok2, pos2, cache_f, impl="xla")
+    # the only remaining delta: the NEW row is quantized in cache_q but
+    # exact in cache_f — compare with quantization-noise tolerance
+    np.testing.assert_allclose(
+        np.asarray(lg_a), np.asarray(lg_b), rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(lg_a).argmax(-1), np.asarray(lg_b).argmax(-1))
+
+    # exact algebraic identity at the _attention level
+    from vlut_tpu.models.transformer import _attention
+
+    B, S, H, HD = 2, 8, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, 1, 4, HD)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, S, H, HD)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, S, H, HD)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (B, S, H)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (B, S, H)), jnp.float32)
+    qp = jnp.full((B, 1), S - 1, jnp.int32)
+    kp = jnp.tile(jnp.arange(S, dtype=jnp.int32), (B, 1))
+    got = _attention(q, kq, vq, qp, kp, HD, k_scale=ks, v_scale=vs)
+    want = _attention(q, dequantize_kv(kq, ks), dequantize_kv(vq, vs),
+                      qp, kp, HD)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)

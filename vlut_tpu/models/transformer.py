@@ -640,7 +640,8 @@ ATTN_CHUNK = 1024  # switch to online-softmax chunking past this KV length
 
 def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
                window=None, mask_override=None, alibi=None, sinks=None,
-               chunked_window=False, causal=True):
+               chunked_window=False, causal=True,
+               k_scale=None, v_scale=None):
     """Causal GQA attention.  window: traced scalar — keys older than
     q_pos - window are masked when > 0 (SWA, src/llama-kv-cache-iswa.cpp
     semantics); softcap: gemma2 tanh score capping.
@@ -655,11 +656,24 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     sinks: (H,) learned sink logits joining the softmax denominator
     without contributing value rows (gpt-oss attention sinks).
 
+    k_scale/v_scale (B, S, Hkv): deferred int8-KV dequant — the codes
+    stream as int8 and the per-row scales fold into the scores
+    (scores·ks) and the probabilities (p·vs) instead of materializing a
+    full f32 cache copy per layer (measured 10.1 -> ~6 ms/step at 8B
+    np=32, scripts/exp_ab_interleave.py int8 arm).  Exactly equal to
+    attending over dequantize_kv outputs.
+
     Short KV uses one dense softmax; long KV streams chunks with an
     online softmax (flash-attention recurrence) so the (T, S) score
     matrix never materializes — the TPU replacement for the reference's
     ggml_flash_attn_ext (ggml/include/ggml.h:2331)."""
     if k.shape[1] > ATTN_CHUNK:
+        if k_scale is not None:
+            # chunked long-KV path keeps the pre-dequantized form
+            from vlut_tpu.runtime.kv_cache import dequantize_kv
+
+            k = dequantize_kv(k, k_scale)
+            v = dequantize_kv(v, v_scale)
         return _attention_chunked(
             q, k, v, q_pos, k_pos, hd_logical, scale, softcap, window,
             mask_override=mask_override, alibi=alibi, sinks=sinks,
@@ -673,6 +687,10 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
     vf = v.astype(jnp.float32)
     qf = qf.reshape(b, t, hkv, g, hd)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf)
+    if k_scale is not None:
+        # true scores = q · (codes * ks) == (q · codes) * ks
+        scores = scores * jnp.moveaxis(
+            k_scale.astype(jnp.float32), 1, 2)[:, :, None, None, :]
     if softcap:
         scores = softcap * jnp.tanh(scores / softcap)
     kp = k_pos[:, None, None, None, :]
@@ -712,6 +730,10 @@ def _attention(q, k, v, q_pos, k_pos, hd_logical, scale=0.0, softcap=0.0,
         p = p / (p.sum(-1) + jnp.exp(sk - m))[..., None]
     else:
         p = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        # out = p · (codes * vs) == (p * vs) · codes
+        p = p * jnp.moveaxis(
+            v_scale.astype(jnp.float32), 1, 2)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bshd->bthgd", p, vf)
     # v width may differ from the q/k width (MLA: scores over the 576-wide
     # latent||k_pe rows, values are the 512-wide latent slice)
@@ -1243,8 +1265,15 @@ def run_layers(
         def __init__(self, kc, vc, ksc, vsc):
             self.kc, self.vc, self.ksc, self.vsc = kc, vc, ksc, vsc
 
-        def peek(self):
+        def peek(self, raw=False):
             if quant_kv:
+                if raw:
+                    # deferred-scale form: int8 codes + per-row scales go
+                    # straight into _attention (codes stream as int8; the
+                    # old dequantize path materialized a full f32 cache
+                    # copy per layer — measured 10.1 vs 5.5 ms/step at
+                    # np=32, scripts/exp_ab_interleave.py int8 arm)
+                    return self.kc, self.vc, self.ksc, self.vsc
                 from vlut_tpu.runtime.kv_cache import dequantize_kv
 
                 return (
@@ -1253,15 +1282,12 @@ def run_layers(
                 )
             return self.kc, self.vc
 
-        def update(self, k, v, start):
+        def update(self, k, v, start, raw=False):
             upd3 = jax.vmap(
                 lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0))
             )
             if quant_kv:
-                from vlut_tpu.runtime.kv_cache import (
-                    dequantize_kv,
-                    quantize_kv,
-                )
+                from vlut_tpu.runtime.kv_cache import quantize_kv
 
                 kq, ks_new = quantize_kv(k)
                 vq, vs_new = quantize_kv(v)
@@ -1272,10 +1298,7 @@ def run_layers(
                 )
                 self.ksc = upd2(self.ksc, ks_new, start)
                 self.vsc = upd2(self.vsc, vs_new, start)
-                return (
-                    dequantize_kv(self.kc, self.ksc),
-                    dequantize_kv(self.vc, self.vsc),
-                )
+                return self.peek(raw=raw)
             self.kc = upd3(self.kc, k.astype(self.kc.dtype), start)
             self.vc = upd3(self.vc, v.astype(self.vc.dtype), start)
             return self.kc, self.vc
@@ -1292,9 +1315,13 @@ def run_layers(
         def __init__(self, state: dict, i: int):
             self.state, self.i = state, i
 
-        def peek(self):
+        def peek(self, raw=False):
             st, i = self.state, self.i
             if quant_kv:
+                if raw:
+                    # deferred-scale form (see _LayerKV.peek)
+                    return (st["k"][i], st["v"][i],
+                            st["k_scale"][i], st["v_scale"][i])
                 from vlut_tpu.runtime.kv_cache import dequantize_kv
 
                 return (
@@ -1356,6 +1383,12 @@ def run_layers(
                 and impl in ("auto", "pallas")
                 and jax.default_backend() == "tpu"
                 and os.environ.get("VLUT_TPU_KV_WRITE", "pallas") != "dus"
+                # Mosaic requires the trailing block dim to be 128-aligned
+                # (or the full array): K/V rows (..., hd=128) qualify; the
+                # int8-KV SCALE planes (B, S, Hkv) do not — those take the
+                # layout-polymorphic DUS form (found by the int8-KV TPU
+                # A/B: the pallas form crashes lowering at Hkv=8)
+                and ua.shape[-1] % 128 == 0
             )
             if not use_pallas:
                 self._put(name_a, ua, start)
@@ -1369,22 +1402,16 @@ def run_layers(
             self.state[name_a] = tuple(a)
             self.state[name_b] = tuple(b_)
 
-        def update(self, k, v, start):
+        def update(self, k, v, start, raw=False):
             st, i = self.state, self.i
             if quant_kv:
-                from vlut_tpu.runtime.kv_cache import (
-                    dequantize_kv,
-                    quantize_kv,
-                )
+                from vlut_tpu.runtime.kv_cache import quantize_kv
 
                 kq, ks_new = quantize_kv(k)
                 vq, vs_new = quantize_kv(v)
                 self._put_pair("k", kq, "v", vq, start)
                 self._put_pair("k_scale", ks_new, "v_scale", vs_new, start)
-                return (
-                    dequantize_kv(st["k"][i], st["k_scale"][i]),
-                    dequantize_kv(st["v"][i], st["v_scale"][i]),
-                )
+                return self.peek(raw=raw)
             self._put_pair(
                 "k", k.astype(st["k"][i].dtype),
                 "v", v.astype(st["v"][i].dtype), start,
@@ -1699,6 +1726,7 @@ def run_layers(
                 ).astype(q.dtype)
 
             att_fused = None
+            k_sc = v_sc = None   # int8-KV deferred scales (quant_kv)
             if use_cache:
                 fused_attn_ok = (
                     t == 1
@@ -1729,9 +1757,18 @@ def run_layers(
                     )
                     k_all = v_all = None
                 elif "no_kv_write" in _ABLATE():
-                    k_all, v_all = kvio.peek()
+                    res = kvio.peek(raw=quant_kv)
+                    if quant_kv:
+                        k_all, v_all, k_sc, v_sc = res
+                    else:
+                        k_all, v_all = res
                 else:
-                    k_all, v_all = kvio.update(k, v, write_start)
+                    res = kvio.update(k, v, write_start, raw=True) \
+                        if quant_kv else kvio.update(k, v, write_start)
+                    if quant_kv:
+                        k_all, v_all, k_sc, v_sc = res
+                    else:
+                        k_all, v_all = res
             ring_att = None
             if not use_cache and sp_axis is not None:
                 if attn_mask is None:
@@ -1775,6 +1812,7 @@ def run_layers(
                     sinks=lp["sinks"] if cfg.attn_sinks else None,
                     chunked_window=cfg.swa_type == "chunked",
                     causal=cfg.causal_attn,
+                    k_scale=k_sc, v_scale=v_sc,
                 )
         par = cfg.parallel_residual
         attn_out = None

@@ -132,8 +132,13 @@ def write_rows(
     impl "pallas" / "auto"-on-TPU -> scatter-free kernel; otherwise the
     vmap-dus reference form.
     """
-    use_pallas = impl in ("auto", "pallas") and (
-        jax.default_backend() == "tpu"
+    use_pallas = (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        # Mosaic block constraint: trailing dim must be 128-aligned (K/V
+        # rows end in hd=128; int8-KV SCALE planes end in Hkv and must
+        # take the DUS form)
+        and cache.shape[-1] % 128 == 0
     )
     if use_pallas:
         return write_rows_pallas(cache, u, start)
