@@ -123,8 +123,14 @@ def cmd_embed(args):
             head = " ".join(f"{v:+.4f}" for v in e[:8])
             print(f"{head} ...  dim={len(e)}  |  {text[:60]}")
         if len(outs) > 1:
+            # normalize explicitly: checkpoints converted with
+            # normalize=False emit unnormalized vectors, and the label
+            # must stay accurate either way (ADVICE r4)
+            norms = [max(float(np.linalg.norm(e)), 1e-12) for e in outs]
             sim = np.asarray([
-                [float(a @ b) for b in outs] for a in outs
+                [float(a @ b) / (na * nb)
+                 for b, nb in zip(outs, norms)]
+                for a, na in zip(outs, norms)
             ])
             print("cosine matrix:")
             for row in sim:

@@ -1742,6 +1742,13 @@ def run_layers(
                     # reads the cache at lower effective bandwidth than
                     # the fused XLA dot.  Kept for future shapes (long S).
                     and os.environ.get("VLUT_TPU_FUSED_ATTN", "0") == "1"
+                    # Mosaic block constraint: the kernel blocks on the
+                    # trailing head dim, which must be 128-aligned (same
+                    # rule enforced for the Pallas KV writes below); models
+                    # with hd/hdv of 64/80/96 silently use the composed
+                    # path instead of crashing lowering (ADVICE r4)
+                    and q.shape[-1] % 128 == 0
+                    and v.shape[-1] % 128 == 0
                     and not _ABLATE()
                     and alibi is None
                     and not cfg.attn_sinks

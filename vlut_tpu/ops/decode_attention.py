@@ -179,9 +179,20 @@ def decode_attention_pallas(
     hdv = vc.shape[-1]
     h = q.shape[2]
     g = h // hkv
-    cs = min(cs, s)
+    requested = cs = min(cs, s)
     while s % cs:
         cs //= 2  # S is slot-padded; powers of two divide in practice
+    # an odd S degrades cs toward 1 (an S-step grid per layer — correct
+    # but catastrophically slow); refuse instead of silently crawling
+    # (ADVICE r4): callers pad the cache length to a 128 multiple.
+    # Small explicitly-chunked caches (tests, tiny models) stay legal.
+    if cs < requested and cs < 128 and s > 128:
+        raise ValueError(
+            f"cache length {s} has no chunk divisor >= 128 "
+            f"(largest power-of-two factor gives cs={cs}); pad max_len "
+            f"to a multiple of 128 to use the fused decode-attention "
+            f"kernel"
+        )
     n_s = s // cs
 
     kernel = functools.partial(

@@ -636,8 +636,14 @@ def _parse_tool_calls(text: str):
     # '>>>name\n{json}' for subsequent calls; '>>>python\n<raw code>' is
     # a raw code-interpreter call; 'all\n' prefixes plain content
     # (chat-parser.cpp parse_functionary_v3_2).  Only committed when at
-    # least one call parses — bare 'word\n' prose must fall through.
-    if re.match(r"\w+\n\s*\{", text) or ">>>" in text:
+    # least one call parses — bare 'word\n' prose must fall through, and
+    # a bare '>>>' (e.g. a Python REPL prompt in prose/code, which is
+    # '>>> ' with a space) must not trigger the parse at all: require the
+    # start-of-message 'name\n{' form or a '>>>name\n'-shaped segment
+    # (ADVICE r4)
+    if re.match(r"\w+\n\s*\{", text) or re.search(
+        r">>>\w+\n", text
+    ):
         rest_parts = []
         for si, seg in enumerate(re.split(r">>>", text)):
             m = re.match(r"(\w+)\n(.*)", seg, re.DOTALL)
