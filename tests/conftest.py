@@ -13,6 +13,16 @@ import jax
 import pytest
 
 if not os.environ.get("VLUT_TEST_TPU"):
+    # excess-precision elision lets XLA drop f32->bf16->f32 convert pairs
+    # differently per compiled graph, so two mathematically-identical
+    # programs (e.g. the engine with / without a mesh, or fused vs
+    # composed projections) can differ by one bf16 ulp.  The tp engine's
+    # token-for-token parity tests need the strict-rounding semantics.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_allow_excess_precision" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_allow_excess_precision=false"
+        ).strip()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 

@@ -1,0 +1,125 @@
+"""Engine-level multi-device serving (VERDICT r4 item 1).
+
+The production Engine — slots, prefill buckets, sampler chain, KV
+gather/scatter — running over a ("dp", "tp") mesh must produce exactly the
+tokens of the single-device engine for greedy requests.  The reference's
+analog is serving with LLAMA_SPLIT_MODE_LAYER/ROW + tensor_split from its
+production binaries (include/llama.h:200-202,304); here the whole engine
+runs with one Mesh argument: weights Megatron-sharded over "tp", slots
+over "dp", the forward inside shard_map (parallel/spmd.make_engine_forward)
+and everything around it under GSPMD.
+"""
+
+import numpy as np
+import pytest
+
+from vlut_tpu.config import PRESETS
+from vlut_tpu.models.transformer import init_params
+from vlut_tpu.parallel.sharding import make_mesh
+from vlut_tpu.runtime.engine import Engine, Request
+from vlut_tpu.runtime.sampling import SamplerParams
+
+
+def _reqs(cfg, n=4, t=6, n_new=8, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        prompt = [int(x) for x in rng.integers(1, cfg.vocab_size, t + i)]
+        out.append(Request(
+            prompt=prompt, max_new_tokens=n_new,
+            sampler=SamplerParams(temperature=0.0),
+        ))
+    return out
+
+
+def _run(cfg, params, mesh=None, **kw):
+    eng = Engine(
+        cfg, params, n_slots=4, max_len=64, impl="xla", mesh=mesh, **kw
+    )
+    reqs = _reqs(cfg)
+    eng.run(reqs)
+    return [r.output for r in reqs]
+
+
+@pytest.mark.parametrize(
+    "preset,dp,tp",
+    [
+        ("tiny", 2, 2),
+        ("tiny_bitnet", 1, 4),   # subnorm psum path
+        ("tiny_bitnet", 4, 2),   # dp == n_slots
+        ("tiny_bitnet", 2, 4),   # full 8-device mesh (kv_heads=4 | tp=4)
+    ],
+)
+def test_engine_tp_matches_single_device(preset, dp, tp):
+    cfg = PRESETS[preset]
+    params = init_params(cfg, seed=0)
+    want = _run(cfg, params)
+    mesh = make_mesh(dp=dp, tp=tp)
+    got = _run(cfg, params, mesh=mesh)
+    assert got == want
+
+
+def test_engine_tp_prefix_reuse_and_second_wave():
+    """Slot state machinery (prefix cache, slot reuse) on the mesh: two
+    request waves through the same engine, wave 2 sharing wave-1 prefixes."""
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+
+    def drive(mesh):
+        eng = Engine(
+            cfg, params, n_slots=4, max_len=64, impl="xla", mesh=mesh
+        )
+        r1 = _reqs(cfg, n=4, seed=1)
+        eng.run(r1)
+        # wave 2 extends wave-1 prompts -> prefix reuse path
+        r2 = [
+            Request(
+                prompt=a.prompt + list(a.output[:2]), max_new_tokens=4,
+                sampler=SamplerParams(temperature=0.0),
+            )
+            for a in r1
+        ]
+        eng.run(r2)
+        reused = eng.perf.n_reused_tokens
+        return [r.output for r in r1 + r2], reused
+
+    want, _ = drive(None)
+    got, reused = drive(make_mesh(dp=2, tp=2))
+    assert got == want
+    assert reused > 0  # the prefix cache engaged on the sharded engine
+
+
+def test_engine_tp_sampled_parity():
+    """Non-greedy sampler chain (top-k + temperature, fixed seed) under the
+    mesh: identical RNG + near-identical logits -> identical tokens."""
+    cfg = PRESETS["tiny"]  # replicated norms: the fully bit-exact tp path
+    # (bitnet sub-norms psum f32 sufficient stats — ulp-level, enough to
+    # flip a temperature draw on random-init logits, so greedy-only there)
+    params = init_params(cfg, seed=0)
+
+    def drive(mesh):
+        eng = Engine(
+            cfg, params, n_slots=2, max_len=64, impl="xla", mesh=mesh
+        )
+        reqs = [
+            Request(
+                prompt=[3, 5, 7, 11], max_new_tokens=6,
+                sampler=SamplerParams(temperature=0.7, top_k=4, seed=7),
+            )
+            for _ in range(2)
+        ]
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    assert drive(make_mesh(dp=2, tp=2)) == drive(None)
+
+
+def test_engine_mesh_rejects_unsupported():
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    mesh = make_mesh(dp=2, tp=2)
+    with pytest.raises(ValueError, match="n_slots"):
+        Engine(cfg, params, n_slots=3, max_len=64, mesh=mesh)
+    with pytest.raises(ValueError, match="speculative|lookahead"):
+        Engine(cfg, params, n_slots=4, max_len=64, mesh=mesh,
+               lookahead=(4, 3))

@@ -1,0 +1,160 @@
+"""Vision wave 3 vs HF: InternVL ViT + projector, Llama4 vision,
+Idefics3 SigLIP + pixel-shuffle connector (reference
+tools/mtmd/clip-impl.h PROJECTOR_TYPE_INTERNVL / PROJECTOR_TYPE_LLAMA4 /
+PROJECTOR_TYPE_IDEFICS3)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from vlut_tpu.convert.checkpoint import (
+    load_idefics3,
+    load_internvl_vision,
+    load_llama4_vision,
+)
+from vlut_tpu.convert.convert import convert_hf
+from vlut_tpu.models.vision_ext import siglip_forward
+from vlut_tpu.models.vision_wave3 import (
+    idefics3_project,
+    internvl_forward,
+    internvl_project,
+    llama4_project,
+    llama4_vision_forward,
+)
+
+V = 96
+
+
+def _randomize(m, seed):
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for _, p in m.named_parameters():
+            p.copy_(0.05 * torch.randn_like(p))
+    return m
+
+
+def _tern(m):
+    import test_archs_hf2
+
+    test_archs_hf2._ternarize_model(m)
+
+
+def test_internvl_vision_parity(tmp_path):
+    """InternVL: tower features + pixel-shuffle projector must match HF
+    get_image_features (layer-scale lambdas, CLS token, LN norms)."""
+    c = transformers.InternVLConfig(
+        text_config=dict(
+            model_type="qwen2", vocab_size=V, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=64,
+            max_position_embeddings=64, rope_theta=10000.0,
+        ),
+        vision_config=dict(
+            image_size=[16, 16], patch_size=[4, 4], hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48, layer_norm_eps=1e-6,
+            use_absolute_position_embeddings=True,
+        ),
+        image_token_id=V - 1, downsample_ratio=0.5,
+    )
+    m = transformers.InternVLForConditionalGeneration(c).float().eval()
+    _randomize(m, 81)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    icfg, ip, img_tok = load_internvl_vision(tmp_path / "out")
+    assert icfg is not None and img_tok == V - 1
+    assert icfg.downsample == 2
+    ip = jax.tree.map(jnp.asarray, ip)
+
+    rng = np.random.default_rng(31)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = m.get_image_features(torch.tensor(pix)).numpy()
+    feats = internvl_forward(ip, icfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    got = np.asarray(internvl_project(ip, icfg, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_llama4_vision_parity(tmp_path):
+    """Llama4 vision: unfold conv, CLS appended last, 2-D complex rope,
+    pixel-shuffle MLP2 adapter + no-bias projector vs HF."""
+    c = transformers.Llama4Config(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, intermediate_size_mlp=64,
+            num_local_experts=2, num_experts_per_tok=1,
+            head_dim=8, max_position_embeddings=64,
+        ),
+        vision_config=dict(
+            image_size=16, patch_size=4, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48, pixel_shuffle_ratio=0.5,
+            projector_input_dim=128, projector_output_dim=128,
+            vision_output_dim=128, rope_theta=10000.0,
+        ),
+        image_token_index=V - 1, boi_token_index=V - 2,
+        eoi_token_index=V - 3,
+    )
+    m = transformers.Llama4ForConditionalGeneration(c).float().eval()
+    _randomize(m, 82)
+    _tern(m.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    lcfg, lp, img_tok = load_llama4_vision(tmp_path / "out")
+    assert lcfg is not None and img_tok == V - 1
+    lp = jax.tree.map(jnp.asarray, lp)
+
+    rng = np.random.default_rng(32)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = m.get_image_features(torch.tensor(pix)).numpy()
+    feats = llama4_vision_forward(
+        lp, lcfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    got = np.asarray(llama4_project(lp, lcfg, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_idefics3_parity(tmp_path):
+    """Idefics3: SigLIP tower (reused siglip_forward) + pixel-shuffle
+    connector vs HF get_image_features."""
+    c = transformers.Idefics3Config(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0, pad_token_id=0,
+        ),
+        vision_config=dict(
+            image_size=16, patch_size=4, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48, layer_norm_eps=1e-6,
+        ),
+        scale_factor=2, image_token_id=V - 1,
+    )
+    m = transformers.Idefics3ForConditionalGeneration(c).float().eval()
+    _randomize(m, 83)
+    _tern(m.model.text_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    scfg, scale, sp, img_tok = load_idefics3(tmp_path / "out")
+    assert scfg is not None and img_tok == V - 1 and scale == 2
+    sp = jax.tree.map(jnp.asarray, sp)
+
+    rng = np.random.default_rng(33)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        pm = torch.ones((1, 1, 16, 16), dtype=torch.bool)
+        want = m.get_image_features(torch.tensor(pix), pm).numpy()
+    feats = siglip_forward(sp, scfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    got = np.asarray(idefics3_project(sp, feats, scale))
+    np.testing.assert_allclose(
+        got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)

@@ -423,10 +423,13 @@ def cmd_generate(args):
     if args.draft_model:
         d_cfg, d_params, _ = _load(args.draft_model)
         draft = (d_cfg, d_params)
-    eng = Engine(cfg, params, n_slots=1, max_len=args.ctx,
+    from vlut_tpu.parallel.sharding import mesh_from_flags
+
+    eng = Engine(cfg, params, n_slots=max(1, args.dp), max_len=args.ctx,
                  kv_quant=(args.cache_type == "q8"),
                  head_quant=(args.head_type == "q8"),
-                 draft=draft, k_draft=args.draft_k)
+                 draft=draft, k_draft=args.draft_k,
+                 mesh=mesh_from_flags(args.tp, args.dp))
     bias = []
     for spec in args.logit_bias or ():
         t, _, b = spec.partition(":")
@@ -611,6 +614,7 @@ def cmd_serve(args):
         "--model", args.model, "--host", args.host,
         "--port", str(args.port), "--slots", str(args.slots),
         "--ctx", str(args.ctx),
+        "--tp", str(args.tp), "--dp", str(args.dp),
     ])
 
 
@@ -810,6 +814,11 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="override a model config field (repeatable)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (Megatron weight shard; "
+                        "reference --split-mode row analog)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (one slot per dp rank)")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("embed",
@@ -855,6 +864,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--ctx", type=int, default=4096)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways across visible devices")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways (slots shard over chips)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench")

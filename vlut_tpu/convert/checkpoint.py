@@ -259,6 +259,54 @@ def load_siglip(path: str | pathlib.Path):
             meta.get("image_token_id"))
 
 
+def load_internvl_vision(path: str | pathlib.Path):
+    """InternVL ViT tower (+ LN/GELU projector).  Returns
+    (InternVLConfig, params, image_token_id) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    ic = meta.get("internvl_config")
+    if not ic or not (path / "internvl.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_wave3 import InternVLConfig
+
+    return (InternVLConfig(**ic), _load_tower(path, "internvl.safetensors"),
+            meta.get("image_token_id"))
+
+
+def load_llama4_vision(path: str | pathlib.Path):
+    """Llama4 vision tower (+ pixel-shuffle adapter + projector).
+    Returns (Llama4VisionConfig, params, image_token_id) or
+    (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    lc = meta.get("llama4_vision_config")
+    if not lc or not (path / "llama4_vision.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_wave3 import Llama4VisionConfig
+
+    return (Llama4VisionConfig(**lc),
+            _load_tower(path, "llama4_vision.safetensors"),
+            meta.get("image_token_id"))
+
+
+def load_idefics3(path: str | pathlib.Path):
+    """Idefics3 SigLIP tower (+ pixel-shuffle connector).  Returns
+    (SiglipConfig, scale_factor, params, image_token_id) or
+    (None, None, None, None); the tower runs through
+    vision_ext.siglip_forward."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    ic = meta.get("idefics3_config")
+    if not ic or not (path / "idefics3.safetensors").exists():
+        return None, None, None, None
+    from vlut_tpu.models.vision_ext import SiglipConfig
+
+    scale = ic.pop("scale_factor", 2)
+    return (SiglipConfig(**ic, mm_tokens_per_image=0), scale,
+            _load_tower(path, "idefics3.safetensors"),
+            meta.get("image_token_id"))
+
+
 def load_pixtral(path: str | pathlib.Path):
     """Pixtral tower (+ llava projector).  Returns
     (PixtralConfig, params, image_token_id) or (None, None, None)."""

@@ -1978,6 +1978,15 @@ def convert_hf(
                                 ".residual_mlp.up_proj.")
             name = name.replace(".residual_mlp.w2.",
                                 ".residual_mlp.down_proj.")
+        elif mt0 == "idefics3":
+            # Idefics3ForConditionalGeneration wraps its llama text model
+            # as model.text_model.*; vision_model/connector are collected
+            # into vision_raw below
+            name = name.replace("model.text_model.", "model.")
+        elif mt0 == "internvl":
+            # InternVLForConditionalGeneration: model.language_model.* is
+            # the qwen2/llama text body
+            name = name.replace("model.language_model.", "model.")
         elif mt0 in ("llama4", "llama4_text"):
             name = name.replace(".feed_forward.router.", ".mlp.gate.")
             name = name.replace(".feed_forward.shared_expert.",
@@ -2211,8 +2220,13 @@ def convert_hf(
             continue
         if name.startswith("model.vqmodel."):
             continue  # chameleon image VQ-VAE (generation-side; not text)
-        if name.startswith(("vision_tower.", "multi_modal_projector.")):
-            vision_raw[name] = np.asarray(w)
+        if name.startswith(
+            ("vision_tower.", "multi_modal_projector.", "vision_model.",
+             "connector.", "model.vision_tower.",
+             "model.multi_modal_projector.", "model.vision_model.",
+             "model.connector.")
+        ):
+            vision_raw[name.removeprefix("model.")] = np.asarray(w)
             continue
         if name.startswith(("model.visual.", "visual.")):
             if mt0 in ("qwen2_vl", "qwen2_5_vl"):
@@ -2847,6 +2861,21 @@ def convert_hf(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(
                 "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "internvl_vision":
+            extra_meta["internvl_config"] = _convert_internvl_vision(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "llama4_vision_model":
+            extra_meta["llama4_vision_config"] = _convert_llama4_vision(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "idefics3_vision":
+            extra_meta["idefics3_config"] = _convert_idefics3(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
         else:
             vcfg = _convert_vision_tower(
                 vision_raw, hf_dir, pathlib.Path(out_dir)
@@ -3016,6 +3045,238 @@ def _convert_siglip_gemma3(
     save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
               str(out_dir / "siglip.safetensors"))
     return scfg
+
+
+def _convert_internvl_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """InternVL CLS-token ViT + LN/GELU projector ->
+    internvl.safetensors (models/vision_wave3.py layout; reference
+    PROJECTOR_TYPE_INTERNVL, tools/mtmd/models/internvl.cpp)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    ratio = cfgd.get("downsample_ratio", 0.5)
+    icfg = {
+        "image_size": (v.get("image_size", [448, 448])[0]
+                       if isinstance(v.get("image_size"), list)
+                       else v.get("image_size", 448)),
+        "patch_size": (v.get("patch_size", [14, 14])[0]
+                       if isinstance(v.get("patch_size"), list)
+                       else v.get("patch_size", 14)),
+        "d_model": v.get("hidden_size", 1024),
+        "n_layers": v.get("num_hidden_layers", 24),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 4096),
+        "ln_eps": v.get("layer_norm_eps", 1e-6),
+        "norm_type": v.get("norm_type", "layer_norm"),
+        "use_qk_norm": v.get("use_qk_norm", False),
+        "downsample": int(round(1.0 / ratio)),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 4096),
+        "proj_act": cfgd.get("projector_hidden_act", "gelu"),
+    }
+    p = "vision_tower."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}embeddings.patch_embeddings.projection.weight")
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
+        "patch_b": g(f"{p}embeddings.patch_embeddings.projection.bias"),
+        "cls": g(f"{p}embeddings.cls_token").reshape(-1),
+        "proj_ln_w": g("multi_modal_projector.layer_norm.weight"),
+        "proj_ln_b": g("multi_modal_projector.layer_norm.bias"),
+        "proj_w1": g("multi_modal_projector.linear_1.weight").T,
+        "proj_b1": g("multi_modal_projector.linear_1.bias"),
+        "proj_w2": g("multi_modal_projector.linear_2.weight").T,
+        "proj_b2": g("multi_modal_projector.linear_2.bias"),
+    }
+    if f"{p}embeddings.position_embeddings" in raw:
+        out["pos"] = g(f"{p}embeddings.position_embeddings")[0]
+    if f"{p}layernorm.weight" in raw:  # use_mean_pooling=False variants
+        out["final_ln_w"] = g(f"{p}layernorm.weight")
+        if f"{p}layernorm.bias" in raw:
+            out["final_ln_b"] = g(f"{p}layernorm.bias")
+    name_map = {
+        "layernorm_before.weight": "ln1_w",
+        "layernorm_before.bias": "ln1_b",
+        "layernorm_after.weight": "ln2_w",
+        "layernorm_after.bias": "ln2_b",
+        "attention.q_proj.weight": "wq", "attention.q_proj.bias": "bq",
+        "attention.k_proj.weight": "wk", "attention.k_proj.bias": "bk",
+        "attention.v_proj.weight": "wv", "attention.v_proj.bias": "bv",
+        "attention.projection_layer.weight": "wo",
+        "attention.projection_layer.bias": "bo",
+        "attention.q_norm.weight": "qn", "attention.k_norm.weight": "kn",
+        "lambda_1": "ls1", "lambda_2": "ls2",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    if icfg["norm_type"] == "rms_norm":
+        # RMS norms have no bias tensors
+        name_map = {k_: v_ for k_, v_ in name_map.items()
+                    if v_ not in ("ln1_b", "ln2_b")}
+    if not icfg["use_qk_norm"]:
+        name_map = {k_: v_ for k_, v_ in name_map.items()
+                    if v_ not in ("qn", "kn")}
+    L = icfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}encoder\.layer\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "internvl.safetensors"))
+    return icfg
+
+
+def _convert_llama4_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Llama4 vision tower + pixel-shuffle adapter + projector ->
+    llama4_vision.safetensors (models/vision_wave3.py layout; reference
+    PROJECTOR_TYPE_LLAMA4, tools/mtmd/models/llama4.cpp)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    lcfg = {
+        "image_size": v.get("image_size", 336),
+        "patch_size": v.get("patch_size", 14),
+        "d_model": v.get("hidden_size", 1408),
+        "n_layers": v.get("num_hidden_layers", 34),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 5632),
+        "rope_theta": v.get("rope_theta", 10000.0),
+        "ln_eps": v.get("norm_eps", 1e-5),
+        "pixel_shuffle_ratio": v.get("pixel_shuffle_ratio", 0.5),
+        "projector_input_dim": v.get("projector_input_dim", 4096),
+        "projector_output_dim": v.get("projector_output_dim", 4096),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 5120),
+    }
+    p = "vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    ps, d = lcfg["patch_size"], lcfg["d_model"]
+    # Unfold flattens each patch channel-major (C, ph, pw); repack to the
+    # (ph, pw, C) order _patchify emits
+    uw = g(f"{p}patch_embedding.linear.weight").reshape(d, 3, ps, ps)
+    out: dict[str, np.ndarray] = {
+        "patch_w": uw.transpose(2, 3, 1, 0).reshape(-1, d),
+        "cls": g(f"{p}class_embedding"),
+        "pos": g(f"{p}positional_embedding_vlm"),
+        "pre_ln_w": g(f"{p}layernorm_pre.weight"),
+        "pre_ln_b": g(f"{p}layernorm_pre.bias"),
+        "post_ln_w": g(f"{p}layernorm_post.weight"),
+        "post_ln_b": g(f"{p}layernorm_post.bias"),
+        "adapter_w1": g(f"{p}vision_adapter.mlp.fc1.weight").T,
+        "adapter_w2": g(f"{p}vision_adapter.mlp.fc2.weight").T,
+        "mm_proj": g("multi_modal_projector.linear_1.weight").T,
+    }
+    name_map = {
+        "input_layernorm.weight": "ln1_w", "input_layernorm.bias": "ln1_b",
+        "post_attention_layernorm.weight": "ln2_w",
+        "post_attention_layernorm.bias": "ln2_b",
+        "self_attn.q_proj.weight": "wq", "self_attn.q_proj.bias": "bq",
+        "self_attn.k_proj.weight": "wk", "self_attn.k_proj.bias": "bk",
+        "self_attn.v_proj.weight": "wv", "self_attn.v_proj.bias": "bv",
+        "self_attn.o_proj.weight": "wo", "self_attn.o_proj.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    L = lcfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}model\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "llama4_vision.safetensors"))
+    return lcfg
+
+
+def _convert_idefics3(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Idefics3 SigLIP tower + pixel-shuffle connector ->
+    idefics3.safetensors (siglip_forward layout + connector weights;
+    reference PROJECTOR_TYPE_IDEFICS3, tools/mtmd/models/siglip.cpp:41)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    icfg = {
+        "image_size": v.get("image_size", 364),
+        "patch_size": v.get("patch_size", 14),
+        "d_model": v.get("hidden_size", 1152),
+        "n_layers": v.get("num_hidden_layers", 27),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": v.get("intermediate_size", 4304),
+        "ln_eps": v.get("layer_norm_eps", 1e-6),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 4096),
+        "scale_factor": cfgd.get("scale_factor", 2),
+    }
+    p = "vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}embeddings.patch_embedding.weight")
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
+        "patch_b": g(f"{p}embeddings.patch_embedding.bias"),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "post_ln_w": g(f"{p}post_layernorm.weight"),
+        "post_ln_b": g(f"{p}post_layernorm.bias"),
+        "mm_proj": g("connector.modality_projection.proj.weight").T,
+    }
+    name_map = {
+        "layer_norm1.weight": "ln1_w", "layer_norm1.bias": "ln1_b",
+        "layer_norm2.weight": "ln2_w", "layer_norm2.bias": "ln2_b",
+        "self_attn.q_proj.weight": "wq", "self_attn.q_proj.bias": "bq",
+        "self_attn.k_proj.weight": "wk", "self_attn.k_proj.bias": "bk",
+        "self_attn.v_proj.weight": "wv", "self_attn.v_proj.bias": "bv",
+        "self_attn.out_proj.weight": "wo", "self_attn.out_proj.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    L = icfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}encoder\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "idefics3.safetensors"))
+    return icfg
 
 
 def _convert_pixtral(

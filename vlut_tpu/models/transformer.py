@@ -1233,19 +1233,32 @@ def run_layers(
     else:
         k_pos_row = positions
 
-    def mm(h_, lt):
+    def mm(h_, lt, reduce=False):
+        """``reduce``: the weight's K dim is tp-sharded — combine across
+        the axis.  Ternary weights use the bit-exact form (global pmax
+        activation scale + psum of the UNSCALED int32 accumulator,
+        ops/matmul.py); the float twin psums the scaled partials (training
+        only, no exactness contract)."""
         if isinstance(lt, jax.Array):  # dense float twin (training)
-            return jnp.dot(
+            out = jnp.dot(
                 h_.astype(lt.dtype), lt, preferred_element_type=jnp.float32
-            ).astype(h_.dtype)
+            )
+            if reduce and tp_axis is not None:
+                out = jax.lax.psum(out, tp_axis)
+            return out.astype(h_.dtype)
+        if reduce and tp_axis is not None:
+            return ternary_matmul(
+                h_, lt, impl=impl, tp_axis=tp_axis, tp_size=tp_size
+            )
         return ternary_matmul(h_, lt, impl=impl)
 
     p1 = cfg.norm_plus_one
 
-    def proj(h_, lp, name):
+    def proj(h_, lp, name, reduce=False):
         """Base matmul + optional LoRA delta (build_lora_mm analog,
         src/llama-graph.cpp:668-692)."""
-        out = mm(h_, _layer_tensor(lp, name, _dyn["specs"][name]))
+        out = mm(h_, _layer_tensor(lp, name, _dyn["specs"][name]),
+                 reduce=reduce)
         w = lp[name]
         if isinstance(w, dict) and "lora_a" in w:
             delta = jnp.dot(
@@ -1253,6 +1266,8 @@ def run_layers(
                 w["lora_b"],
                 preferred_element_type=jnp.float32,
             )
+            if reduce and tp_axis is not None:
+                delta = jax.lax.psum(delta, tp_axis)
             out = out + (
                 delta.astype(jnp.float32) * w["lora_scale"]
             ).astype(out.dtype)
@@ -1589,9 +1604,9 @@ def run_layers(
             return x_in  # deci n_ff==0 no-op layer
         if not has_attn:
             if "w_lin_attn" in lp:
+                # (D, D) replicated (weight_specs doesn't tp-split it and
+                # parallel/sharding.py replicates it), so no combine
                 o = proj(norm_d(x, lp, "attn_norm"), lp, "w_lin_attn")
-                if tp_axis is not None:
-                    o = jax.lax.psum(o, tp_axis)
                 x = x + o.astype(x.dtype)[..., : x.shape[-1]]
             h_attn = None
         elif cfg.kv_lora_rank:
@@ -1865,9 +1880,7 @@ def run_layers(
                         att, lp["attn_sub_norm"], cfg.rms_eps,
                         cfg.n_heads * plan.hd, tp_axis,
                     )
-                o = proj(att, lp, "wo")
-                if tp_axis is not None:
-                    o = jax.lax.psum(o, tp_axis)
+                o = proj(att, lp, "wo", reduce=True)
                 if cfg.proj_bias and "bo" in lp:
                     o = o + lp["bo"].astype(o.dtype)
                 if cfg.post_norms:
@@ -2203,7 +2216,9 @@ def run_layers(
                     res_out = jax.lax.psum(res_out, tp_axis)
                 x = x + res_out.astype(x.dtype)
             dn = dn.astype(x.dtype)
+            dn_reduced = False  # expert partials still need the psum
         else:
+            dn_reduced = True  # w_down combines inside proj (bit-exact)
             if cfg.n_experts and not moe_here:
                 # deepseek first_k_dense layer: dense FFN at d_ff_dense
                 gate = mm(h, _layer_tensor(
@@ -2212,7 +2227,8 @@ def run_layers(
                 a = glu_combine(gate, up)
                 a = a.astype(x.dtype)
                 dn = mm(a, _layer_tensor(lp, "w_down",
-                                         specs_dense["w_down"]))
+                                         specs_dense["w_down"]),
+                        reduce=True)
             elif not cfg.ffn_gated:
                 # classic MLP (gptneox/phi-2/starcoder2): up -> act -> down
                 up = proj(h, lp, "w_up")
@@ -2238,7 +2254,7 @@ def run_layers(
                 if cfg.use_subnorms:
                     a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
                              tp_axis)
-                dn = proj(a, lp, "w_down")
+                dn = proj(a, lp, "w_down", reduce=True)
             else:
                 if "w_gateup" in lp:
                     ffl = plan.ff_p // tp_size
@@ -2260,8 +2276,8 @@ def run_layers(
                 if cfg.use_subnorms:
                     a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
                              tp_axis)
-                dn = proj(a, lp, "w_down")
-        if tp_axis is not None:
+                dn = proj(a, lp, "w_down", reduce=True)
+        if tp_axis is not None and not dn_reduced:
             dn = jax.lax.psum(dn, tp_axis)
         if cfg.proj_bias and "b_down" in lp:
             dn = dn + lp["b_down"].astype(dn.dtype)

@@ -1,0 +1,268 @@
+"""Vision-tower wave 3: InternVL ViT, Llama4 vision, Idefics3 connector.
+
+Reference analogs (tools/mtmd/clip-impl.h projector types):
+* PROJECTOR_TYPE_INTERNVL — CLS-token ViT (LN or RMS norms by variant,
+  layer-scale lambdas, biased projections) -> drop CLS -> pixel shuffle
+  (scale 0.5) -> LayerNorm + 2-layer GELU projector
+  (tools/mtmd/models/internvl.cpp; HF InternVLVisionModel +
+  InternVLMultiModalProjector).
+* PROJECTOR_TYPE_LLAMA4 — unfold-conv patchify, CLS appended LAST,
+  learned positions + complex 2-D rope (CLS frequency zero), pre/post
+  LayerNorms, pixel shuffle -> no-bias GELU-GELU adapter MLP -> no-bias
+  projector (tools/mtmd/models/llama4.cpp; HF Llama4VisionModel).
+* PROJECTOR_TYPE_IDEFICS3 — SigLIP tower (models/vision_ext.siglip_forward
+  — idefics3's NaViT position bucketing reduces to the learned-position
+  grid for full-size square inputs) -> pixel shuffle -> one no-bias
+  linear (tools/mtmd/models/siglip.cpp:41-46 + clip.cpp
+  build_patch_merge_permute:746-775; HF Idefics3Connector).
+
+Dense bf16/f32 towers like models/vision.py; embeddings splice into the
+decoder via token_embeds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlut_tpu.models.vision_ext import _attend, _ln, _patchify, _rms
+
+
+# ---------------------------------------------------------------------------
+# InternVL
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class InternVLConfig:
+    image_size: int = 448
+    patch_size: int = 14
+    d_model: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    d_ff: int = 4096
+    ln_eps: float = 1e-6
+    norm_type: str = "layer_norm"   # "layer_norm" | "rms_norm" (6B ViT)
+    use_qk_norm: bool = False       # full-width RMS on q/k (large ViTs)
+    downsample: int = 2             # 1/downsample_ratio pixel-shuffle
+    d_llm: int = 4096
+    proj_act: str = "gelu"
+
+
+def _norm(x, w, b, eps, kind):
+    if kind == "rms_norm":
+        return _rms(x, w, eps)
+    return _ln(x, w, b, eps)
+
+
+def internvl_forward(
+    params: dict[str, Any], cfg: InternVLConfig, images: jax.Array
+) -> jax.Array:
+    """InternVL ViT: (B, H, W, 3) -> (B, P+1, D) (CLS first).  HF
+    InternVLVisionModel: conv patchify (+bias), CLS prepend, learned
+    positions over P+1, pre/post norms per block with layer-scale
+    lambda_1/lambda_2, biased q/k/v + projection_layer, optional
+    full-width q/k RMS norm, biased GELU MLP (reference
+    tools/mtmd/models/internvl.cpp build())."""
+    b = images.shape[0]
+    x = _patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = x @ params["patch_w"] + params["patch_b"]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.d_model))
+    x = jnp.concatenate([cls, x], axis=1)
+    if "pos" in params:
+        x = x + params["pos"][None]
+    H, hd = cfg.n_heads, cfg.d_model // cfg.n_heads
+    t = x.shape[1]
+    nt = cfg.norm_type
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        h = _norm(x, lp["ln1_w"], lp.get("ln1_b"), cfg.ln_eps, nt)
+        q = h @ lp["wq"] + lp["bq"]
+        k = h @ lp["wk"] + lp["bk"]
+        v = h @ lp["wv"] + lp["bv"]
+        if cfg.use_qk_norm:
+            # full-WIDTH RMS before the head split (HF q_norm/k_norm at
+            # embed_dim; the reference graph normalizes likewise)
+            q = _rms(q, lp["qn"], cfg.ln_eps)
+            k = _rms(k, lp["kn"], cfg.ln_eps)
+        q = q.reshape(b, t, H, hd)
+        k = k.reshape(b, t, H, hd)
+        v = v.reshape(b, t, H, hd)
+        att = _attend(q, k, v, hd).reshape(b, t, cfg.d_model)
+        att = att @ lp["wo"] + lp["bo"]
+        x = x + lp["ls1"] * att
+        h = _norm(x, lp["ln2_w"], lp.get("ln2_b"), cfg.ln_eps, nt)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=False)
+        x = x + lp["ls2"] * (a @ lp["w2"] + lp["b2"])
+    if "final_ln_w" in params:  # absent when use_mean_pooling
+        x = _norm(x, params["final_ln_w"], params.get("final_ln_b"),
+                  cfg.ln_eps, nt)
+    return x
+
+
+def internvl_pixel_shuffle(x: jax.Array, scale: float = 0.5) -> jax.Array:
+    """HF InternVLModel.pixel_shuffle transcription: input (B, W, H, C),
+    two reshape/transpose rounds folding a (1/scale)^2 spatial block into
+    channels.  Matches the reference's internvl.cpp shuffle (which
+    reshapes (n_embd*s, h/s, w) then permutes twice)."""
+    b, w, h, c = x.shape
+    x = x.reshape(b, w, int(h * scale), int(c / scale))
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, int(h * scale), int(w * scale), int(c / scale ** 2))
+    return x.transpose(0, 2, 1, 3)
+
+
+def internvl_project(
+    params: dict[str, Any], cfg: InternVLConfig, feats: jax.Array
+) -> jax.Array:
+    """Drop CLS -> pixel shuffle -> LayerNorm -> linear/GELU/linear (HF
+    InternVLMultiModalProjector; reference internvl.cpp projector with
+    pytorch-default eps 1e-5)."""
+    b, p1, d = feats.shape
+    side = int(round((p1 - 1) ** 0.5))
+    x = feats[:, 1:].reshape(b, side, side, d)
+    x = internvl_pixel_shuffle(x, 1.0 / cfg.downsample)
+    x = x.reshape(b, -1, d * cfg.downsample ** 2)
+    x = _ln(x, params["proj_ln_w"], params["proj_ln_b"], 1e-5)
+    x = x @ params["proj_w1"] + params["proj_b1"]
+    x = jax.nn.gelu(x, approximate=(cfg.proj_act == "gelu_pytorch_tanh"))
+    return x @ params["proj_w2"] + params["proj_b2"]
+
+
+# ---------------------------------------------------------------------------
+# Llama4 vision
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Llama4VisionConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    d_model: int = 1408
+    n_layers: int = 34
+    n_heads: int = 16
+    d_ff: int = 5632
+    rope_theta: float = 10000.0
+    ln_eps: float = 1e-5
+    pixel_shuffle_ratio: float = 0.5
+    projector_input_dim: int = 4096
+    projector_output_dim: int = 4096
+    d_llm: int = 5120
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def _llama4_rope_tables(cfg: Llama4VisionConfig):
+    """(cos, sin) (P+1, hd/2) per position, complex-pair convention (HF
+    Llama4VisionRotaryEmbedding): x coords drive the first hd/4 pair
+    frequencies, y the second; the trailing CLS row rotates by zero."""
+    idx = cfg.image_size // cfg.patch_size
+    pos = np.arange(idx * idx)
+    fx, fy = pos % idx, pos // idx
+    freq_dim = cfg.head_dim // 2
+    rf = 1.0 / (cfg.rope_theta
+                ** (np.arange(0, freq_dim, 2)[: freq_dim // 2] / freq_dim))
+    freqs = np.concatenate([
+        (fx + 1)[:, None] * rf[None, :],
+        (fy + 1)[:, None] * rf[None, :],
+    ], axis=-1)                                   # (P, hd/2)
+    freqs = np.concatenate([freqs, np.zeros((1, freqs.shape[1]))], axis=0)
+    return (jnp.asarray(np.cos(freqs), jnp.float32),
+            jnp.asarray(np.sin(freqs), jnp.float32))
+
+
+def _rope_pairs(z, cos, sin):
+    """Complex-pair rotation: consecutive channel pairs (2j, 2j+1) rotate
+    by angle_j (HF vision_apply_rotary_emb view_as_complex semantics)."""
+    zr, zi = z[..., 0::2], z[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([zr * c - zi * s, zr * s + zi * c], axis=-1)
+    return out.reshape(z.shape)
+
+
+def llama4_vision_forward(
+    params: dict[str, Any], cfg: Llama4VisionConfig, images: jax.Array
+) -> jax.Array:
+    """Llama4 ViT: (B, H, W, 3) -> (B, P+1, D) post-LN features, CLS LAST
+    (HF Llama4VisionModel; reference tools/mtmd/models/llama4.cpp).
+    Unfold-conv = patchify + no-bias linear; biased q/k/v/o; exact-GELU
+    biased MLP; LayerNorms pre/post encoder."""
+    b = images.shape[0]
+    x = _patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = x @ params["patch_w"]                     # no bias
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.d_model))
+    x = jnp.concatenate([x, cls], axis=1)         # CLS appended LAST
+    x = x + params["pos"][None]
+    x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.ln_eps)
+    cos, sin = _llama4_rope_tables(cfg)
+    H, hd = cfg.n_heads, cfg.head_dim
+    t = x.shape[1]
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        h = _ln(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        q = (h @ lp["wq"] + lp["bq"]).reshape(b, t, H, hd)
+        k = (h @ lp["wk"] + lp["bk"]).reshape(b, t, H, hd)
+        v = (h @ lp["wv"] + lp["bv"]).reshape(b, t, H, hd)
+        q = _rope_pairs(q, cos, sin)
+        k = _rope_pairs(k, cos, sin)
+        att = _attend(q, k, v, hd).reshape(b, t, cfg.d_model)
+        x = x + (att @ lp["wo"] + lp["bo"])
+        h = _ln(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=False)
+        x = x + (a @ lp["w2"] + lp["b2"])
+    return _ln(x, params["post_ln_w"], params["post_ln_b"], cfg.ln_eps)
+
+
+def llama4_pixel_shuffle(x: jax.Array, ratio: float) -> jax.Array:
+    """HF llama4 pixel_shuffle transcription ((B, P, C) square grid)."""
+    b, p, c = x.shape
+    side = int(round(p ** 0.5))
+    x = x.reshape(b, side, side, c)
+    x = x.reshape(b, side, int(side * ratio), int(c / ratio))
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, int(side * ratio), int(side * ratio),
+                  int(c / ratio ** 2))
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(b, -1, int(c / ratio ** 2))
+
+
+def llama4_project(
+    params: dict[str, Any], cfg: Llama4VisionConfig, feats: jax.Array
+) -> jax.Array:
+    """Drop the trailing CLS -> pixel shuffle -> no-bias fc1/GELU/fc2/GELU
+    adapter (Llama4VisionMLP2) -> no-bias multimodal projector."""
+    x = llama4_pixel_shuffle(feats[:, :-1], cfg.pixel_shuffle_ratio)
+    x = jax.nn.gelu(x @ params["adapter_w1"], approximate=False)
+    x = jax.nn.gelu(x @ params["adapter_w2"], approximate=False)
+    return x @ params["mm_proj"]
+
+
+# ---------------------------------------------------------------------------
+# Idefics3 connector (the tower itself is vision_ext.siglip_forward)
+# ---------------------------------------------------------------------------
+
+def idefics3_pixel_shuffle(x: jax.Array, scale: int) -> jax.Array:
+    """HF Idefics3Connector.pixel_shuffle transcription ((B, P, C) square
+    grid; reference build_patch_merge_permute, clip.cpp:746-775)."""
+    b, p, c = x.shape
+    side = int(round(p ** 0.5))
+    x = x.reshape(b, side, side, c)
+    x = x.reshape(b, side, side // scale, c * scale)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, side // scale, side // scale, c * scale * scale)
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(b, p // scale ** 2, c * scale ** 2)
+
+
+def idefics3_project(
+    params: dict[str, Any], feats: jax.Array, scale: int
+) -> jax.Array:
+    """Pixel shuffle + single no-bias linear into the decoder width (HF
+    Idefics3Connector/Idefics3SimpleMLP; reference
+    tools/mtmd/models/siglip.cpp:41-46)."""
+    return idefics3_pixel_shuffle(feats, scale) @ params["mm_proj"]

@@ -17,14 +17,23 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_activations(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+def quantize_activations(
+    x: jax.Array, tp_axis: str | None = None
+) -> tuple[jax.Array, jax.Array]:
     """x (..., K) float -> (q int8 (..., K), scale fp32 (..., 1)).
 
     q = round(x * 127 / max|x|), clipped to [-127, 127]; scale restores
     magnitude: q * scale ~= x.  Zero rows get scale 0 and q 0.
+
+    ``tp_axis``: inside shard_map with the K dim sharded over that mesh
+    axis, the max is taken globally (pmax), so every shard quantizes with
+    the same scale as an unsharded run — the int8 codes (and hence the
+    integer GEMM accumulators) become bit-identical to single-device.
     """
     x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    if tp_axis is not None:
+        amax = jax.lax.pmax(amax, tp_axis)
     inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
     q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
     scale = amax / 127.0

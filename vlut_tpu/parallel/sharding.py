@@ -17,6 +17,12 @@ scheduler splits, SPLIT_MODE_ROW tensor split and the RPC protocol (SURVEY
 Batch (requests/slots) shards over "dp"; weight shards ride "tp" so the
 per-layer psums stay on ICI.  All padded dims come from models/dims.py, so
 every shard boundary lands on a pack-block/lane boundary.
+
+Both param layouts the Engine serves are supported: the stacked (L, ...)
+tree and the unrolled per-layer TUPLE tree (transformer.unstack_layers),
+whose specs drop the leading layer axis.  The int8-quantized lm_head
+(transformer.quantize_head: {"q": (d, vocab_p) int8, "scale": (vocab_p,)})
+shards its vocab dim like the bf16 head.
 """
 
 from __future__ import annotations
@@ -28,6 +34,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vlut_tpu.config import ModelConfig
+
+# weight name -> which packed axis shards over "tp" ("col" = N/output
+# channels local to the shard; "row" = K reduction sharded + psum)
+_COL_NAMES = ("wq", "wk", "wv", "w_gate", "w_up", "w_attn_gate")
+_ROW_NAMES = ("wo", "w_down")
 
 
 def make_mesh(
@@ -42,42 +53,109 @@ def make_mesh(
     return Mesh(arr, ("dp", "tp"))
 
 
-def param_specs(cfg: ModelConfig, params: dict[str, Any]) -> dict[str, Any]:
-    """PartitionSpec tree matching the params pytree structure."""
-    col = {"packed": P(None, None, "tp"), "scale": P(None)}
-    row = {"packed": P(None, "tp", None), "scale": P(None)}
-    layers: dict[str, Any] = {
-        "wq": col, "wk": col, "wv": col,
-        "w_gate": col, "w_up": col,
-        "wo": row, "w_down": row,
-        "attn_norm": P(None, None),
-        "ffn_norm": P(None, None),
-    }
-    if "attn_sub_norm" in params["layers"]:
-        layers["attn_sub_norm"] = P(None, "tp")
-        layers["ffn_sub_norm"] = P(None, "tp")
-    # per-channel weight scales (n,)-shaped would shard over tp; per-tensor
-    # scalars replicate — detect from the array rank
-    for wname in ("wq", "wk", "wv", "w_gate", "w_up", "wo", "w_down"):
-        sc = params["layers"][wname]["scale"]
-        if np.ndim(sc) > 1:  # (L, n) per-channel
-            axis = "tp" if wname in ("wq", "wk", "wv", "w_gate", "w_up") else None
-            layers[wname] = {
-                **layers[wname], "scale": P(None, axis)
+def mesh_from_flags(tp: int = 1, dp: int = 1) -> Mesh | None:
+    """CLI/server `--tp N --dp N` -> Mesh, or None for single-device (the
+    Engine then skips shard_map entirely).  The reference's analog flags
+    are `--split-mode row|layer` + `--tensor-split`
+    (include/llama.h:200-202,304)."""
+    if tp * dp <= 1:
+        return None
+    n = len(jax.devices())
+    if tp * dp > n:
+        raise SystemExit(
+            f"--tp {tp} x --dp {dp} needs {tp * dp} devices; "
+            f"{n} visible (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N on CPU)"
+        )
+    return make_mesh(dp=dp, tp=tp)
+
+
+def _replicated(v) -> Any:
+    return jax.tree.map(
+        lambda a: P(*([None] * np.ndim(a))), v,
+        is_leaf=lambda a: not isinstance(a, (dict, tuple, list)),
+    )
+
+
+def _one_layer_specs(layer: dict[str, Any], lead: tuple) -> dict[str, Any]:
+    """Specs for one layer's name->tensor dict.  ``lead`` is the leading
+    axis prefix: (None,) for the stacked (L, ...) tree, () for a
+    per-layer tree from unstack_layers."""
+    specs: dict[str, Any] = {}
+    for name, v in layer.items():
+        if name in _COL_NAMES or name in _ROW_NAMES:
+            col = name in _COL_NAMES
+            packed = (
+                P(*lead, None, "tp") if col else P(*lead, "tp", None)
+            )
+            sc = v["scale"]
+            if np.ndim(sc) > len(lead):  # per-channel (n,)-shaped
+                scale = P(*lead, "tp" if col else None)
+            else:
+                scale = P(*lead)
+            specs[name] = {
+                **{k: P(*([None] * np.ndim(a))) for k, a in v.items()},
+                "packed": packed, "scale": scale,
             }
-    specs: dict[str, Any] = {
-        "embed": P(None, None),
-        "final_norm": P(None),
-        "layers": layers,
-    }
-    if "lm_head" in params:
-        specs["lm_head"] = P(None, "tp")
+        elif name in ("attn_sub_norm", "ffn_sub_norm"):
+            specs[name] = P(*lead, "tp")
+        elif name in ("attn_norm", "ffn_norm", "attn_norm_b", "ffn_norm_b",
+                      "post_attn_norm", "post_ffn_norm"):
+            specs[name] = P(*lead, None)
+        else:
+            # replicate anything else (biases, qk norms, rope factors, ...)
+            specs[name] = _replicated(v)
+    return specs
+
+
+def param_specs(cfg: ModelConfig, params: dict[str, Any]) -> dict[str, Any]:
+    """PartitionSpec tree matching the params pytree structure (stacked or
+    per-layer-tuple layers; bf16 or int8-quantized lm_head)."""
+    layers = params["layers"]
+    if isinstance(layers, (tuple, list)):
+        lspecs: Any = tuple(_one_layer_specs(lp, ()) for lp in layers)
+    else:
+        lspecs = _one_layer_specs(layers, (None,))
+    specs: dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "layers":
+            specs[k] = lspecs
+        elif k == "lm_head":
+            if isinstance(v, dict):  # quantize_head int8 form
+                specs[k] = {"q": P(None, "tp"), "scale": P("tp")}
+            else:
+                specs[k] = P(None, "tp")
+        else:
+            specs[k] = _replicated(v)
     return specs
 
 
 def cache_specs() -> dict[str, P]:
     spec = P(None, "dp", None, "tp", None)
     return {"k": spec, "v": spec}
+
+
+def cache_specs_for(cache: dict, batch_axis: str | None = "dp") -> dict:
+    """Spec tree matching an actual KV-cache pytree: stacked (L, B, S, H,
+    hd) arrays or per-layer tuples of (B, S, H, hd), plus the int8-KV
+    scale planes (B, S, H).  ``batch_axis`` shards the slot dim (None =
+    replicated — used for prefill views whose row count doesn't divide
+    dp)."""
+    layered = isinstance(cache["k"], (tuple, list))
+
+    def one(name: str, a) -> P:
+        scale = name.endswith("_scale")
+        if scale:
+            body = (batch_axis, None, "tp")
+        else:
+            body = (batch_axis, None, "tp", None)
+        return P(*body) if layered else P(None, *body)
+
+    if layered:
+        return {
+            k: tuple(one(k, a) for a in v) for k, v in cache.items()
+        }
+    return {k: one(k, v) for k, v in cache.items()}
 
 
 def shard_params(
@@ -89,5 +167,5 @@ def shard_params(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
         specs,
-        is_leaf=lambda x: not isinstance(x, dict),
+        is_leaf=lambda x: not isinstance(x, (dict, tuple, list)),
     )

@@ -26,7 +26,11 @@ except ImportError:  # pragma: no cover
 
 from vlut_tpu.config import ModelConfig
 from vlut_tpu.models.transformer import forward
-from vlut_tpu.parallel.sharding import cache_specs, param_specs
+from vlut_tpu.parallel.sharding import (
+    cache_specs,
+    cache_specs_for,
+    param_specs,
+)
 
 
 def make_forward_tp(
@@ -63,6 +67,48 @@ def make_forward_tp(
     out_specs = (P("dp", None, "tp"), cspecs)
     return shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+def make_engine_forward(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    params_tree: dict[str, Any],
+    cache_tree: dict[str, Any],
+    impl: str = "auto",
+    batch_axis: str | None = "dp",
+):
+    """The Engine's production forward under shard_map: operates on a
+    slot-VIEW of the KV cache (the engine gathers/scatters slot rows
+    outside, under GSPMD) and returns (logits, view).
+
+    This is what puts the word-packed Pallas kernels on a mesh: GSPMD
+    cannot auto-partition a pallas_call, so the whole forward body runs
+    SPMD with explicit specs — weights Megatron-sharded over "tp"
+    (parallel/sharding.py), the view's slot axis over ``batch_axis``
+    ("dp", or None/replicated for prefill groups whose row count doesn't
+    divide dp).  The reference's analog is serving with
+    LLAMA_SPLIT_MODE_ROW/LAYER from its production binaries
+    (include/llama.h:200-202, tensor_split :304) — here the splits are
+    NamedShardings and the comm is XLA ICI collectives.
+    """
+    tp = mesh.shape["tp"]
+    pspecs = param_specs(cfg, params_tree)
+    vspecs = cache_specs_for(cache_tree, batch_axis=batch_axis)
+    b = batch_axis
+
+    def local_fn(params, view, tokens, positions, logits_at):
+        logits, new_view = forward(
+            params, cfg, tokens, positions, view,
+            impl=impl, tp_axis="tp", tp_size=tp, logits_at=logits_at,
+        )
+        return logits, new_view
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspecs, vspecs, P(b, None), P(b, None), P(b)),
+        out_specs=(P(b, None, "tp"), vspecs),
         check_vma=False,
     )
 

@@ -1549,6 +1549,11 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=4096)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (Megatron-shard weights "
+                    "over the mesh; reference --split-mode row analog)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways (slots shard over chips)")
     ap.add_argument("--cache-type", choices=("bf16", "q8"),
                     default="bf16",
                     help="KV cache storage (q8 = int8 + scales)")
@@ -1596,13 +1601,16 @@ def main(argv=None):
 
             cfg, params = requantize_params(cfg, params, args.promote)
         params = jax.device_put(params)
+        from vlut_tpu.parallel.sharding import mesh_from_flags
+
         engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
                         kv_quant=(args.cache_type == "q8"),
                         draft=draft, k_draft=args.draft_k,
                         lookahead=(
                             (args.lookahead_window, args.lookahead_ngram)
                             if args.lookahead else None
-                        ))
+                        ),
+                        mesh=mesh_from_flags(args.tp, args.dp))
         models[name] = (engine, Tokenizer(path))
     httpd, _ = serve_multi(
         models, args.host, args.port, default=next(iter(models))
