@@ -95,7 +95,10 @@ def test_llama4_vision_parity(tmp_path):
         vision_config=dict(
             image_size=16, patch_size=4, hidden_size=32,
             num_hidden_layers=2, num_attention_heads=4,
-            intermediate_size=48, pixel_shuffle_ratio=0.5,
+            # HF Llama4VisionMLP2.fc1 takes intermediate_size as its
+            # in-features, assuming hidden/(ratio^2) == intermediate
+            # (true for the real 1408/5632 config) — mirror that here
+            intermediate_size=128, pixel_shuffle_ratio=0.5,
             projector_input_dim=128, projector_output_dim=128,
             vision_output_dim=128, rope_theta=10000.0,
         ),
@@ -115,7 +118,11 @@ def test_llama4_vision_parity(tmp_path):
     rng = np.random.default_rng(32)
     pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
     with torch.no_grad():
-        want = m.get_image_features(torch.tensor(pix)).numpy()
+        # get_image_features ends at the pixel-shuffle adapter; the
+        # multimodal projector applies at splice time in HF forward
+        want = m.multi_modal_projector(
+            m.get_image_features(torch.tensor(pix), "default")
+        ).numpy()
     feats = llama4_vision_forward(
         lp, lcfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
     got = np.asarray(llama4_project(lp, lcfg, feats))
@@ -152,9 +159,96 @@ def test_idefics3_parity(tmp_path):
     rng = np.random.default_rng(33)
     pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
     with torch.no_grad():
-        pm = torch.ones((1, 1, 16, 16), dtype=torch.bool)
-        want = m.get_image_features(torch.tensor(pix), pm).numpy()
+        # (B, num_images, C, H, W); full-ones mask = no padded regions
+        want = m.model.get_image_features(
+            torch.tensor(pix)[None]
+        ).numpy()
     feats = siglip_forward(sp, scfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
     got = np.asarray(idefics3_project(sp, feats, scale))
     np.testing.assert_allclose(
         got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)
+
+
+def test_glm4v_vision_parity():
+    """GLM4-V vision tower + downsample + merger vs HF Glm4vVisionModel
+    (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp).
+    Standalone weight map: the glm4v_text M-RoPE body is not converter-
+    routed yet (PARITY.md), so parity runs against the vision module."""
+    from transformers.models.glm4v.configuration_glm4v import (
+        Glm4vVisionConfig as HFVC,
+    )
+    from transformers.models.glm4v.modeling_glm4v import Glm4vVisionModel
+
+    from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+    from vlut_tpu.models.vision_wave3 import (
+        Glm4vVisionConfig,
+        glm4v_vision_forward,
+    )
+
+    hc = HFVC(
+        hidden_size=48, depth=2, num_heads=4, intermediate_size=64,
+        out_hidden_size=40, image_size=16, patch_size=4,
+        spatial_merge_size=2, temporal_patch_size=2,
+    )
+    hm = Glm4vVisionModel(hc).float().eval()
+    _randomize(hm, 84)
+
+    vc = Glm4vVisionConfig(
+        image_size=16, patch_size=4, d_model=48, n_layers=2, n_heads=4,
+        d_out=40, d_proj_ff=64, merge=2, rms_eps=hc.rms_norm_eps,
+        attention_bias=hc.attention_bias,
+    )
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in hm.state_dict().items()}
+    m = vc.merge
+    params = {
+        "patch_w": sd["patch_embed.proj.weight"].reshape(
+            vc.d_model, -1).T,
+        "patch_b": sd["patch_embed.proj.bias"],
+        "post_conv_norm": sd["post_conv_layernorm.weight"],
+        "pos": sd["embeddings.position_embedding.weight"],
+        "post_norm": sd["post_layernorm.weight"],
+        "down_w": sd["downsample.weight"].transpose(2, 3, 1, 0).reshape(
+            m * m * vc.d_model, vc.d_out),
+        "down_b": sd["downsample.bias"],
+        "merge_proj": sd["merger.proj.weight"].T,
+        "merge_ln_w": sd["merger.post_projection_norm.weight"],
+        "merge_ln_b": sd["merger.post_projection_norm.bias"],
+        "merge_gate": sd["merger.gate_proj.weight"].T,
+        "merge_up": sd["merger.up_proj.weight"].T,
+        "merge_down": sd["merger.down_proj.weight"].T,
+        "layers": {},
+    }
+    names = {
+        "norm1.weight": "ln1_w", "norm2.weight": "ln2_w",
+        "attn.qkv.weight": ("wqkv", True), "attn.qkv.bias": "bqkv",
+        "attn.proj.weight": ("wo", True),
+        "mlp.gate_proj.weight": ("w_gate", True),
+        "mlp.up_proj.weight": ("w_up", True),
+        "mlp.down_proj.weight": ("w_down", True),
+    }
+    for sub, nm in names.items():
+        nm, tr = nm if isinstance(nm, tuple) else (nm, False)
+        try:
+            vals = [sd[f"blocks.{i}.{sub}"] for i in range(vc.n_layers)]
+        except KeyError:
+            continue  # attention_bias=False drops bqkv
+        params["layers"][nm] = np.stack(
+            [v.T if tr else v for v in vals])
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(44)
+    pix = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    qvc = QwenVisionConfig(
+        depth=2, embed_dim=48, n_heads=4, mlp_dim=64, patch_size=4,
+        temporal_patch_size=2, spatial_merge_size=2,
+    )
+    patches, grid = patchify(pix, qvc)
+    with torch.no_grad():
+        want = hm(
+            torch.tensor(patches),
+            grid_thw=torch.tensor([[1, grid[0], grid[1]]]),
+        ).numpy()
+    got = np.asarray(glm4v_vision_forward(
+        params, vc, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -3134,6 +3134,8 @@ def _convert_internvl_vision(
             arr = arr.T
         stacks[nm][li] = arr
     for nm, vals in stacks.items():
+        if all(v_ is None for v_ in vals):
+            continue  # optional tensors (attention_bias=False omits b*)
         out[f"layers.{nm}"] = np.stack(vals)
     save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
               str(out_dir / "internvl.safetensors"))
@@ -3239,10 +3241,20 @@ def _convert_idefics3(
     p = "vision_model."
     g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
     pw = g(f"{p}embeddings.patch_embedding.weight")
+    # Idefics3's NaViT-style fractional-coordinate bucketing
+    # (Idefics3VisionEmbeddings.forward): for the full-size square grid,
+    # bucket(k/n) = searchsorted(boundaries, k/n, 'left') REPEATS bucket 0
+    # (ids 0,0,1,2,... per axis) — a non-identity map even at native
+    # resolution.  The grid is static, so bake the gathered table here and
+    # the tower stays a plain siglip_forward.
+    n_side = icfg["image_size"] // icfg["patch_size"]
+    bounds = np.arange(1, n_side) / n_side
+    buck = np.searchsorted(bounds, np.arange(n_side) / n_side, "left")
+    ids = (buck[:, None] * n_side + buck[None, :]).reshape(-1)
     out: dict[str, np.ndarray] = {
         "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
         "patch_b": g(f"{p}embeddings.patch_embedding.bias"),
-        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "pos": g(f"{p}embeddings.position_embedding.weight")[ids],
         "post_ln_w": g(f"{p}post_layernorm.weight"),
         "post_ln_b": g(f"{p}post_layernorm.bias"),
         "mm_proj": g("connector.modality_projection.proj.weight").T,

@@ -80,9 +80,10 @@ def internvl_forward(
     for i in range(cfg.n_layers):
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         h = _norm(x, lp["ln1_w"], lp.get("ln1_b"), cfg.ln_eps, nt)
-        q = h @ lp["wq"] + lp["bq"]
-        k = h @ lp["wk"] + lp["bk"]
-        v = h @ lp["wv"] + lp["bv"]
+        # q/k/v biases exist only when attention_bias=True in the HF cfg
+        q = h @ lp["wq"] + lp.get("bq", 0.0)
+        k = h @ lp["wk"] + lp.get("bk", 0.0)
+        v = h @ lp["wv"] + lp.get("bv", 0.0)
         if cfg.use_qk_norm:
             # full-WIDTH RMS before the head split (HF q_norm/k_norm at
             # embed_dim; the reference graph normalizes likewise)
@@ -240,6 +241,105 @@ def llama4_project(
     x = jax.nn.gelu(x @ params["adapter_w1"], approximate=False)
     x = jax.nn.gelu(x @ params["adapter_w2"], approximate=False)
     return x @ params["mm_proj"]
+
+
+# ---------------------------------------------------------------------------
+# GLM4-V vision (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Glm4vVisionConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    d_model: int = 1536
+    n_layers: int = 24
+    n_heads: int = 12
+    d_out: int = 4096            # out_hidden_size (= LLM width)
+    d_proj_ff: int = 13696       # merger gate/up width (intermediate_size)
+    temporal_patch_size: int = 2
+    merge: int = 2               # spatial_merge_size
+    rms_eps: float = 1e-5
+    attention_bias: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def glm4v_vision_forward(
+    params: dict[str, Any], vc: Glm4vVisionConfig, patches: jax.Array,
+    grid_hw: tuple[int, int],
+) -> jax.Array:
+    """GLM4-V ViT: (N, tp*p*p*C) merge-block-major patch rows ->
+    (N/merge^2, d_out) embeddings (HF Glm4vVisionModel; reference
+    tools/mtmd/models/glm4v.cpp).  Structure: conv3d patchify (+bias) ->
+    post-conv RMSNorm -> +interpolated learned positions -> RMS-normed
+    blocks (fused qkv, no-bias o/MLP, silu-gated MLP at d_out width, 2-D
+    half rope) -> post RMSNorm -> merge^2 downsample conv -> merger
+    (proj, LayerNorm, GELU, gated silu MLP).
+
+    Positions: HF grid_samples the (side, side) learned table bicubically
+    at the patch centers; for a native-grid input that sampling is exact
+    gathering, which is what the block-major gather here implements.
+    Non-native grids go through jax.image.resize bicubic (the reference
+    resizes bicubically too, GGML_SCALE_MODE_BICUBIC)."""
+    from vlut_tpu.models.qwen_vision import _vision_rot_table, _rot_half
+
+    gh, gw = grid_hw
+    m = vc.merge
+    x = patches.astype(jnp.float32) @ params["patch_w"] + params["patch_b"]
+    x = _rms(x, params["post_conv_norm"], vc.rms_eps)
+
+    # learned positions, gathered in the same merge-block-major order
+    pos = params["pos"]
+    side = int(round(pos.shape[0] ** 0.5))
+    pos2d = pos.reshape(side, side, vc.d_model)
+    if (gh, gw) != (side, side):
+        pos2d = jax.image.resize(
+            pos2d, (gh, gw, vc.d_model), method="bicubic")
+    hh = np.arange(gh).reshape(gh // m, m, 1, 1)
+    hh = np.broadcast_to(hh, (gh // m, m, gw // m, m))
+    hh = hh.transpose(0, 2, 1, 3).reshape(-1)
+    ww = np.arange(gw).reshape(1, 1, gw // m, m)
+    ww = np.broadcast_to(ww, (gh // m, m, gw // m, m))
+    ww = ww.transpose(0, 2, 1, 3).reshape(-1)
+    x = x + pos2d[jnp.asarray(hh), jnp.asarray(ww)]
+
+    cos, sin = _vision_rot_table(grid_hw, vc.head_dim, m)
+    H, hd = vc.n_heads, vc.head_dim
+    n = x.shape[0]
+
+    def rope(z):  # (N, H, hd)
+        return z * cos[:, None, :] + _rot_half(z) * sin[:, None, :]
+
+    L = params["layers"]
+    for i in range(vc.n_layers):
+        lp = jax.tree.map(lambda a: a[i], L)
+        h_in = _rms(x, lp["ln1_w"], vc.rms_eps)
+        qkv = h_in @ lp["wqkv"]
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"]
+        qkv = qkv.reshape(n, 3, H, hd)
+        q, k, v = rope(qkv[:, 0]), rope(qkv[:, 1]), qkv[:, 2]
+        sc = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+        p = jax.nn.softmax(sc, axis=-1)
+        att = jnp.einsum("hts,shd->thd", p, v).reshape(n, -1)
+        x = x + att @ lp["wo"]
+        h_in = _rms(x, lp["ln2_w"], vc.rms_eps)
+        a = jax.nn.silu(h_in @ lp["w_gate"]) * (h_in @ lp["w_up"])
+        x = x + a @ lp["w_down"]
+
+    x = _rms(x, params["post_norm"], vc.rms_eps)
+    # downsample conv over each merge x merge block (block-major rows):
+    # equivalent to a linear over the concatenated block features
+    x = x.reshape(n // (m * m), m * m * vc.d_model)
+    x = x @ params["down_w"] + params["down_b"]
+    # merger (Glm4vVisionPatchMerger)
+    x = x @ params["merge_proj"]
+    x = _ln(x, params["merge_ln_w"], params["merge_ln_b"], 1e-5)
+    x = jax.nn.gelu(x, approximate=False)
+    a = jax.nn.silu(x @ params["merge_gate"]) * (x @ params["merge_up"])
+    return a @ params["merge_down"]
 
 
 # ---------------------------------------------------------------------------
