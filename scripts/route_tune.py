@@ -3,14 +3,21 @@
 
 For each flagship (fused llama3-8B) GEMM weight shape x M in the engine's
 bucket x batch products, times the Pallas word-packed kernel against the
-XLA unpack+int8-dot lowering IN INTERLEAVED A/B (drift-proof protocol,
-PERF.md) and writes the winner as a ``route:{fmt}[w]:{M}:{Kp}:{Np}``
-entry into bench/autotune_v5e.json.  ops/matmul.py consults these at
-trace time, replacing the single global VLUT_TPU_XLA_MIN_M crossover
-that put b=8 pp128 on the wrong side (reference analog: per-shape config
-search, evaluation/scripts/search-config.sh).
+XLA unpack+int8-dot lowering and writes the winner as a
+``route:{fmt}[w]:{M}:{Kp}:{Np}`` entry into bench/autotune_v5e.json.
+ops/matmul.py consults these at trace time, replacing the single global
+VLUT_TPU_XLA_MIN_M crossover that put b=8 pp128 on the wrong side
+(reference analog: per-shape config search,
+evaluation/scripts/search-config.sh).
+
+Timing: CHAINED dispatch — n_iter GEMMs data-dependent inside ONE jitted
+fori_loop (xor feedback, L_STACK weight copies against cache reuse),
+marginal (t(hi)-t(lo))/(hi-lo), min over repeats, pallas/xla interleaved.
+Per-call wall timing is useless on this tunnel (the first cut of this
+script measured NEGATIVE marginals from dispatch jitter).
 """
 
+import functools
 import json
 import pathlib
 import sys
@@ -37,23 +44,62 @@ SHAPES = [  # llama3-8B load-time-fused projection widths
     ("gateup", 4096, 28672),
     ("down", 14336, 4096),
 ]
+L_STACK = 4
 
 
-def _time_impl(fn, n_lo=8, n_hi=32, reps=3):
-    """Marginal timing: (t(n_hi) - t(n_lo)) / (n_hi - n_lo)."""
-    best = float("inf")
-    for _ in range(reps):
-        for n in (n_lo, n_hi):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn()
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            if n == n_lo:
-                lo = dt
-            else:
-                best = min(best, (dt - lo) / (n_hi - n_lo))
-    return best
+N_LO, N_HI = 2, 8
+
+
+def make_loop(impl, m, ts):
+    t0 = ts[0]
+    kp = t0.k_padded
+
+    @jax.jit
+    def loop(x_q, n_iter):
+        x_s = jnp.ones((m, 1), jnp.float32)
+
+        def body(i, acc):
+            t = jax.lax.switch(
+                i % L_STACK,
+                [lambda tt=tt: (tt.packed, tt.scale) for tt in ts],
+            )
+            tt = TernaryTensor(packed=t[0], scale=t[1], k=t0.k, n=t0.n,
+                               fmt=t0.fmt, kb=t0.kb)
+            out = ternary_matmul_quantized(acc, x_s, tt, impl=impl)
+            fb = out.astype(jnp.int8)
+            if fb.shape[1] < kp:
+                fb = jnp.tile(fb, (1, -(-kp // fb.shape[1])))
+            return acc ^ fb[:, :kp]
+
+        return jnp.sum(
+            jax.lax.fori_loop(0, n_iter, body, x_q).astype(jnp.int32)
+        )
+
+    rng = np.random.default_rng(0)
+    x_q = jax.device_put(
+        jnp.asarray(rng.integers(-100, 100, (m, kp)), jnp.int8))
+    for n_iter in (N_LO, N_HI):
+        int(loop(x_q, n_iter))  # compile + warm both trip counts
+    return loop, x_q
+
+
+def bench_pair(m, ts, repeats=3):
+    """Compile both impls ONCE, then interleave the timed passes so
+    drift hits both arms equally."""
+    fns = {impl: make_loop(impl, m, ts) for impl in ("pallas", "xla")}
+    t = {impl: {N_LO: float("inf"), N_HI: float("inf")}
+         for impl in fns}
+    for _ in range(repeats):
+        for impl, (loop, x_q) in fns.items():
+            for n_iter in (N_LO, N_HI):
+                t0_ = time.perf_counter()
+                int(loop(x_q, n_iter))
+                t[impl][n_iter] = min(
+                    t[impl][n_iter], time.perf_counter() - t0_)
+    return {
+        impl: (v[N_HI] - v[N_LO]) / (N_HI - N_LO)
+        for impl, v in t.items()
+    }
 
 
 def main():
@@ -62,37 +108,32 @@ def main():
     table = json.loads(DEFAULT_FILE.read_text())
     rng = np.random.default_rng(0)
     for tag, k, n in SHAPES:
-        trits = rng.integers(-1, 2, (k, n)).astype(np.int8)
-        t = pack_ternary(trits, np.float32(0.03), fmt)
-        if word:
-            t = TernaryTensor(
-                packed=word_pack(jnp.asarray(t.packed), fmt),
-                scale=t.scale, k=t.k, n=t.n, fmt=t.fmt, kb=t.kb,
-            )
-        kp, np_ = t.k_padded, t.n_padded
-        for m in MS:
-            x_q = jax.device_put(jnp.asarray(
-                rng.integers(-100, 100, (m, k)), jnp.int8))
-            x_s = jax.device_put(jnp.ones((m, 1), jnp.float32))
-            fns = {}
-            for impl in ("pallas", "xla"):
-                fns[impl] = jax.jit(
-                    lambda xq, xs, impl=impl: ternary_matmul_quantized(
-                        xq, xs, t, impl=impl
-                    )
+        ts = []
+        for li in range(L_STACK):
+            trits = rng.integers(-1, 2, (k, n)).astype(np.int8)
+            t = pack_ternary(trits, np.float32(0.03), fmt)
+            if word:
+                t = TernaryTensor(
+                    packed=jax.device_put(
+                        word_pack(jnp.asarray(t.packed), fmt)),
+                    scale=t.scale, k=t.k, n=t.n, fmt=t.fmt, kb=t.kb,
                 )
-                fns[impl](x_q, x_s).block_until_ready()  # compile
-            # interleaved A/B
-            tims = {}
-            for impl in ("pallas", "xla", "pallas", "xla"):
-                dt = _time_impl(lambda i=impl: fns[i](x_q, x_s))
-                tims[impl] = min(tims.get(impl, float("inf")), dt)
+            else:
+                t = TernaryTensor(
+                    packed=jax.device_put(jnp.asarray(t.packed)),
+                    scale=t.scale, k=t.k, n=t.n, fmt=t.fmt, kb=t.kb,
+                )
+            ts.append(t)
+        kp, np_ = ts[0].k_padded, ts[0].n_padded
+        for m in MS:
+            tims = bench_pair(m, ts)
             win = min(tims, key=tims.get)
             key = f"route:{fmt}{'w' if word else ''}:{m}:{kp}:{np_}"
             table[key] = win
             print(f"{tag} M={m}: pallas {tims['pallas']*1e3:.3f} ms, "
                   f"xla {tims['xla']*1e3:.3f} ms -> {win}", flush=True)
-    DEFAULT_FILE.write_text(json.dumps(table, indent=1))
+            # incremental write: a timeout mid-run keeps finished entries
+            DEFAULT_FILE.write_text(json.dumps(table, indent=1))
     print(f"wrote {DEFAULT_FILE}")
 
 

@@ -1365,18 +1365,37 @@ def run_layers(
         def fused_attend(self, q, k, v, start, window, scale):
             """KV row write + flash attention in ONE kernel launch
             (ops/decode_attention.py) — replaces _put_pair + _attention
-            on the standard decode path; the cache streams once in bf16
-            instead of being upcast to f32 by the XLA einsum."""
-            from vlut_tpu.ops.decode_attention import (
-                decode_attention_pallas,
-            )
-
+            on the standard decode path; the cache streams once in its
+            storage dtype (bf16, or int8 codes + scale planes) instead of
+            being upcast to f32 by the XLA einsum."""
             st, i = self.state, self.i
             ks, vs = list(st["k"]), list(st["v"])
-            att, ks[i], vs[i] = decode_attention_pallas(
-                q, k, v, ks[i], vs[i], start,
-                window if window is not None else 0, scale=scale,
-            )
+            if "k_scale" in st:
+                # int8 cache: codes + per-(row, head) scales stream into
+                # the kernel; the new row quantizes in kernel
+                # (ops/decode_attention int8 variant, VERDICT r4 item 4)
+                from vlut_tpu.ops.decode_attention import (
+                    decode_attention_int8_pallas,
+                )
+
+                kss, vss = list(st["k_scale"]), list(st["v_scale"])
+                att, ks[i], vs[i], kss[i], vss[i] = (
+                    decode_attention_int8_pallas(
+                        q, k, v, ks[i], vs[i], start,
+                        window if window is not None else 0,
+                        kss[i], vss[i], scale=scale,
+                    )
+                )
+                st["k_scale"], st["v_scale"] = tuple(kss), tuple(vss)
+            else:
+                from vlut_tpu.ops.decode_attention import (
+                    decode_attention_pallas,
+                )
+
+                att, ks[i], vs[i] = decode_attention_pallas(
+                    q, k, v, ks[i], vs[i], start,
+                    window if window is not None else 0, scale=scale,
+                )
             st["k"], st["v"] = tuple(ks), tuple(vs)
             return att
 
@@ -1745,18 +1764,26 @@ def run_layers(
             if use_cache:
                 fused_attn_ok = (
                     t == 1
-                    and not quant_kv
                     and isinstance(kvio, _SlotKV)
                     and impl in ("auto", "pallas")
                     and jax.default_backend() == "tpu"
-                    # default OFF: drift-proof interleaved A/B (6 reps,
-                    # scripts/exp_ab_interleave.py) measured the fused
-                    # kernel at 6.00 ms/step vs 5.52 composed at 8B np=32
-                    # — XLA's attention+write pipeline already runs near
-                    # achievable bandwidth, and the kernel's per-row grid
-                    # reads the cache at lower effective bandwidth than
-                    # the fused XLA dot.  Kept for future shapes (long S).
-                    and os.environ.get("VLUT_TPU_FUSED_ATTN", "0") == "1"
+                    # bf16 cache: default OFF — drift-proof interleaved
+                    # A/B (6 reps, scripts/exp_ab_interleave.py) measured
+                    # the fused kernel at 6.00 ms/step vs 5.52 composed at
+                    # 8B np=32 — XLA's attention+write pipeline already
+                    # runs near achievable bandwidth.  Kept for long S.
+                    # int8 cache: default ON — the composed path's XLA
+                    # program materializes f32 copies of the code planes
+                    # (9.14 ms vs 5.52 bf16, PERF.md round-4); the kernel
+                    # streams codes at half the bf16 bytes (see the
+                    # round-5 A/B in PERF.md)
+                    and (
+                        os.environ.get(
+                            "VLUT_TPU_FUSED_ATTN_INT8", "1") == "1"
+                        if quant_kv
+                        else os.environ.get(
+                            "VLUT_TPU_FUSED_ATTN", "0") == "1"
+                    )
                     # Mosaic block constraint: the kernel blocks on the
                     # trailing head dim, which must be 128-aligned (same
                     # rule enforced for the Pallas KV writes below); models

@@ -156,6 +156,256 @@ def _fused_decode_attn_kernel(
         out_ref[0, 0] = num / l_new
 
 
+def _fused_decode_attn_int8_kernel(
+    # scalar prefetch
+    start_ref,   # (B,) int32
+    win_ref,     # (1,) int32
+    # inputs
+    q_ref,       # (1, 1, H, hd) f32
+    kn_ref,      # (1, 1, Hkv, hd) f32 — UNQUANTIZED new row
+    vn_ref,      # (1, 1, Hkv, hdv) f32
+    kc_ref,      # (1, CS, Hkv, hd) int8 codes
+    vc_ref,      # (1, CS, Hkv, hdv) int8
+    ksc_ref,     # (1, CS, Hkv) f32 per-row scales
+    vsc_ref,     # (1, CS, Hkv) f32
+    # outputs
+    out_ref,     # (1, 1, H, hdv) f32
+    ko_ref,      # (1, 1, Hkv, hd) int8 aliased cache row
+    vo_ref,      # (1, 1, Hkv, hdv) int8
+    kso_ref,     # (1, 1, Hkv) f32 aliased scale row
+    vso_ref,     # (1, 1, Hkv) f32
+    # scratch
+    m_ref,       # (H, 1) f32
+    l_ref,       # (H, 1) f32
+    acc_ref,     # (H, hdv) f32
+    knq_ref,     # (Hkv, hd) f32 — quantized-dequantized new K
+    vnq_ref,     # (Hkv, hdv) f32
+    *,
+    hkv: int,
+    g: int,
+    hd: int,
+    hdv: int,
+    cs: int,
+    n_s: int,
+    scale: float,
+):
+    """int8-KV variant (VERDICT r4 item 4): reads the cache CODES (half
+    the bytes of bf16) + per-(row, head) scale planes, upcasting
+    code * scale in VMEM — the composed XLA path materializes f32 copies
+    of the whole cache instead (scripts/exp_hlo_copies.py; q8 decode
+    measured 9.14 ms vs 5.52 bf16 at 8B np=32 in round 4).  The step's
+    new K/V rows are quantized IN KERNEL with kv_cache.quantize_kv
+    semantics (max-abs/127 per (row, head)) and the attention's own-token
+    term uses the QUANTIZED values, bit-matching the composed int8 path."""
+    b_i = pl.program_id(0)
+    s_i = pl.program_id(1)
+    start = start_ref[b_i]
+    win = win_ref[0]
+
+    @pl.when(s_i == 0)
+    def _init():
+        # quantize the new row exactly like runtime/kv_cache.quantize_kv
+        def qz(x, codes_ref, sc_ref, dq_ref):
+            amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # (Hkv, 1)
+            sc = amax / 127.0
+            inv = jnp.where(sc > 0, 1.0 / jnp.maximum(sc, 1e-30), 0.0)
+            codes = jnp.clip(jnp.round(x * inv), -127, 127)
+            codes_ref[0, 0] = codes.astype(jnp.int8)
+            # (Hkv, 1) -> (1, Hkv) lane vector for the scale-plane row
+            sc_ref[0] = jnp.transpose(sc, (1, 0))
+            dq_ref[...] = codes * sc
+        qz(kn_ref[0, 0].astype(jnp.float32), ko_ref, kso_ref, knq_ref)
+        qz(vn_ref[0, 0].astype(jnp.float32), vo_ref, vso_ref, vnq_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + s_i * cs
+    valid = rows < start
+    valid &= (win <= 0) | (rows > start - win)
+
+    h = hkv * g
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    hh = jax.lax.broadcasted_iota(jnp.int32, (h, hkv), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, hkv), 1)
+    gsel = (hh // g == jj).astype(jnp.float32)
+
+    s_all = jnp.concatenate([
+        jax.lax.dot_general(
+            q[j * g : (j + 1) * g, :],
+            kc_ref[0, :, j, :].astype(jnp.float32)
+            * ksc_ref[0, :, j][:, None],   # scaled upcast, sublane bcast
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for j in range(hkv)
+    ], axis=0)                                   # (H, CS)
+    s_all = jnp.where(valid, s_all, _NEG)
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(s_all, axis=-1, keepdims=True))
+    p = jnp.exp(s_all - m_new)
+    p = jnp.where(valid, p, 0.0)
+    alpha = jnp.exp(m_old - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jnp.concatenate([
+        jax.lax.dot_general(
+            p[j * g : (j + 1) * g, :],
+            vc_ref[0, :, j, :].astype(jnp.float32)
+            * vsc_ref[0, :, j][:, None],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for j in range(hkv)
+    ], axis=0)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = m_new
+
+    @pl.when(s_i == n_s - 1)
+    def _epilogue():
+        kn = knq_ref[...]                        # quantized-dequantized
+        vn = vnq_ref[...]
+        sn_full = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sn = jnp.sum(sn_full * gsel, axis=-1, keepdims=True)
+        m_old = m_ref[...]
+        m_new = jnp.maximum(m_old, sn)
+        alpha = jnp.exp(m_old - m_new)
+        pn = jnp.exp(sn - m_new)
+        l_new = l_ref[...] * alpha + pn
+        vn_sel = jax.lax.dot_general(
+            gsel, vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        num = acc_ref[...] * alpha + pn * vn_sel
+        out_ref[0, 0] = num / l_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "cs", "interpret"),
+    donate_argnums=(3, 4, 7, 8),
+)
+def decode_attention_int8_pallas(
+    q: jax.Array,       # (B, 1, H, hd) float
+    k_new: jax.Array,   # (B, 1, Hkv, hd) float (quantized in kernel)
+    v_new: jax.Array,   # (B, 1, Hkv, hdv)
+    kc: jax.Array,      # (B, S, Hkv, hd) int8 codes (donated)
+    vc: jax.Array,      # (B, S, Hkv, hdv) int8
+    start: jax.Array,   # (B,) int32
+    window: jax.Array,  # () or (1,) int32
+    ksc: jax.Array,     # (B, S, Hkv) f32 scales (donated)
+    vsc: jax.Array,
+    *,
+    scale: float,
+    cs: int = 512,
+    interpret: bool = False,
+):
+    """Returns (att, kc, vc, ksc, vsc) — codes AND scale rows updated in
+    place.  See _fused_decode_attn_int8_kernel."""
+    b, s, hkv, hd = kc.shape
+    hdv = vc.shape[-1]
+    h = q.shape[2]
+    g = h // hkv
+    requested = cs = min(cs, s)
+    while s % cs:
+        cs //= 2
+    if cs < requested and cs < 128 and s > 128:
+        raise ValueError(
+            f"cache length {s} has no chunk divisor >= 128 (cs={cs}); "
+            f"pad max_len to a multiple of 128"
+        )
+    n_s = s // cs
+
+    kernel = functools.partial(
+        _fused_decode_attn_int8_kernel, hkv=hkv, g=g, hd=hd, hdv=hdv,
+        cs=cs, n_s=n_s, scale=scale,
+    )
+
+    def q_map(i, si, start_, win_):
+        del si, start_, win_
+        return (i, 0, 0, 0)
+
+    def chunk_map(i, si, start_, win_):
+        del start_, win_
+        return (i, si, 0, 0)
+
+    def row_map(i, si, start_, win_):
+        del si, win_
+        return (i, start_[i], 0, 0)
+
+    def sc_chunk_map(i, si, start_, win_):
+        del start_, win_
+        return (i, si, 0)
+
+    def sc_row_map(i, si, start_, win_):
+        del si, win_
+        return (i, start_[i], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, hd), q_map),
+            pl.BlockSpec((1, 1, hkv, hd), q_map),
+            pl.BlockSpec((1, 1, hkv, hdv), q_map),
+            pl.BlockSpec((1, cs, hkv, hd), chunk_map),
+            pl.BlockSpec((1, cs, hkv, hdv), chunk_map),
+            pl.BlockSpec((1, cs, hkv), sc_chunk_map),
+            pl.BlockSpec((1, cs, hkv), sc_chunk_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h, hdv), q_map),
+            pl.BlockSpec((1, 1, hkv, hd), row_map),
+            pl.BlockSpec((1, 1, hkv, hdv), row_map),
+            pl.BlockSpec((1, 1, hkv), sc_row_map),
+            pl.BlockSpec((1, 1, hkv), sc_row_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hdv), jnp.float32),
+            pltpu.VMEM((hkv, hd), jnp.float32),
+            pltpu.VMEM((hkv, hdv), jnp.float32),
+        ],
+    )
+    kv_bytes = (kc.size + vc.size) * 1 + (ksc.size + vsc.size) * 4
+    out, kc2, vc2, ksc2, vsc2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, h, hdv), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(ksc.shape, ksc.dtype),
+            jax.ShapeDtypeStruct(vsc.shape, vsc.dtype),
+        ],
+        # after 2 prefetch args: q kn vn kc vc ksc vsc -> 5,6,7,8
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * h * (hd + hdv),
+            bytes_accessed=kv_bytes,
+            transcendentals=b * s * h,
+        ),
+        interpret=interpret,
+    )(
+        start.astype(jnp.int32),
+        jnp.asarray(window, jnp.int32).reshape(1),
+        q.astype(jnp.float32),
+        k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+        kc, vc, ksc, vsc,
+    )
+    return out, kc2, vc2, ksc2, vsc2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "cs", "interpret"),

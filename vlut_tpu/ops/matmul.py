@@ -251,17 +251,20 @@ def ternary_matmul_quantized(
     psummed over the axis before scaling (see ternary_matmul), keeping the
     result bit-identical to the unsharded GEMM.
     """
-    if impl == "auto":
+    auto = impl == "auto"
+    if auto:
         impl = _default_impl()
     m, k = x_q.shape
-    if impl == "pallas":
+    if auto and impl == "pallas":
         # pallas-vs-XLA routing: XLA's unpack + int8 dot pipelines the
         # trit decode under the MXU better at large M (the Pallas kernel
         # re-decodes the full weight per M-tile; measured pp128x32 e2e on
         # v5e: 265 ms xla vs 372 ms pallas).  The crossover is per-SHAPE:
         # a measured `route:` entry in the autotune table wins (VERDICT
         # r4 weak #1 — one global threshold put b=8 pp128 on the wrong
-        # side), the VLUT_TPU_XLA_MIN_M threshold is the untuned fallback.
+        # side), the VLUT_TPU_XLA_MIN_M threshold is the untuned
+        # fallback.  Explicit impl="pallas" always runs the kernel
+        # (hardware tests / the routing tuner itself need that).
         from vlut_tpu.bench.autotune import lookup_route
 
         route = lookup_route(

@@ -401,6 +401,9 @@ class GrammarSampler:
         self.eos_ids = tuple(eos_ids)
         self.trie = trie or VocabTrie(pieces)
         self.state = GrammarState(grammar)
+        # see mask(): exact memoization of masks / char advances
+        self._mask_cache: dict = {}
+        self._advance_cache: dict = {}
 
     def reset(self):
         self.state = GrammarState(self.grammar)
@@ -418,21 +421,50 @@ class GrammarSampler:
 
     def mask(self) -> np.ndarray:
         """(V,) bool: tokens whose full text is consumable from the current
-        state; EOS ids allowed iff the grammar can end here."""
+        state; EOS ids allowed iff the grammar can end here.
+
+        Memoized two ways (measured on a synthetic 128k-piece BPE vocab,
+        scripts/exp_grammar_cost.py: the raw DFS costs ~1.1 s/token under
+        a JSON-schema grammar — 300x a 3.4 ms decode step — because a
+        permissive string-body state reaches nearly every trie node):
+        * whole masks keyed by the state's stack set — the string-body
+          state RECURS every token, so steady-state decode is a dict hit;
+        * (stacks, char) -> stacks advances shared across the walk and
+          across calls, collapsing repeated subtree transitions.
+        The reference pays the same walk in C++ per token
+        (src/llama-grammar.cpp llama_grammar_apply_impl); memoization is
+        the Python-host answer, and is exact (states are value-keyed)."""
+        key = self.state.stacks
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        g = self.grammar
+        adv = self._advance_cache
         allowed = np.zeros((self.trie.n,), bool)
-        # DFS over (trie node, grammar state); prune dead branches once
-        stack = [(self.trie.root, self.state)]
+        # DFS over (trie node, stack set); prune dead branches once
+        stack = [(self.trie.root, key)]
         while stack:
-            node, gs = stack.pop()
+            node, stacks = stack.pop()
             for tid in node.token_ids:
                 allowed[tid] = True
             for cp, child in node.children.items():
-                ns = gs.advance_char(cp)
-                if not ns.dead:
+                akey = (stacks, cp)
+                ns = adv.get(akey)
+                if ns is None:
+                    nxt = set()
+                    for st in stacks:
+                        if st and st[0][0] == "char" and _char_matches(
+                            st[0], cp
+                        ):
+                            nxt |= _expand(g, st[1:])
+                    ns = adv[akey] = frozenset(nxt)
+                if ns:
                     stack.append((child, ns))
         if self.state.can_end:
             for e in self.eos_ids:
                 allowed[e] = True
+        allowed.setflags(write=False)  # cached array is shared
+        self._mask_cache[key] = allowed
         return allowed
 
 
