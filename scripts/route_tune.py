@@ -47,7 +47,7 @@ SHAPES = [  # llama3-8B load-time-fused projection widths
 L_STACK = 4
 
 
-N_LO, N_HI = 2, 8
+N_LO, N_HI = 16, 128
 
 
 def make_loop(impl, m, ts):

@@ -252,3 +252,80 @@ def test_glm4v_vision_parity():
     got = np.asarray(glm4v_vision_forward(
         params, vc, jnp.asarray(patches), grid))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_glm4v_end_to_end_convert(tmp_path):
+    """glm4v through the REAL converter: text body (glm4 sandwich norms +
+    partial interleaved rope) logit-parity vs HF on text-only input, and
+    the vision tower routed to glm4v_vision.safetensors with
+    get_image_features parity."""
+    from vlut_tpu.convert.checkpoint import (
+        load_checkpoint,
+        load_glm4v_vision,
+    )
+    from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+    from vlut_tpu.models.transformer import forward, init_kv_cache
+    from vlut_tpu.models.vision_wave3 import glm4v_vision_forward
+    from vlut_tpu.train.finetune import float_twin_params
+
+    c = transformers.Glm4vConfig(
+        text_config=dict(
+            # hd=128: rope_interleaved needs an unpadded head dim
+            vocab_size=V, hidden_size=512, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0, partial_rotary_factor=0.5,
+            attention_bias=True,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [16, 8, 8]},
+        ),
+        vision_config=dict(
+            hidden_size=48, depth=2, num_heads=4, intermediate_size=64,
+            out_hidden_size=32, image_size=16, patch_size=4,
+            spatial_merge_size=2, temporal_patch_size=2,
+        ),
+        image_token_id=V - 1, video_start_token_id=V - 2,
+        video_end_token_id=V - 3, image_start_token_id=V - 4,
+        image_end_token_id=V - 5,
+    )
+    m = transformers.Glm4vForConditionalGeneration(c).float().eval()
+    _randomize(m, 85)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    # text parity (M-RoPE rows equal for text -> standard partial rope)
+    cfg, params, _ = load_checkpoint(tmp_path / "out")
+    pf = float_twin_params(params, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 11, 25, 40, 7, 19]], np.int32)
+    with torch.no_grad():
+        want = m.model.language_model(
+            input_ids=torch.tensor(ids.astype(np.int64))
+        ).last_hidden_state
+        want = m.lm_head(want).numpy()
+    pos = jnp.tile(jnp.arange(ids.shape[1], dtype=jnp.int32), (1, 1))
+    got, _ = forward(pf, cfg, jnp.asarray(ids), pos,
+                     init_kv_cache(cfg, 1, max_len=16), impl="dequant")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[..., : cfg.vocab_size], want,
+        rtol=2e-4, atol=3e-4)
+
+    # vision through the converter route
+    gcfg, gp, img_tok = load_glm4v_vision(tmp_path / "out")
+    assert gcfg is not None and img_tok == V - 1
+    gp = jax.tree.map(jnp.asarray, gp)
+    rng = np.random.default_rng(55)
+    pix = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    qvc = QwenVisionConfig(
+        depth=2, embed_dim=48, n_heads=4, mlp_dim=64, patch_size=4,
+        temporal_patch_size=2, spatial_merge_size=2,
+    )
+    patches, grid = patchify(pix, qvc)
+    with torch.no_grad():
+        want_v = m.model.visual(
+            torch.tensor(patches),
+            grid_thw=torch.tensor([[1, grid[0], grid[1]]]),
+        ).numpy()
+    got_v = np.asarray(glm4v_vision_forward(
+        gp, gcfg, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5)

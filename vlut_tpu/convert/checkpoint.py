@@ -307,6 +307,21 @@ def load_idefics3(path: str | pathlib.Path):
             meta.get("image_token_id"))
 
 
+def load_glm4v_vision(path: str | pathlib.Path):
+    """GLM4-V vision tower (+ downsample + merger).  Returns
+    (Glm4vVisionConfig, params, image_token_id) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    gc = meta.get("glm4v_vision_config")
+    if not gc or not (path / "glm4v_vision.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_wave3 import Glm4vVisionConfig
+
+    return (Glm4vVisionConfig(**gc),
+            _load_tower(path, "glm4v_vision.safetensors"),
+            meta.get("image_token_id"))
+
+
 def load_pixtral(path: str | pathlib.Path):
     """Pixtral tower (+ llava projector).  Returns
     (PixtralConfig, params, image_token_id) or (None, None, None)."""

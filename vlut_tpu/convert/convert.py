@@ -878,10 +878,13 @@ def config_from_hf(hf_dir: pathlib.Path) -> ModelConfig:
             pos_embed="alibi" if raw.get("alibi", False) else "rope",
             alibi_scaled=bool(raw.get("alibi", False)),
         )
-    if mt == "glm4":
+    if mt in ("glm4", "glm4v", "glm4v_text"):
         # sandwich norms (post_self_attn/post_mlp on branch outputs) +
         # partial INTERLEAVED rope; canon() renames the norms to the
-        # gemma-style keys the postnorm map understands
+        # gemma-style keys the postnorm map understands.  glm4v_text is
+        # the same body; its M-RoPE sections (rope_scaling.mrope_section)
+        # ride the qwen2-vl mrope machinery for image batches and reduce
+        # to standard rope for text (all three position rows equal)
         extra.update(
             post_norms=True,
             qkv_bias=raw.get("attention_bias", True),
@@ -1914,9 +1917,11 @@ def convert_hf(
                                 ".self_attn.o_proj.")
             name = name.replace(".mlp.dense_h_to_4h.", ".mlp.up_proj.")
             name = name.replace(".mlp.dense_4h_to_h.", ".mlp.down_proj.")
-        elif mt0 == "glm4":
+        elif mt0 in ("glm4", "glm4v"):
             # rename the sandwich norms to the gemma-style postnorm keys
-            # (order matters: the FFN pre-norm shares HF's usual name)
+            # (order matters: the FFN pre-norm shares HF's usual name);
+            # glm4v wraps its text body as model.language_model.*
+            name = name.replace("model.language_model.", "model.")
             name = name.replace(".post_attention_layernorm.",
                                 ".pre_feedforward_layernorm.")
             name = name.replace(".post_self_attn_layernorm.",
@@ -2231,6 +2236,10 @@ def convert_hf(
         if name.startswith(("model.visual.", "visual.")):
             if mt0 in ("qwen2_vl", "qwen2_5_vl"):
                 qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
+            elif mt0 == "glm4v":
+                vision_raw[
+                    "visual." + name.split("visual.", 1)[1]
+                ] = np.asarray(w)
             # qwen3-vl vision (deepstack) unsupported yet: text-only
             continue
         if name.startswith("language_model."):
@@ -2876,6 +2885,11 @@ def convert_hf(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(
                 "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "glm4v":
+            extra_meta["glm4v_vision_config"] = _convert_glm4v_vision(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
         else:
             vcfg = _convert_vision_tower(
                 vision_raw, hf_dir, pathlib.Path(out_dir)
@@ -3215,6 +3229,81 @@ def _convert_llama4_vision(
     save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
               str(out_dir / "llama4_vision.safetensors"))
     return lcfg
+
+
+def _convert_glm4v_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """GLM4-V vision tower + downsample + merger ->
+    glm4v_vision.safetensors (models/vision_wave3.glm4v_vision_forward
+    layout; reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    d = v.get("hidden_size", 1536)
+    m = v.get("spatial_merge_size", 2)
+    gcfg = {
+        "image_size": v.get("image_size", 336),
+        "patch_size": v.get("patch_size", 14),
+        "d_model": d,
+        "n_layers": v.get("depth", 24),
+        "n_heads": v.get("num_heads", 12),
+        "d_out": v.get("out_hidden_size", 4096),
+        "d_proj_ff": v.get("intermediate_size", 13696),
+        "temporal_patch_size": v.get("temporal_patch_size", 2),
+        "merge": m,
+        "rms_eps": v.get("rms_norm_eps", 1e-5),
+        "attention_bias": v.get("attention_bias", False),
+    }
+    p = "visual."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    out: dict[str, np.ndarray] = {
+        "patch_w": g(f"{p}patch_embed.proj.weight").reshape(d, -1).T,
+        "patch_b": g(f"{p}patch_embed.proj.bias"),
+        "post_conv_norm": g(f"{p}post_conv_layernorm.weight"),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "post_norm": g(f"{p}post_layernorm.weight"),
+        "down_w": g(f"{p}downsample.weight").transpose(2, 3, 1, 0).reshape(
+            m * m * d, gcfg["d_out"]),
+        "down_b": g(f"{p}downsample.bias"),
+        "merge_proj": g(f"{p}merger.proj.weight").T,
+        "merge_ln_w": g(f"{p}merger.post_projection_norm.weight"),
+        "merge_ln_b": g(f"{p}merger.post_projection_norm.bias"),
+        "merge_gate": g(f"{p}merger.gate_proj.weight").T,
+        "merge_up": g(f"{p}merger.up_proj.weight").T,
+        "merge_down": g(f"{p}merger.down_proj.weight").T,
+    }
+    name_map = {
+        "norm1.weight": ("ln1_w", False), "norm2.weight": ("ln2_w", False),
+        "attn.qkv.weight": ("wqkv", True), "attn.qkv.bias": ("bqkv", False),
+        "attn.proj.weight": ("wo", True),
+        "mlp.gate_proj.weight": ("w_gate", True),
+        "mlp.up_proj.weight": ("w_up", True),
+        "mlp.down_proj.weight": ("w_down", True),
+    }
+    L = gcfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L for nm, _ in name_map.values()}
+    tr_of = {nm: tr for nm, tr in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}blocks\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        mm = lre.match(name)
+        if not mm:
+            continue
+        li, sub = int(mm.group(1)), mm.group(2)
+        hit = name_map.get(sub)
+        if hit is None:
+            continue
+        nm, tr = hit
+        arr = np.asarray(w, np.float32)
+        stacks[nm][li] = arr.T if tr else arr
+    for nm, vals in stacks.items():
+        if all(v_ is None for v_ in vals):
+            continue  # attention_bias=False drops bqkv
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "glm4v_vision.safetensors"))
+    return gcfg
 
 
 def _convert_idefics3(
