@@ -4,6 +4,7 @@ mtmd-audio.cpp + models/whisper-enc.cpp)."""
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from vlut_tpu.models.audio import (
     AudioConfig,
@@ -100,3 +101,47 @@ def test_injection_into_decoder():
         token_embeds=seq[None],
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_voxtral_parity(tmp_path):
+    """Voxtral audio projector vs HF get_audio_features (reference
+    PROJECTOR_TYPE_VOXTRAL, tools/mtmd/whisper-enc.cpp mm MLP branch):
+    whisper encoder -> intermediate-width frame stacking -> no-bias
+    GELU MLP."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from vlut_tpu.models.audio import convert_hf_audio, load_audio_encoder
+
+    c = transformers.VoxtralConfig(
+        audio_config=dict(
+            num_mel_bins=16, num_hidden_layers=2, num_attention_heads=4,
+            hidden_size=32, max_source_positions=64,
+            intermediate_size=64,
+        ),
+        text_config=dict(
+            vocab_size=96, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        ),
+    )
+    torch.manual_seed(90)
+    m = transformers.VoxtralForConditionalGeneration(c).float().eval()
+    with torch.no_grad():
+        for _, p in m.named_parameters():
+            p.copy_(0.05 * torch.randn_like(p))
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+
+    cfg = convert_hf_audio(str(tmp_path / "hf"), str(tmp_path / "out"),
+                           d_llm=48)
+    assert cfg.projector == "voxtral" and cfg.stack_factor == 2
+    cfg2, params = load_audio_encoder(str(tmp_path / "out"))
+
+    rng = np.random.default_rng(7)
+    # T = 2 * max_source_positions mel frames -> encoder T/2 positions
+    mel = rng.standard_normal((16, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = m.get_audio_features(torch.tensor(mel)[None]).numpy()
+    got = np.asarray(encode(params, cfg2, jnp.asarray(mel.T)))
+    np.testing.assert_allclose(got.reshape(want.shape), want,
+                               rtol=2e-4, atol=2e-5)

@@ -329,3 +329,94 @@ def test_glm4v_end_to_end_convert(tmp_path):
     got_v = np.asarray(glm4v_vision_forward(
         gp, gcfg, jnp.asarray(patches), grid))
     np.testing.assert_allclose(got_v, want_v, rtol=2e-4, atol=2e-5)
+
+
+def test_janus_pro_parity(tmp_path):
+    """Janus-Pro understanding path: siglip-structured tower (exact-GELU
+    MLP) + aligner vs HF get_image_features; the generation-side
+    vqmodel/generation_* tensors are dropped like the reference's mtmd
+    (PROJECTOR_TYPE_JANUS_PRO)."""
+    from vlut_tpu.convert.checkpoint import load_janus_vision
+    from vlut_tpu.models.vision_wave3 import janus_aligner
+
+    c = transformers.JanusConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        ),
+        vision_config=dict(
+            image_size=16, patch_size=4, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4, mlp_ratio=1.5,
+            projection_dim=32, depth=2,
+        ),
+    )
+    m = transformers.JanusForConditionalGeneration(c).float().eval()
+    _randomize(m, 86)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    jcfg, jp, _ = load_janus_vision(tmp_path / "out")
+    assert jcfg is not None
+    jp = jax.tree.map(jnp.asarray, jp)
+    rng = np.random.default_rng(61)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = m.model.get_image_features(torch.tensor(pix)).numpy()
+    feats = siglip_forward(
+        jp, jcfg, jnp.asarray(pix.transpose(0, 2, 3, 1)), act="exact")
+    got = np.asarray(janus_aligner(jp, feats))
+    np.testing.assert_allclose(
+        got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)
+
+
+def test_lfm2_vl_parity(tmp_path):
+    """LFM2-VL: siglip2 tower (linear patchify, native-grid positions) +
+    pixel-unshuffle LN/GELU projector vs HF get_image_features
+    (reference PROJECTOR_TYPE_LFM2)."""
+    from vlut_tpu.convert.checkpoint import load_lfm2vl_vision
+    from vlut_tpu.models.vision_wave3 import lfm2vl_project
+
+    c = transformers.Lfm2VlConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+            block_dim=32, conv_dim=32, num_heads=4,
+            layer_types=["full_attention", "conv"],
+        ),
+        vision_config=dict(
+            num_patches=16, patch_size=4, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48,
+        ),
+        downsample_factor=2, projector_hidden_size=40,
+    )
+    m = transformers.Lfm2VlForConditionalGeneration(c).float().eval()
+    _randomize(m, 87)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    lcfg, factor, lp, _ = load_lfm2vl_vision(tmp_path / "out")
+    assert lcfg is not None and factor == 2
+    lp = jax.tree.map(jnp.asarray, lp)
+    rng = np.random.default_rng(62)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    from vlut_tpu.models.vision_ext import _patchify
+
+    patches = _patchify(jnp.asarray(pix.transpose(0, 2, 3, 1)), 4)
+    with torch.no_grad():
+        shapes = torch.tensor([[4, 4]])
+        mask = torch.ones((1, 16), dtype=torch.bool)
+        feats_hf = m.model.vision_tower(
+            pixel_values=torch.tensor(np.asarray(patches)),
+            spatial_shapes=shapes, pixel_attention_mask=mask,
+        ).last_hidden_state
+        want = m.model.multi_modal_projector(
+            feats_hf.reshape(1, 4, 4, -1)).numpy()
+    feats = siglip_forward(
+        lp, lcfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    got = np.asarray(lfm2vl_project(lp, feats, factor))
+    np.testing.assert_allclose(
+        got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)

@@ -307,6 +307,38 @@ def load_idefics3(path: str | pathlib.Path):
             meta.get("image_token_id"))
 
 
+def load_janus_vision(path: str | pathlib.Path):
+    """Janus-Pro understanding tower (+ aligner).  Returns
+    (SiglipConfig, params, image_token_id) or (None, None, None); the
+    tower runs through vision_ext.siglip_forward(act="exact")."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    jc = meta.get("janus_config")
+    if not jc or not (path / "janus.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_ext import SiglipConfig
+
+    return (SiglipConfig(**jc), _load_tower(path, "janus.safetensors"),
+            meta.get("image_token_id"))
+
+
+def load_lfm2vl_vision(path: str | pathlib.Path):
+    """LFM2-VL siglip2 tower (+ pixel-unshuffle projector).  Returns
+    (SiglipConfig, downsample_factor, params, image_token_id) or
+    (None, None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    lc = meta.get("lfm2vl_config")
+    if not lc or not (path / "lfm2vl.safetensors").exists():
+        return None, None, None, None
+    from vlut_tpu.models.vision_ext import SiglipConfig
+
+    factor = lc.pop("downsample", 2)
+    return (SiglipConfig(**lc, mm_tokens_per_image=0), factor,
+            _load_tower(path, "lfm2vl.safetensors"),
+            meta.get("image_token_id"))
+
+
 def load_glm4v_vision(path: str | pathlib.Path):
     """GLM4-V vision tower (+ downsample + merger).  Returns
     (Glm4vVisionConfig, params, image_token_id) or (None, None, None)."""

@@ -1618,6 +1618,26 @@ def convert_hf(
         from vlut_tpu.convert.hybrid import convert_hybrid
 
         return convert_hybrid(hf_dir, out_dir)
+    if raw0.get("model_type") in ("lfm2_vl", "lfm2-vl"):
+        # text = the lfm2 hybrid (convert_hybrid descends text_config);
+        # the siglip2 tower + pixel-unshuffle projector ride alongside
+        from vlut_tpu.convert.hybrid import convert_hybrid
+
+        cfg = convert_hybrid(hf_dir, out_dir)
+        vis = {
+            name.removeprefix("model."): np.asarray(w)
+            for name, w in _iter_hf_tensors(hf_dir)
+            if name.removeprefix("model.").startswith(
+                ("vision_tower.", "multi_modal_projector."))
+        }
+        lcfg = _convert_lfm2_vl(vis, raw0, pathlib.Path(out_dir))
+        meta_p = pathlib.Path(out_dir) / "vlut_config.json"
+        meta = json.loads(meta_p.read_text())
+        meta["lfm2vl_config"] = lcfg
+        meta["image_token_id"] = raw0.get(
+            "image_token_index", raw0.get("image_token_id"))
+        meta_p.write_text(json.dumps(meta, indent=1))
+        return cfg
     if raw0.get("model_type") in ("bert", "modernbert", "neobert",
                                   "nomic_bert", "xlm-roberta"):
         from vlut_tpu.convert.encoder import convert_encoder
@@ -1988,9 +2008,10 @@ def convert_hf(
             # as model.text_model.*; vision_model/connector are collected
             # into vision_raw below
             name = name.replace("model.text_model.", "model.")
-        elif mt0 == "internvl":
-            # InternVLForConditionalGeneration: model.language_model.* is
-            # the qwen2/llama text body
+        elif mt0 in ("internvl", "janus", "lfm2_vl", "lfm2-vl"):
+            # composite VLMs wrapping their text body as
+            # model.language_model.* (internvl: qwen2/llama; janus:
+            # llama; lfm2-vl: the lfm2 hybrid)
             name = name.replace("model.language_model.", "model.")
         elif mt0 in ("llama4", "llama4_text"):
             name = name.replace(".feed_forward.router.", ".mlp.gate.")
@@ -2224,12 +2245,14 @@ def convert_hf(
             top["embed_norm_b"] = np.asarray(w, np.float32)
             continue
         if name.startswith("model.vqmodel."):
-            continue  # chameleon image VQ-VAE (generation-side; not text)
+            continue  # chameleon/janus image VQ-VAE (generation-side)
+        if name.startswith(("model.generation_", "generation_")):
+            continue  # janus image-generation head/aligner/embeddings
         if name.startswith(
             ("vision_tower.", "multi_modal_projector.", "vision_model.",
-             "connector.", "model.vision_tower.",
+             "connector.", "aligner.", "model.vision_tower.",
              "model.multi_modal_projector.", "model.vision_model.",
-             "model.connector.")
+             "model.connector.", "model.aligner.")
         ):
             vision_raw[name.removeprefix("model.")] = np.asarray(w)
             continue
@@ -2890,6 +2913,16 @@ def convert_hf(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(
                 "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "janus_vision_model":
+            extra_meta["janus_config"] = _convert_janus_vision(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "siglip2_vision_model":
+            extra_meta["lfm2vl_config"] = _convert_lfm2_vl(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
         else:
             vcfg = _convert_vision_tower(
                 vision_raw, hf_dir, pathlib.Path(out_dir)
@@ -3228,6 +3261,143 @@ def _convert_llama4_vision(
         out[f"layers.{nm}"] = np.stack(vals)
     save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
               str(out_dir / "llama4_vision.safetensors"))
+    return lcfg
+
+
+def _siglip_block_stack(
+    raw: dict[str, np.ndarray], prefix: str, n_layers: int,
+    out_proj: str = "out_proj",
+) -> dict[str, np.ndarray]:
+    """Stack the standard siglip-shaped encoder blocks (layer_norm1/2,
+    biased q/k/v + output proj, biased fc1/fc2) used by siglip, siglip2,
+    idefics3 and janus towers."""
+    name_map = {
+        "layer_norm1.weight": "ln1_w", "layer_norm1.bias": "ln1_b",
+        "layer_norm2.weight": "ln2_w", "layer_norm2.bias": "ln2_b",
+        "self_attn.q_proj.weight": "wq", "self_attn.q_proj.bias": "bq",
+        "self_attn.k_proj.weight": "wk", "self_attn.k_proj.bias": "bk",
+        "self_attn.v_proj.weight": "wv", "self_attn.v_proj.bias": "bv",
+        f"self_attn.{out_proj}.weight": "wo",
+        f"self_attn.{out_proj}.bias": "bo",
+        "mlp.fc1.weight": "w1", "mlp.fc1.bias": "b1",
+        "mlp.fc2.weight": "w2", "mlp.fc2.bias": "b2",
+    }
+    stacks: dict[str, list] = {nm: [None] * n_layers
+                               for nm in name_map.values()}
+    lre = re.compile(rf"{re.escape(prefix)}encoder\.layers\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        m = lre.match(name)
+        if not m:
+            continue
+        li, sub = int(m.group(1)), m.group(2)
+        nm = name_map.get(sub)
+        if nm is None:
+            continue
+        arr = np.asarray(w, np.float32)
+        if nm.startswith("w"):
+            arr = arr.T
+        stacks[nm][li] = arr
+    return {f"layers.{nm}": np.stack(vals) for nm, vals in stacks.items()
+            if not all(v_ is None for v_ in vals)}
+
+
+def _convert_janus_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Janus-Pro understanding tower + aligner -> janus.safetensors
+    (siglip_forward(act="exact") layout + aligner stacks; reference
+    PROJECTOR_TYPE_JANUS_PRO, tools/mtmd/models/siglip.cpp:66-72).  The
+    image-GENERATION path (vqmodel / generation_*) is dropped, as in the
+    reference's mtmd."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    jcfg = {
+        "image_size": v.get("image_size", 384),
+        "patch_size": v.get("patch_size", 16),
+        "d_model": v.get("hidden_size", 1024),
+        "n_layers": v.get("num_hidden_layers", 24),
+        "n_heads": v.get("num_attention_heads", 16),
+        "d_ff": int(v.get("hidden_size", 1024)
+                    * v.get("mlp_ratio", 4.0)),
+        "ln_eps": v.get("layer_norm_eps", 1e-6),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 2048),
+        "mm_tokens_per_image": 0,
+    }
+    p = "vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    pw = g(f"{p}embeddings.patch_embedding.weight")
+    out: dict[str, np.ndarray] = {
+        "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
+        "patch_b": g(f"{p}embeddings.patch_embedding.bias"),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "post_ln_w": g(f"{p}post_layernorm.weight"),
+        "post_ln_b": g(f"{p}post_layernorm.bias"),
+    }
+    out.update(_siglip_block_stack(
+        raw, p, jcfg["n_layers"], out_proj="projection_layer"))
+    # fc1 maps d_vis -> projection_dim; the hidden layers are square, so
+    # they stack separately
+    out["aligner_w0"] = g("aligner.fc1.weight").T
+    out["aligner_b0"] = g("aligner.fc1.bias")
+    aw, ab = [], []
+    i = 0
+    while f"aligner.hidden_layers.{i}.weight" in raw:
+        aw.append(g(f"aligner.hidden_layers.{i}.weight").T)
+        ab.append(g(f"aligner.hidden_layers.{i}.bias"))
+        i += 1
+    if aw:
+        out["aligner_wh"] = np.stack(aw)
+        out["aligner_bh"] = np.stack(ab)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "janus.safetensors"))
+    return jcfg
+
+
+def _convert_lfm2_vl(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """LFM2-VL siglip2 tower + pixel-unshuffle projector ->
+    lfm2vl.safetensors (siglip_forward layout — siglip2's linear patch
+    embedding flattens (ph, pw, C) exactly like _patchify — + the
+    LN/GELU-MLP projector; reference PROJECTOR_TYPE_LFM2,
+    tools/mtmd/models/siglip.cpp:48-64)."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    n_patches = v.get("num_patches", 256)
+    side = int(round(n_patches ** 0.5))
+    lcfg = {
+        "image_size": side * v.get("patch_size", 16),
+        "patch_size": v.get("patch_size", 16),
+        "d_model": v.get("hidden_size", 768),
+        "n_layers": v.get("num_hidden_layers", 12),
+        "n_heads": v.get("num_attention_heads", 12),
+        "d_ff": v.get("intermediate_size", 3072),
+        "ln_eps": v.get("layer_norm_eps", 1e-6),
+        "d_llm": cfgd.get("text_config", {}).get("hidden_size", 2048),
+        "downsample": cfgd.get("downsample_factor", 2),
+    }
+    p = "vision_tower.vision_model."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    out: dict[str, np.ndarray] = {
+        "patch_w": g(f"{p}embeddings.patch_embedding.weight").T,
+        "patch_b": g(f"{p}embeddings.patch_embedding.bias"),
+        "pos": g(f"{p}embeddings.position_embedding.weight"),
+        "post_ln_w": g(f"{p}post_layernorm.weight"),
+        "post_ln_b": g(f"{p}post_layernorm.bias"),
+        "proj_ln_w": g("multi_modal_projector.layer_norm.weight"),
+        "proj_ln_b": g("multi_modal_projector.layer_norm.bias"),
+        "proj_w1": g("multi_modal_projector.linear_1.weight").T,
+        "proj_b1": g("multi_modal_projector.linear_1.bias"),
+        "proj_w2": g("multi_modal_projector.linear_2.weight").T,
+        "proj_b2": g("multi_modal_projector.linear_2.bias"),
+    }
+    out.update(_siglip_block_stack(raw, p, lcfg["n_layers"]))
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "lfm2vl.safetensors"))
     return lcfg
 
 

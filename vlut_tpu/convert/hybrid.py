@@ -351,6 +351,12 @@ def convert_hybrid(
 ) -> HybridConfig:
     hf_dir = pathlib.Path(hf_dir)
     raw = json.loads((hf_dir / "config.json").read_text())
+    if raw.get("model_type") in ("lfm2_vl", "lfm2-vl"):
+        # LFM2-VL wraps the lfm2 hybrid as text_config /
+        # model.language_model.*; the siglip2 tower converts separately
+        # (convert._convert_lfm2_vl)
+        raw = {**raw["text_config"],
+               "model_type": raw["text_config"].get("model_type", "lfm2")}
     cfg, aux = _config(raw)
     mt = raw["model_type"]
     res_mult = aux.get("residual", 1.0)
@@ -396,6 +402,11 @@ def convert_hybrid(
         return name
 
     for name, w in _iter_tensors(hf_dir):
+        if name.startswith(("model.vision_tower.",
+                            "model.multi_modal_projector.",
+                            "vision_tower.", "multi_modal_projector.")):
+            continue  # lfm2-vl tower converts via _convert_lfm2_vl
+        name = name.replace("model.language_model.", "model.")
         name = canon(name)
         if name == "model.embed_tokens.weight":
             top["embed"] = w

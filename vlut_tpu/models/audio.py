@@ -170,6 +170,11 @@ def init_params(cfg: AudioConfig, seed: int = 0,
             "norm_mid": jnp.ones((cfg.proj_hidden,), jnp.float32),
             "w2": rand(cfg.proj_hidden, cfg.d_llm),
         }
+    elif cfg.projector == "voxtral":
+        params["proj"] = {
+            "w1": rand(d * cfg.stack_factor, cfg.d_llm),
+            "w2": rand(cfg.d_llm, cfg.d_llm),
+        }
     else:  # qwen2a
         params["proj"] = {
             "fc_w": rand(d, cfg.d_llm), "fc_b": jnp.zeros((cfg.d_llm,)),
@@ -242,6 +247,16 @@ def encode(params, cfg: AudioConfig, mel: jax.Array) -> jax.Array:
         g = jax.nn.silu(g[:, half:]) * g[:, :half]
         g = _rms(g, pr["norm_mid"])
         return g @ pr["w2"].astype(jnp.float32)
+    if cfg.projector == "voxtral":
+        # Voxtral (reference PROJECTOR_TYPE_VOXTRAL, whisper-enc.cpp mm
+        # MLP branch; HF VoxtralForConditionalGeneration
+        # .get_audio_features): stack consecutive frames so the row width
+        # equals the encoder intermediate size, then no-bias GELU MLP
+        s = cfg.stack_factor
+        x = x[: t - t % s].reshape(t // s, s * cfg.d_model)
+        g = jax.nn.gelu(x @ pr["w1"].astype(jnp.float32),
+                        approximate=False)
+        return g @ pr["w2"].astype(jnp.float32)
     return x @ pr["fc_w"].astype(jnp.float32) \
         + pr["fc_b"].astype(jnp.float32)
 
@@ -293,15 +308,33 @@ def convert_hf_audio(src: str, dst: str, d_llm: int = 4096) -> AudioConfig:
     conv1 = pick("conv1.weight")
     n_layers = 1 + max(
         int(n.split("layers.")[1].split(".")[0])
-        for n in tensors if "encoder.layers." in n
+        for n in tensors
+        # ultravox/qwen2a nest ...encoder.layers.N; voxtral's tower is
+        # flat audio_tower.layers.N
+        if "encoder.layers." in n or "audio_tower.layers." in n
     )
     fc1 = pick("layers.0.fc1.weight")
-    is_ultravox = any("linear_1" in n for n in tensors)
+    has_12 = any("linear_1" in n for n in tensors)
+    # ultravox's projector carries ln_pre/ln_mid norms; voxtral's is the
+    # bare no-bias linear_1/linear_2 GELU MLP over intermediate-width
+    # stacked frames (reference PROJECTOR_TYPE_VOXTRAL)
+    is_ultravox = has_12 and any("ln_mid" in n for n in tensors)
+    is_voxtral = has_12 and not is_ultravox
+    proj = ("ultravox" if is_ultravox
+            else "voxtral" if is_voxtral else "qwen2a")
+    heads = conv1.shape[0] // 64  # whisper convention fallback
+    cfg_json = src_p / "config.json"
+    if cfg_json.exists():
+        ac = _json.loads(cfg_json.read_text()).get("audio_config", {})
+        heads = ac.get("num_attention_heads",
+                       ac.get("encoder_attention_heads", heads)) or heads
     cfg = AudioConfig(
         n_mels=conv1.shape[1], d_model=conv1.shape[0],
         n_layers=n_layers, d_ff=fc1.shape[0],
-        n_heads=conv1.shape[0] // 64,
-        projector="ultravox" if is_ultravox else "qwen2a", d_llm=d_llm,
+        n_heads=heads,
+        projector=proj, d_llm=d_llm,
+        stack_factor=(fc1.shape[0] // conv1.shape[0]
+                      if is_voxtral else 8),
     )
 
     L, d = cfg.n_layers, cfg.d_model
@@ -331,14 +364,23 @@ def convert_hf_audio(src: str, dst: str, d_llm: int = 4096) -> AudioConfig:
             "w1": stack("fc1.weight"), "b1": stack("fc1.bias", False),
             "w2": stack("fc2.weight"), "b2": stack("fc2.bias", False),
         },
-        "post_ln_w": pick("encoder.layer_norm.weight"),
-        "post_ln_b": pick("encoder.layer_norm.bias"),
+        "post_ln_w": pick("layer_norm.weight")
+        if any("audio_tower.layer_norm." in n for n in tensors)
+        else pick("encoder.layer_norm.weight"),
+        "post_ln_b": pick("layer_norm.bias")
+        if any("audio_tower.layer_norm." in n for n in tensors)
+        else pick("encoder.layer_norm.bias"),
     }
     if is_ultravox:
         params["proj"] = {
             "norm_pre": pick("projector", "ln_pre.weight"),
             "w1": pick("projector", "linear_1.weight").T,
             "norm_mid": pick("projector", "ln_mid.weight"),
+            "w2": pick("projector", "linear_2.weight").T,
+        }
+    elif is_voxtral:
+        params["proj"] = {
+            "w1": pick("projector", "linear_1.weight").T,
             "w2": pick("projector", "linear_2.weight").T,
         }
     else:

@@ -87,11 +87,19 @@ def _attend(q, k, v, hd, bias=None):
 
 
 def siglip_forward(
-    params: dict[str, Any], cfg: SiglipConfig, images: jax.Array
+    params: dict[str, Any], cfg: SiglipConfig, images: jax.Array,
+    act: str = "tanh",
 ) -> jax.Array:
     """SigLIP ViT: (B, H, W, 3) -> (B, P, D) patch features (HF
     SiglipVisionTransformer: conv patchify + learned positions, pre-LN
-    blocks with biased q/k/v/o, gelu-tanh MLP, final post_layernorm)."""
+    blocks with biased q/k/v/o, gelu MLP, final post_layernorm).
+
+    ``act``: "tanh" (siglip/gemma3/idefics3 gelu_pytorch_tanh) or "exact"
+    (janus-pro's erf gelu — same block structure otherwise).  Also serves
+    siglip2 towers (lfm2-vl): their linear patch embedding flattens
+    patches in the same (ph, pw, C) order _patchify emits, and the
+    bilinearly-resized positions reduce to the learned table at the
+    native grid."""
     b = images.shape[0]
     x = _patchify(images.astype(jnp.float32), cfg.patch_size)
     x = x @ params["patch_w"] + params["patch_b"]
@@ -107,7 +115,8 @@ def siglip_forward(
         att = _attend(q, k, v, hd).reshape(b, t, cfg.d_model)
         x = x + (att @ lp["wo"] + lp["bo"])
         h = _ln(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=True)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"],
+                        approximate=(act == "tanh"))
         x = x + (a @ lp["w2"] + lp["b2"])
     return _ln(x, params["post_ln_w"], params["post_ln_b"], cfg.ln_eps)
 

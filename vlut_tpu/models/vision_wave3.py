@@ -244,6 +244,47 @@ def llama4_project(
 
 
 # ---------------------------------------------------------------------------
+# Janus-Pro aligner (tower = vision_ext.siglip_forward(act="exact");
+# reference PROJECTOR_TYPE_JANUS_PRO, tools/mtmd/models/siglip.cpp:66-72)
+# ---------------------------------------------------------------------------
+
+def janus_aligner(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+    """Janus-Pro understanding aligner (HF JanusVisionAlignerMLP): fc1
+    then (GELU, linear) x (depth-1) into the decoder width.  The
+    generation-side VQ path is out of scope (the reference's mtmd drops
+    it too)."""
+    x = feats @ params["aligner_w0"] + params["aligner_b0"]
+    if "aligner_wh" in params:
+        for w, b_ in zip(params["aligner_wh"], params["aligner_bh"]):
+            x = jax.nn.gelu(x, approximate=False) @ w + b_
+    return x
+
+
+# ---------------------------------------------------------------------------
+# LFM2-VL projector (tower = siglip2 via vision_ext.siglip_forward;
+# reference PROJECTOR_TYPE_LFM2, tools/mtmd/models/siglip.cpp:48-64)
+# ---------------------------------------------------------------------------
+
+def lfm2vl_project(
+    params: dict[str, Any], feats: jax.Array, factor: int
+) -> jax.Array:
+    """Pixel unshuffle (HF Lfm2VlMultiModalProjector transcription, square
+    grid) + LayerNorm + biased GELU MLP into the decoder width."""
+    b, p, c = feats.shape
+    side = int(round(p ** 0.5))
+    x = feats.reshape(b, side, side, c)
+    x = x.reshape(b, side, side // factor, c * factor)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, side // factor, side // factor, c * factor ** 2)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, p // factor ** 2, c * factor ** 2)
+    x = _ln(x, params["proj_ln_w"], params["proj_ln_b"], 1e-5)
+    x = jax.nn.gelu(x @ params["proj_w1"] + params["proj_b1"],
+                    approximate=False)
+    return x @ params["proj_w2"] + params["proj_b2"]
+
+
+# ---------------------------------------------------------------------------
 # GLM4-V vision (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)
 # ---------------------------------------------------------------------------
 
