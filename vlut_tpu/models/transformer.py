@@ -1772,14 +1772,19 @@ def run_layers(
                     # the fused kernel at 6.00 ms/step vs 5.52 composed at
                     # 8B np=32 — XLA's attention+write pipeline already
                     # runs near achievable bandwidth.  Kept for long S.
-                    # int8 cache: default ON — the composed path's XLA
-                    # program materializes f32 copies of the code planes
-                    # (9.14 ms vs 5.52 bf16, PERF.md round-4); the kernel
-                    # streams codes at half the bf16 bytes (see the
-                    # round-5 A/B in PERF.md)
+                    # int8 cache: the kernel streams codes at half the
+                    # bf16 bytes where the composed path materializes f32
+                    # copies (9.14 ms vs 5.52 bf16, PERF.md round-4).
+                    # Default OFF until the on-chip A/B lands: Mosaic
+                    # rejected the (B, S, Hkv) scale-plane WRITE pattern
+                    # in round 4 (the reason _put_pair uses DUS for
+                    # scales), and this kernel's scale-row stores share
+                    # that shape — flip VLUT_TPU_FUSED_ATTN_INT8=1 after
+                    # tests/test_hardware_tpu.py::
+                    # test_int8_decode_attention_on_chip passes
                     and (
                         os.environ.get(
-                            "VLUT_TPU_FUSED_ATTN_INT8", "1") == "1"
+                            "VLUT_TPU_FUSED_ATTN_INT8", "0") == "1"
                         if quant_kv
                         else os.environ.get(
                             "VLUT_TPU_FUSED_ATTN", "0") == "1"
