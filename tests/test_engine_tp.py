@@ -123,3 +123,20 @@ def test_engine_mesh_rejects_unsupported():
     with pytest.raises(ValueError, match="speculative|lookahead"):
         Engine(cfg, params, n_slots=4, max_len=64, mesh=mesh,
                lookahead=(4, 3))
+
+
+def test_engine_tp_int8_kv():
+    """int8 KV cache (codes + scale planes) under the mesh: scale planes
+    shard (slots, None, tp) via cache_specs_for; greedy outputs must
+    match the single-device int8 engine token-for-token."""
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+
+    def drive(mesh):
+        eng = Engine(cfg, params, n_slots=4, max_len=64, impl="xla",
+                     kv_quant=True, mesh=mesh)
+        reqs = _reqs(cfg, n=4, seed=9)
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    assert drive(make_mesh(dp=2, tp=2)) == drive(None)

@@ -485,13 +485,8 @@ def cmd_describe(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from vlut_tpu.convert.checkpoint import load_vision
     from vlut_tpu.models.transformer import forward, init_kv_cache
-    from vlut_tpu.models.vision import (
-        build_multimodal_embeds,
-        encode_image,
-        preprocess_image,
-    )
+    from vlut_tpu.models.vision import build_multimodal_embeds
     from vlut_tpu.utils.tokenizer import Tokenizer
 
     cfg, params, _ = _load(args.model)
@@ -509,14 +504,16 @@ def cmd_describe(args):
         )
         marker = "<audio>"
     else:
-        vcfg, vparams = load_vision(args.model)
-        if vcfg is None:
+        # auto-dispatch across every converted tower family (clip/llava,
+        # gemma3-siglip, pixtral, qwen-vl, internvl, llama4-vision,
+        # idefics3, glm4v, janus-pro, lfm2-vl) — models/vision.py
+        from vlut_tpu.models.vision import encode_image_auto
+
+        img_embeds, family = encode_image_auto(args.model, args.image)
+        if img_embeds is None:
             raise SystemExit("checkpoint has no vision tower (convert a "
-                             "llava-style model)")
-        img = preprocess_image(args.image, vcfg.image_size)
-        img_embeds = encode_image(
-            vparams, vcfg, jnp.asarray(img)[None]
-        )[0]
+                             "multimodal model)")
+        print(f"[vision tower: {family}]", file=sys.stderr)
         marker = "<image>"
 
     prompt = args.prompt

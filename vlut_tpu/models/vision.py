@@ -195,3 +195,149 @@ def build_multimodal_embeds(
     if suffix_ids:
         parts.append(embed[jnp.asarray(suffix_ids, jnp.int32)])
     return jnp.concatenate(parts, axis=0)
+
+
+# image normalization per tower family (HF image-processor defaults)
+_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+_HALF = (0.5, 0.5, 0.5)
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _load_rgb(path_or_array, image_size: int, mean, std) -> np.ndarray:
+    if isinstance(path_or_array, np.ndarray):
+        arr = path_or_array
+    else:
+        from PIL import Image
+
+        img = Image.open(path_or_array).convert("RGB")
+        img = img.resize((image_size, image_size))
+        arr = np.asarray(img, np.float32) / 255.0
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+    return ((arr - m) / s).astype(np.float32)
+
+
+def encode_image_auto(model_dir, image_path):
+    """Dispatch an image through WHICHEVER tower family the checkpoint
+    carries — the product-side router for `vlut-tpu describe` (reference:
+    mtmd-cli auto-selects by the gguf projector type).  Returns
+    (embeds (n_tokens, d_llm), family_name) or (None, None) when the
+    checkpoint has no vision sidecar.
+
+    Families: CLIP/llava, gemma3 SigLIP, pixtral, qwen2/2.5-vl,
+    internvl, llama4-vision, idefics3, glm4v, janus-pro, lfm2-vl
+    (models/vision*.py; each has its own HF-parity test)."""
+    import jax.numpy as jnp
+
+    from vlut_tpu.convert import checkpoint as ck
+
+    vcfg, vparams = ck.load_vision(model_dir)
+    if vcfg is not None:
+        img = preprocess_image(image_path, vcfg.image_size)
+        return encode_image(vparams, vcfg, jnp.asarray(img)[None])[0], \
+            "clip-llava"
+
+    scfg, sp, _ = ck.load_siglip(model_dir)
+    if scfg is not None:
+        from vlut_tpu.models.vision_ext import gemma3_project, siglip_forward
+
+        img = _load_rgb(image_path, scfg.image_size, _HALF, _HALF)
+        feats = siglip_forward(sp, scfg, jnp.asarray(img)[None])
+        return gemma3_project(sp, scfg, feats)[0], "gemma3-siglip"
+
+    pcfg, pp, _ = ck.load_pixtral(model_dir)
+    if pcfg is not None:
+        from vlut_tpu.models.vision_ext import (
+            pixtral_forward,
+            pixtral_project,
+        )
+
+        img = _load_rgb(image_path, pcfg.image_size, _CLIP_MEAN, _CLIP_STD)
+        feats = pixtral_forward(pp, pcfg, jnp.asarray(img)[None])
+        return pixtral_project(pp, feats), "pixtral"
+
+    qv = ck.load_qwen_vision(model_dir) if hasattr(
+        ck, "load_qwen_vision") else (None,) * 3
+    if qv[0] is not None:
+        from vlut_tpu.models.qwen_vision import patchify, vision_forward
+
+        qcfg = qv[0]
+        img = _load_rgb(image_path, 224, _CLIP_MEAN, _CLIP_STD)
+        patches, grid = patchify(img.transpose(2, 0, 1), qcfg)
+        return vision_forward(
+            qv[1], qcfg, jnp.asarray(patches), grid), "qwen-vl"
+
+    icfg, ip, _ = ck.load_internvl_vision(model_dir)
+    if icfg is not None:
+        from vlut_tpu.models.vision_wave3 import (
+            internvl_forward,
+            internvl_project,
+        )
+
+        img = _load_rgb(image_path, icfg.image_size,
+                        _IMAGENET_MEAN, _IMAGENET_STD)
+        feats = internvl_forward(ip, icfg, jnp.asarray(img)[None])
+        return internvl_project(ip, icfg, feats)[0], "internvl"
+
+    lcfg, lp, _ = ck.load_llama4_vision(model_dir)
+    if lcfg is not None:
+        from vlut_tpu.models.vision_wave3 import (
+            llama4_project,
+            llama4_vision_forward,
+        )
+
+        img = _load_rgb(image_path, lcfg.image_size, _HALF, _HALF)
+        feats = llama4_vision_forward(lp, lcfg, jnp.asarray(img)[None])
+        return llama4_project(lp, lcfg, feats)[0], "llama4-vision"
+
+    i3 = ck.load_idefics3(model_dir)
+    if i3[0] is not None:
+        from vlut_tpu.models.vision_ext import siglip_forward
+        from vlut_tpu.models.vision_wave3 import idefics3_project
+
+        scfg, scale, sp = i3[0], i3[1], i3[2]
+        img = _load_rgb(image_path, scfg.image_size, _HALF, _HALF)
+        feats = siglip_forward(sp, scfg, jnp.asarray(img)[None])
+        return idefics3_project(sp, feats, scale)[0], "idefics3"
+
+    gcfg, gp, _ = ck.load_glm4v_vision(model_dir)
+    if gcfg is not None:
+        from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+        from vlut_tpu.models.vision_wave3 import glm4v_vision_forward
+
+        img = _load_rgb(image_path, gcfg.image_size, _HALF, _HALF)
+        qvc = QwenVisionConfig(
+            depth=gcfg.n_layers, embed_dim=gcfg.d_model,
+            n_heads=gcfg.n_heads, mlp_dim=gcfg.d_out,
+            patch_size=gcfg.patch_size,
+            temporal_patch_size=gcfg.temporal_patch_size,
+            spatial_merge_size=gcfg.merge,
+        )
+        patches, grid = patchify(img.transpose(2, 0, 1), qvc)
+        return glm4v_vision_forward(
+            gp, gcfg, jnp.asarray(patches), grid), "glm4v"
+
+    jcfg, jp, _ = ck.load_janus_vision(model_dir)
+    if jcfg is not None:
+        from vlut_tpu.models.vision_ext import siglip_forward
+        from vlut_tpu.models.vision_wave3 import janus_aligner
+
+        img = _load_rgb(image_path, jcfg.image_size,
+                        _IMAGENET_MEAN, _IMAGENET_STD)
+        feats = siglip_forward(jp, jcfg, jnp.asarray(img)[None],
+                               act="exact")
+        return janus_aligner(jp, feats)[0], "janus-pro"
+
+    l2 = ck.load_lfm2vl_vision(model_dir)
+    if l2[0] is not None:
+        from vlut_tpu.models.vision_ext import siglip_forward
+        from vlut_tpu.models.vision_wave3 import lfm2vl_project
+
+        scfg, factor, lp = l2[0], l2[1], l2[2]
+        img = _load_rgb(image_path, scfg.image_size, _HALF, _HALF)
+        feats = siglip_forward(lp, scfg, jnp.asarray(img)[None])
+        return lfm2vl_project(lp, feats, factor)[0], "lfm2-vl"
+
+    return None, None
