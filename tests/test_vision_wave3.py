@@ -420,3 +420,119 @@ def test_lfm2_vl_parity(tmp_path):
     got = np.asarray(lfm2vl_project(lp, feats, factor))
     np.testing.assert_allclose(
         got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)
+
+
+def test_kimivl_twin():
+    """Kimi-VL MoonViT vs a direct torch transcription of the reference
+    graph (tools/mtmd/models/kimivl.cpp + clip.cpp build_rope_2d
+    mode-0-per-half rope and build_patch_merge_permute): no HF
+    transformers module exists for kimi_vl, so the twin is the parity
+    basis (the clone-twin practice used for reference-only graphs)."""
+    from vlut_tpu.models.vision_wave3 import (
+        KimiVLConfig,
+        kimivl_forward,
+        kimivl_project,
+    )
+
+    cfg = KimiVLConfig(
+        image_size=16, patch_size=4, d_model=32, n_layers=2, n_heads=4,
+        d_ff=48, merge=2, d_llm=40,
+    )
+    rng = np.random.default_rng(71)
+
+    def t(*s, scale=0.08):
+        return rng.standard_normal(s).astype(np.float32) * scale
+
+    L, d, f = cfg.n_layers, cfg.d_model, cfg.d_ff
+    params = {
+        "patch_w": t(48, d), "patch_b": t(d),
+        "pos": t(16, d),
+        "post_ln_w": 1.0 + t(d), "post_ln_b": t(d),
+        "proj_ln_w": 1.0 + t(d), "proj_ln_b": t(d),
+        "proj_w1": t(d * 4, cfg.d_llm), "proj_b1": t(cfg.d_llm),
+        "proj_w2": t(cfg.d_llm, cfg.d_llm), "proj_b2": t(cfg.d_llm),
+        "layers": {
+            "ln1_w": 1.0 + t(L, d), "ln1_b": t(L, d),
+            "ln2_w": 1.0 + t(L, d), "ln2_b": t(L, d),
+            "wq": t(L, d, d), "bq": t(L, d),
+            "wk": t(L, d, d), "bk": t(L, d),
+            "wv": t(L, d, d), "bv": t(L, d),
+            "wo": t(L, d, d), "bo": t(L, d),
+            "w1": t(L, d, f), "b1": t(L, f),
+            "w2": t(L, f, d), "b2": t(L, d),
+        },
+    }
+    img = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+
+    # ---- independent torch transcription of the reference graph ----
+    def torch_ref():
+        x = torch.tensor(img).reshape(1, 4, 4, 4, 4, 3)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(1, 16, 48)
+        x = x @ torch.tensor(params["patch_w"]) + torch.tensor(
+            params["patch_b"])
+        x = x + torch.tensor(np.asarray(params["pos"]))[None]
+        hd, H = 8, 4
+        half = hd // 2
+        inv = 1.0 / (cfg.rope_theta ** (
+            torch.arange(0, half, 2, dtype=torch.float64) / half))
+        hhh, www = torch.meshgrid(torch.arange(4), torch.arange(4),
+                                  indexing="ij")
+        pw = www.reshape(-1)[:, None].double() * inv[None]
+        ph = hhh.reshape(-1)[:, None].double() * inv[None]
+        ang = torch.cat([pw, ph], -1).float()          # (16, hd/2)
+
+        def rope(z):  # (1, T, H, hd) ggml mode-0 pairs per half
+            zr, zi = z[..., 0::2], z[..., 1::2]
+            c = torch.cos(ang)[None, :, None, :]
+            s = torch.sin(ang)[None, :, None, :]
+            out = torch.stack([zr * c - zi * s, zr * s + zi * c], -1)
+            return out.reshape(z.shape)
+
+        def ln(v, w, b):
+            mu = v.mean(-1, keepdim=True)
+            var = ((v - mu) ** 2).mean(-1, keepdim=True)
+            return (v - mu) / torch.sqrt(var + cfg.ln_eps) * torch.tensor(
+                np.asarray(w)) + torch.tensor(np.asarray(b))
+
+        P = params["layers"]
+        for i in range(L):
+            h = ln(x, P["ln1_w"][i], P["ln1_b"][i])
+            q = rope((h @ torch.tensor(P["wq"][i]) + torch.tensor(
+                P["bq"][i])).reshape(1, 16, H, hd))
+            k = rope((h @ torch.tensor(P["wk"][i]) + torch.tensor(
+                P["bk"][i])).reshape(1, 16, H, hd))
+            v = (h @ torch.tensor(P["wv"][i]) + torch.tensor(
+                P["bv"][i])).reshape(1, 16, H, hd)
+            sc = torch.einsum("bthd,bshd->bhts", q, k) / np.sqrt(hd)
+            p = torch.softmax(sc, -1)
+            att = torch.einsum("bhts,bshd->bthd", p, v).reshape(1, 16, d)
+            x = x + (att @ torch.tensor(P["wo"][i]) + torch.tensor(
+                P["bo"][i]))
+            h = ln(x, P["ln2_w"][i], P["ln2_b"][i])
+            a = torch.nn.functional.gelu(
+                h @ torch.tensor(P["w1"][i]) + torch.tensor(P["b1"][i]),
+                approximate="tanh")
+            x = x + (a @ torch.tensor(P["w2"][i]) + torch.tensor(
+                P["b2"][i]))
+        x = ln(x, params["post_ln_w"], params["post_ln_b"])
+        # build_patch_merge_permute (clip.cpp:746-775): unshuffle h then w
+        m = cfg.merge
+        y = x.reshape(1, 4, 4, d)                      # (b, h, w, d) rows
+        y = y.reshape(1, 4, 2, d * m).permute(0, 2, 1, 3)
+        y = y.reshape(1, 2, 2, d * m * m).permute(0, 2, 1, 3)
+        y = y.reshape(1, 4, d * m * m)
+        # LN at the n_embd view width
+        y = ln(y.reshape(1, 16, d), params["proj_ln_w"],
+               params["proj_ln_b"]).reshape(1, 4, d * m * m)
+        y = torch.nn.functional.gelu(
+            y @ torch.tensor(params["proj_w1"]) + torch.tensor(
+                params["proj_b1"]))
+        return (y @ torch.tensor(params["proj_w2"]) + torch.tensor(
+            params["proj_b2"])).numpy()
+
+    with torch.no_grad():
+        want = torch_ref()
+    jp = jax.tree.map(jnp.asarray, params)
+    feats = kimivl_forward(jp, cfg, jnp.asarray(img))
+    got = np.asarray(kimivl_project(jp, cfg, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

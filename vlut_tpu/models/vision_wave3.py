@@ -384,6 +384,107 @@ def glm4v_vision_forward(
 
 
 # ---------------------------------------------------------------------------
+# Kimi-VL (MoonViT) — reference PROJECTOR_TYPE_KIMIVL,
+# tools/mtmd/models/kimivl.cpp (no HF transformers module: parity runs
+# against a direct torch transcription of the reference graph,
+# tests/test_vision_wave3.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class KimiVLConfig:
+    image_size: int = 448
+    patch_size: int = 14
+    d_model: int = 1152
+    n_layers: int = 27
+    n_heads: int = 16
+    d_ff: int = 4304
+    ln_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    merge: int = 2
+    d_llm: int = 2048
+
+
+def _rope2d_split_tables(grid_hw, hd: int, theta: float):
+    """Reference build_rope_2d (clip.cpp:651-712, interleave_freq=false):
+    the FIRST half of the head dim rotates with the X (w) positions, the
+    second half with Y (h), both halves sharing the same inv_freq set
+    (theta^(-2j/(hd/2))), each half in ggml mode-0 (PAIR-interleaved)
+    rope over hd/2 dims.  Returns (cos, sin) (N, hd/2): pair j's angle,
+    halves concatenated."""
+    h, w = grid_hw
+    half = hd // 2
+    inv = 1.0 / (theta ** (np.arange(0, half, 2, dtype=np.float64) / half))
+    ww, hh = np.meshgrid(np.arange(w), np.arange(h))  # (h, w)
+    pw = ww.reshape(-1)[:, None] * inv[None]          # (N, half/2)
+    ph = hh.reshape(-1)[:, None] * inv[None]
+    ang = np.concatenate([pw, ph], axis=-1)           # (N, hd/2)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def kimivl_forward(
+    params: dict[str, Any], cfg: KimiVLConfig, images: jax.Array
+) -> jax.Array:
+    """Kimi-VL MoonViT: (B, H, W, 3) -> (B, P, D).  Learned positions
+    (bicubic-resized off the native grid, reference
+    resize_position_embeddings) + split-half 2-D rope, LN pre-norms,
+    biased q/k/v/o and GELU MLP (reference build_vit with
+    NORM_TYPE_NORMAL)."""
+    b, hh, ww, _ = images.shape
+    grid = (hh // cfg.patch_size, ww // cfg.patch_size)
+    x = _patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = x @ params["patch_w"] + params["patch_b"]
+    pos = params["pos"]
+    side = int(round(pos.shape[0] ** 0.5))
+    if grid != (side, side):
+        pos = jax.image.resize(
+            pos.reshape(side, side, cfg.d_model),
+            (grid[0], grid[1], cfg.d_model), method="bicubic",
+        ).reshape(-1, cfg.d_model)
+    x = x + pos[None]
+    cos, sin = _rope2d_split_tables(grid, cfg.d_model // cfg.n_heads,
+                                    cfg.rope_theta)
+    H, hd = cfg.n_heads, cfg.d_model // cfg.n_heads
+    t = x.shape[1]
+
+    def rope(z):  # (B, T, H, hd) — pair-interleaved per ggml mode 0
+        return _rope_pairs(z, cos, sin)
+
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        h = _ln(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        q = rope((h @ lp["wq"] + lp["bq"]).reshape(b, t, H, hd))
+        k = rope((h @ lp["wk"] + lp["bk"]).reshape(b, t, H, hd))
+        v = (h @ lp["wv"] + lp["bv"]).reshape(b, t, H, hd)
+        att = _attend(q, k, v, hd).reshape(b, t, cfg.d_model)
+        x = x + (att @ lp["wo"] + lp["bo"])
+        h = _ln(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=True)
+        x = x + (a @ lp["w2"] + lp["b2"])
+    if "post_ln_w" in params:
+        x = _ln(x, params["post_ln_w"], params["post_ln_b"], cfg.ln_eps)
+    return x
+
+
+def kimivl_project(
+    params: dict[str, Any], cfg: KimiVLConfig, feats: jax.Array
+) -> jax.Array:
+    """Patch-merge permute -> LayerNorm at the ORIGINAL n_embd width
+    (kimivl.cpp:37-48 views the merged rows back to n_embd for the norm)
+    -> biased GELU MLP into the decoder width."""
+    b, p, d = feats.shape
+    m = cfg.merge
+    x = idefics3_pixel_shuffle(feats, m)        # build_patch_merge_permute
+    # LN over each n_embd-wide sub-patch of the merged rows
+    x = x.reshape(b, -1, d)
+    x = _ln(x, params["proj_ln_w"], params["proj_ln_b"], 1e-5)
+    x = x.reshape(b, p // m ** 2, d * m ** 2)
+    x = jax.nn.gelu(x @ params["proj_w1"] + params["proj_b1"],
+                    approximate=False)
+    return x @ params["proj_w2"] + params["proj_b2"]
+
+
+# ---------------------------------------------------------------------------
 # Idefics3 connector (the tower itself is vision_ext.siglip_forward)
 # ---------------------------------------------------------------------------
 
