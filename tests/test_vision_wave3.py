@@ -536,3 +536,51 @@ def test_kimivl_twin():
     feats = kimivl_forward(jp, cfg, jnp.asarray(img))
     got = np.asarray(kimivl_project(jp, cfg, feats))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mistral3_patch_merger_parity(tmp_path):
+    """Mistral-small-3.1 vision (covers PROJECTOR_TYPE_LIGHTONOCR — the
+    reference runs both through clip_graph_pixtral with the optional
+    patch merger): pixtral tower + RMSNorm + channel-major unfold merger
+    + no-bias MLP vs HF get_image_features, through the real converter
+    (previously mistral3 dropped its vision tower: text passthrough)."""
+    from vlut_tpu.convert.checkpoint import load_pixtral
+    from vlut_tpu.models.vision_ext import pixtral_forward, pixtral_project
+
+    c = transformers.Mistral3Config(
+        text_config=dict(
+            vocab_size=V, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+        ),
+        vision_config=dict(
+            image_size=16, patch_size=4, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48, head_dim=8, rope_theta=10000.0,
+        ),
+        spatial_merge_size=2, multimodal_projector_bias=False,
+        image_token_index=V - 1, vision_feature_layer=-1,
+    )
+    m = transformers.Mistral3ForConditionalGeneration(c).float().eval()
+    _randomize(m, 88)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    pcfg, pp, img_tok = load_pixtral(tmp_path / "out")
+    assert pcfg is not None and pcfg.spatial_merge_size == 2
+    pp = jax.tree.map(jnp.asarray, pp)
+    rng = np.random.default_rng(66)
+    pix = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = m.get_image_features(
+            pixel_values=torch.tensor(pix),
+            image_sizes=torch.tensor([[16, 16]]),
+            vision_feature_layer=-1,
+        )
+        want = (want[0] if isinstance(want, (list, tuple)) else want).numpy()
+    feats = pixtral_forward(pp, pcfg, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    got = np.asarray(pixtral_project(pp, feats, cfg=pcfg, grid_hw=(4, 4)))
+    np.testing.assert_allclose(
+        got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)

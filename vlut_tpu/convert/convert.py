@@ -2194,12 +2194,9 @@ def convert_hf(
     for name, w in _iter_hf_tensors(hf_dir):
         if mt0 == "cogvlm" and name.startswith("model.vision."):
             continue  # vision tower handled by mtmd, not the LM graph
-        if mt0 == "mistral3" and name.split(".", 2)[0] in (
-            "vision_tower", "multi_modal_projector"
-        ) or mt0 == "mistral3" and name.startswith(
-            ("model.vision_tower", "model.multi_modal_projector")
-        ):
-            continue  # mistral3 text passthrough drops the vision tower
+        # (mistral3's pixtral tower + patch-merger projector now convert
+        # through the vision_raw path below — round 5; the text side
+        # stays the mistral passthrough)
         name = canon(name)
         if mt0 in ("plamo3", "plamo-3") and name.endswith(".weight"):
             # PLaMo RMSNorm offset parameterization: effective gain =
@@ -3576,10 +3573,22 @@ def _convert_pixtral(
         "patch_w": pw.transpose(2, 3, 1, 0).reshape(-1, pw.shape[0]),
         "pre_norm": g(f"{p}ln_pre.weight"),
         "proj_w1": g("multi_modal_projector.linear_1.weight").T,
-        "proj_b1": g("multi_modal_projector.linear_1.bias"),
         "proj_w2": g("multi_modal_projector.linear_2.weight").T,
-        "proj_b2": g("multi_modal_projector.linear_2.bias"),
     }
+    # projector biases are optional (mistral3 multimodal_projector_bias)
+    for hf_n, nm in (("multi_modal_projector.linear_1.bias", "proj_b1"),
+                     ("multi_modal_projector.linear_2.bias", "proj_b2")):
+        if hf_n in raw:
+            out[nm] = g(hf_n)
+    # mistral-small-3.1 / lightonocr patch merger (HF Mistral3PatchMerger
+    # + projector norm; reference tools/mtmd/models/pixtral.cpp:29-49)
+    if "multi_modal_projector.patch_merger.merging_layer.weight" in raw:
+        out["merge_w"] = g(
+            "multi_modal_projector.patch_merger.merging_layer.weight").T
+        out["input_norm"] = g("multi_modal_projector.norm.weight")
+        pcfg["spatial_merge_size"] = cfgd.get("spatial_merge_size", 2)
+        pcfg["rms_eps_merge"] = cfgd.get("text_config", {}).get(
+            "rms_norm_eps", 1e-5)
     name_map = {
         "attention_norm.weight": "attn_norm",
         "ffn_norm.weight": "ffn_norm",

@@ -256,7 +256,9 @@ def encode_image_auto(model_dir, image_path):
 
         img = _load_rgb(image_path, pcfg.image_size, _CLIP_MEAN, _CLIP_STD)
         feats = pixtral_forward(pp, pcfg, jnp.asarray(img)[None])
-        return pixtral_project(pp, feats), "pixtral"
+        side = pcfg.image_size // pcfg.patch_size
+        return pixtral_project(
+            pp, feats, cfg=pcfg, grid_hw=(side, side)), "pixtral"
 
     qv = ck.load_qwen_vision(model_dir) if hasattr(
         ck, "load_qwen_vision") else (None,) * 3

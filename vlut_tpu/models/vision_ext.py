@@ -49,6 +49,9 @@ class PixtralConfig:
     rms_eps: float = 1e-5
     d_llm: int = 5120
     proj_act: str = "gelu"
+    # mistral-small-3.1 / lightonocr patch merger (0 = plain pixtral)
+    spatial_merge_size: int = 0
+    rms_eps_merge: float = 1e-5
 
     @property
     def head_dim(self) -> int:
@@ -198,12 +201,36 @@ def pixtral_forward(
     return x[0]
 
 
-def pixtral_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+def pixtral_project(
+    params: dict[str, Any], feats: jax.Array,
+    cfg: PixtralConfig | None = None,
+    grid_hw: tuple[int, int] | None = None,
+) -> jax.Array:
     """LLaVA-style 2-layer GELU projector into the decoder width (HF
-    LlavaMultiModalProjector used by Pixtral/Mistral-small)."""
-    y = feats @ params["proj_w1"] + params["proj_b1"]
+    LlavaMultiModalProjector used by Pixtral).  When the checkpoint
+    carries a patch merger (mistral-small-3.1 / lightonocr; HF
+    Mistral3PatchMerger, reference tools/mtmd/models/pixtral.cpp:29-49):
+    RMSNorm -> unfold each merge x merge block channel-major -> no-bias
+    merging linear, before the MLP."""
+    if "merge_w" in params:
+        assert cfg is not None and grid_hw is not None
+        m = cfg.spatial_merge_size
+        gh, gw = grid_hw
+        n, d = feats.shape
+        y = _rms(feats, params["input_norm"], cfg.rms_eps_merge)
+        # torch unfold flattens each block CHANNEL-major ([c][ky][kx])
+        y = y.reshape(gh // m, m, gw // m, m, d)
+        y = y.transpose(0, 2, 4, 1, 3)       # (gh/m, gw/m, d, ky, kx)
+        y = y.reshape((gh // m) * (gw // m), d * m * m)
+        feats = y @ params["merge_w"]
+    y = feats @ params["proj_w1"]
+    if "proj_b1" in params:
+        y = y + params["proj_b1"]
     y = jax.nn.gelu(y, approximate=False)
-    return y @ params["proj_w2"] + params["proj_b2"]
+    y = y @ params["proj_w2"]
+    if "proj_b2" in params:
+        y = y + params["proj_b2"]
+    return y
 
 
 def minicpmv_pos_embed(grid_hw: tuple[int, int], d: int) -> jnp.ndarray:
