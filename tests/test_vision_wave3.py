@@ -584,3 +584,105 @@ def test_mistral3_patch_merger_parity(tmp_path):
     got = np.asarray(pixtral_project(pp, feats, cfg=pcfg, grid_hw=(4, 4)))
     np.testing.assert_allclose(
         got.reshape(want.shape), want, rtol=2e-4, atol=2e-5)
+
+
+def test_ldp_and_ldpv2_twins():
+    """MobileVLM LDP / LDPv2 projectors vs torch transcriptions of the
+    reference graphs (tools/mtmd/models/llava.cpp:197-335: dw conv +
+    channel LN + hardswish + squeeze-excite + pointwise + residual;
+    v2: MLP + avgpool + PEG dw conv).  No HF transformers module for
+    MobileVLM — twin parity like kimivl."""
+    from vlut_tpu.models.vision_wave3 import ldp_project, ldpv2_project
+
+    rng = np.random.default_rng(72)
+    d_vis, C, side = 24, 32, 4
+
+    def t(*s, scale=0.2):
+        return rng.standard_normal(s).astype(np.float32) * scale
+
+    feats = t(1, side * side, d_vis, scale=1.0)
+
+    # ---- LDP ----
+    p = {
+        "mlp1_w": t(d_vis, C), "mlp1_b": t(C),
+        "mlp3_w": t(C, C), "mlp3_b": t(C),
+    }
+    for blk in ("b1", "b2"):
+        p.update({
+            f"{blk}_dw": t(3, 3, 1, C),
+            f"{blk}_ln0_w": 1.0 + t(C), f"{blk}_ln0_b": t(C),
+            f"{blk}_fc1_w": t(C, 8), f"{blk}_fc1_b": t(8),
+            f"{blk}_fc2_w": t(8, C), f"{blk}_fc2_b": t(C),
+            f"{blk}_pw": t(C, C),
+            f"{blk}_ln1_w": 1.0 + t(C), f"{blk}_ln1_b": t(C),
+        })
+
+    def torch_ldp():
+        x = torch.tensor(feats)
+        x = torch.nn.functional.gelu(
+            x @ torch.tensor(p["mlp1_w"]) + torch.tensor(p["mlp1_b"]),
+            approximate="tanh")
+        x = x @ torch.tensor(p["mlp3_w"]) + torch.tensor(p["mlp3_b"])
+        x = x.reshape(1, side, side, C).permute(0, 3, 1, 2)  # NCHW
+
+        def block(x, blk, stride, residual):
+            w = torch.tensor(p[f"{blk}_dw"]).permute(3, 2, 0, 1)  # (C,1,3,3)
+            y = torch.nn.functional.conv2d(
+                x, w, stride=stride, padding=1, groups=C)
+            yn = y.permute(0, 2, 3, 1)
+            yn = torch.nn.functional.layer_norm(
+                yn, (C,), torch.tensor(p[f"{blk}_ln0_w"]),
+                torch.tensor(p[f"{blk}_ln0_b"]), 1e-5)
+            y = yn.permute(0, 3, 1, 2)
+            hw = torch.nn.functional.hardswish(y)
+            se = hw.mean((2, 3))
+            se = torch.relu(se @ torch.tensor(p[f"{blk}_fc1_w"])
+                            + torch.tensor(p[f"{blk}_fc1_b"]))
+            se = se @ torch.tensor(p[f"{blk}_fc2_w"]) + torch.tensor(
+                p[f"{blk}_fc2_b"])
+            se = torch.nn.functional.hardsigmoid(se)
+            y = hw * se[:, :, None, None]
+            yn = y.permute(0, 2, 3, 1) @ torch.tensor(p[f"{blk}_pw"])
+            yn = torch.nn.functional.layer_norm(
+                yn, (C,), torch.tensor(p[f"{blk}_ln1_w"]),
+                torch.tensor(p[f"{blk}_ln1_b"]), 1e-5)
+            y = yn.permute(0, 3, 1, 2)
+            return x + y if residual else y
+
+        x = block(x, "b1", 1, True)
+        x = block(x, "b2", 2, False)
+        return x.permute(0, 2, 3, 1).reshape(1, -1, C).numpy()
+
+    with torch.no_grad():
+        want = torch_ldp()
+    got = np.asarray(ldp_project(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # ---- LDPv2 ----
+    p2 = {
+        "mlp0_w": t(d_vis, C), "mlp0_b": t(C),
+        "mlp2_w": t(C, C), "mlp2_b": t(C),
+        "peg_w": t(3, 3, 1, C), "peg_b": t(C),
+    }
+
+    def torch_ldpv2():
+        x = torch.tensor(feats)
+        x = torch.nn.functional.gelu(
+            x @ torch.tensor(p2["mlp0_w"]) + torch.tensor(p2["mlp0_b"]),
+            approximate="tanh")
+        x = x @ torch.tensor(p2["mlp2_w"]) + torch.tensor(p2["mlp2_b"])
+        x = x.reshape(1, side, side, C).permute(0, 3, 1, 2)
+        x = torch.nn.functional.avg_pool2d(x, 2, 2)
+        w = torch.tensor(p2["peg_w"]).permute(3, 2, 0, 1)
+        peg = torch.nn.functional.conv2d(
+            x, w, stride=1, padding=1, groups=C) + torch.tensor(
+            p2["peg_b"])[None, :, None, None]
+        x = peg + x
+        return x.permute(0, 2, 3, 1).reshape(1, -1, C).numpy()
+
+    with torch.no_grad():
+        want2 = torch_ldpv2()
+    got2 = np.asarray(ldpv2_project(
+        jax.tree.map(jnp.asarray, p2), jnp.asarray(feats)))
+    np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)

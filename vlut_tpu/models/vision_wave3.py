@@ -285,6 +285,73 @@ def lfm2vl_project(
 
 
 # ---------------------------------------------------------------------------
+# MobileVLM LDP / LDPv2 projectors over the CLIP tower
+# (reference PROJECTOR_TYPE_LDP / PROJECTOR_TYPE_LDPV2,
+# tools/mtmd/models/llava.cpp:197-335)
+# ---------------------------------------------------------------------------
+
+def _hardswish(x):
+    return x * jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+
+def _dw_conv3(x, w, stride=1):
+    """Depthwise 3x3 conv, NHWC x (3, 3, 1, C) HWIO, SAME-ish pad 1."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+def _ldp_block(x, p, prefix, stride, eps=1e-5, residual=True):
+    """One MobileVLM LDP block: depthwise 3x3 -> channel LayerNorm ->
+    hardswish -> squeeze-excite (global avgpool, fc1/relu/fc2,
+    hardsigmoid scale) -> pointwise conv -> LayerNorm [-> +input]."""
+    y = _dw_conv3(x, p[f"{prefix}_dw"], stride=stride)
+    y = _ln(y, p[f"{prefix}_ln0_w"], p[f"{prefix}_ln0_b"], eps)
+    hw = _hardswish(y)
+    se = jnp.mean(hw, axis=(1, 2))                      # (B, C)
+    se = jax.nn.relu(se @ p[f"{prefix}_fc1_w"] + p[f"{prefix}_fc1_b"])
+    se = se @ p[f"{prefix}_fc2_w"] + p[f"{prefix}_fc2_b"]
+    se = jnp.clip((se + 3.0) / 6.0, 0.0, 1.0)
+    y = hw * se[:, None, None, :]
+    y = y @ p[f"{prefix}_pw"]                           # pointwise conv
+    y = _ln(y, p[f"{prefix}_ln1_w"], p[f"{prefix}_ln1_b"], eps)
+    return x + y if residual else y
+
+
+def ldp_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+    """MobileVLM LDP: biased GELU MLP -> block1 (stride 1, residual) ->
+    block2 (stride 2, no residual) -> (B, P/4, C) tokens."""
+    b, p_, d = feats.shape
+    side = int(round(p_ ** 0.5))
+    x = jax.nn.gelu(feats @ params["mlp1_w"] + params["mlp1_b"],
+                    approximate=True)
+    x = x @ params["mlp3_w"] + params["mlp3_b"]
+    x = x.reshape(b, side, side, -1)
+    x = _ldp_block(x, params, "b1", stride=1, residual=True)
+    x = _ldp_block(x, params, "b2", stride=2, residual=False)
+    return x.reshape(b, (side // 2) ** 2, x.shape[-1])
+
+
+def ldpv2_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+    """MobileVLM-v2 LDP: biased GELU MLP -> 2x2 stride-2 avgpool -> 3x3
+    depthwise PEG conv (+bias) with residual -> (B, P/4, C) tokens."""
+    b, p_, d = feats.shape
+    side = int(round(p_ ** 0.5))
+    x = jax.nn.gelu(feats @ params["mlp0_w"] + params["mlp0_b"],
+                    approximate=True)
+    x = x @ params["mlp2_w"] + params["mlp2_b"]
+    x = x.reshape(b, side, side, -1)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+    peg = _dw_conv3(x, params["peg_w"]) + params["peg_b"]
+    x = peg + x
+    return x.reshape(b, (side // 2) ** 2, x.shape[-1])
+
+
+# ---------------------------------------------------------------------------
 # GLM4-V vision (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)
 # ---------------------------------------------------------------------------
 
