@@ -686,3 +686,51 @@ def test_ldp_and_ldpv2_twins():
     got2 = np.asarray(ldpv2_project(
         jax.tree.map(jnp.asarray, p2), jnp.asarray(feats)))
     np.testing.assert_allclose(got2, want2, rtol=2e-4, atol=2e-5)
+
+
+def test_glm_edge_adapter_twin():
+    """GLM-Edge adapter vs a torch transcription of the reference graph
+    (tools/mtmd/models/llava.cpp:337-364): 2x2 stride-2 conv downsample,
+    linear + LayerNorm + GELU, swiglu-split GLU, down linear, BOI/EOI
+    bracketing."""
+    from vlut_tpu.models.vision_wave3 import glm_edge_project
+
+    rng = np.random.default_rng(73)
+    C, side, d_llm = 24, 4, 40
+
+    def t(*s, scale=0.2):
+        return rng.standard_normal(s).astype(np.float32) * scale
+
+    feats = t(1, side * side, C, scale=1.0)
+    p = {
+        "conv_w": t(2, 2, C, C), "conv_b": t(C),
+        "mlp0_w": t(C, d_llm),
+        "ln_w": 1.0 + t(d_llm), "ln_b": t(d_llm),
+        "mlp1_w": t(d_llm, d_llm), "mlp2_w": t(d_llm, d_llm),
+        "mlp3_w": t(d_llm, d_llm),
+        "boi": t(d_llm), "eoi": t(d_llm),
+    }
+
+    def torch_ref():
+        x = torch.tensor(feats).reshape(1, side, side, C).permute(0, 3, 1, 2)
+        w = torch.tensor(p["conv_w"]).permute(3, 2, 0, 1)
+        x = torch.nn.functional.conv2d(x, w, stride=2)
+        x = x.permute(0, 2, 3, 1).reshape(1, -1, C) + torch.tensor(
+            p["conv_b"])
+        x = x @ torch.tensor(p["mlp0_w"])
+        x = torch.nn.functional.layer_norm(
+            x, (d_llm,), torch.tensor(p["ln_w"]), torch.tensor(p["ln_b"]),
+            1e-5)
+        x = torch.nn.functional.gelu(x, approximate="tanh")
+        g = torch.nn.functional.silu(x @ torch.tensor(p["mlp2_w"])) * (
+            x @ torch.tensor(p["mlp1_w"]))
+        x = g @ torch.tensor(p["mlp3_w"])
+        boi = torch.tensor(p["boi"]).expand(1, 1, d_llm)
+        eoi = torch.tensor(p["eoi"]).expand(1, 1, d_llm)
+        return torch.cat([boi, x, eoi], 1).numpy()
+
+    with torch.no_grad():
+        want = torch_ref()
+    got = np.asarray(glm_edge_project(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -352,6 +352,35 @@ def ldpv2_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# GLM-Edge adapter (reference PROJECTOR_TYPE_GLM_EDGE,
+# tools/mtmd/models/llava.cpp:337-364) — the tower is the CLIP graph
+# (models/vision.py) with the glm-edge feature-layer selection
+# ---------------------------------------------------------------------------
+
+def glm_edge_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+    """GLM-Edge adapter: 2x2 stride-2 conv downsample over the patch grid
+    -> linear -> LayerNorm -> GELU -> SwiGLU-split GLU -> down linear,
+    then BOI/EOI embedding rows bracket the tokens."""
+    b, p, c = feats.shape
+    side = int(round(p ** 0.5))
+    x = feats.reshape(b, side, side, c)
+    x = jax.lax.conv_general_dilated(
+        x, params["conv_w"], window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["conv_b"]
+    x = x.reshape(b, -1, x.shape[-1])
+    x = x @ params["mlp0_w"]
+    x = _ln(x, params["ln_w"], params["ln_b"], 1e-5)
+    x = jax.nn.gelu(x, approximate=True)
+    # ggml_swiglu_split(mlp_2(x), mlp_1(x)) = silu(mlp_2 x) * (mlp_1 x)
+    g = jax.nn.silu(x @ params["mlp2_w"]) * (x @ params["mlp1_w"])
+    x = g @ params["mlp3_w"]
+    boi = jnp.broadcast_to(params["boi"], (b, 1, x.shape[-1]))
+    eoi = jnp.broadcast_to(params["eoi"], (b, 1, x.shape[-1]))
+    return jnp.concatenate([boi, x, eoi], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # GLM4-V vision (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)
 # ---------------------------------------------------------------------------
 
