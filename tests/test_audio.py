@@ -145,3 +145,29 @@ def test_voxtral_parity(tmp_path):
     got = np.asarray(encode(params, cfg2, jnp.asarray(mel.T)))
     np.testing.assert_allclose(got.reshape(want.shape), want,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_encode_shapes_music_flamingo_and_glma():
+    """Round-5 audio projector variants (reference whisper-enc.cpp:89-105):
+    music-flamingo = biased erf-GELU MLP on raw frames; glm-a = biased
+    pre-LayerNorm + frame stacking + biased MLP + BOI/EOI brackets."""
+    cfg = AudioConfig(**{**TINY.__dict__, "projector": "music_flamingo"})
+    params = init_params(cfg, seed=2)
+    mel = log_mel(np.zeros(1600, np.float32), cfg)
+    out = encode(params, cfg, np.asarray(mel))
+    t2 = mel.shape[0] // 2 + mel.shape[0] % 2
+    assert out.shape == (t2, cfg.d_llm)
+    assert np.isfinite(np.asarray(out)).all()
+
+    cfg = AudioConfig(**{**TINY.__dict__, "projector": "glma",
+                         "stack_factor": 2})
+    params = init_params(cfg, seed=3)
+    out = encode(params, cfg, np.asarray(mel))
+    expect_t = -(-t2 // 2) + 2  # stacked frames + BOI + EOI
+    assert out.shape == (expect_t, cfg.d_llm)
+    assert np.isfinite(np.asarray(out)).all()
+    # BOI/EOI rows are the learned embeddings verbatim
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(params["proj"]["boi"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out[-1]), np.asarray(params["proj"]["eoi"]), atol=1e-6)

@@ -190,3 +190,39 @@ def test_convert_llava_roundtrip(tmp_path):
     emb = encode_image(vparams, vcfg, img)
     assert emb.shape == (1, (IMG // PS) ** 2, D)
     assert np.isfinite(np.asarray(emb, np.float32)).all()
+
+
+def test_mlp_norm_projector_variant():
+    """MLP_NORM (yi-vl) projector: LayerNorm after each projector linear
+    (reference tools/mtmd/models/llava.cpp:176-196) — twin vs torch on
+    the factored llava_project (the tower is covered by the llava
+    parity tests above)."""
+    import torch
+
+    from vlut_tpu.models.vision import llava_project
+
+    rng = np.random.default_rng(5)
+    d, d_llm = 32, 40
+    t = lambda *s_: rng.standard_normal(s_).astype(np.float32) * 0.2
+    params = {
+        "proj_w1": t(d, d_llm), "proj_b1": t(d_llm),
+        "proj_w2": t(d_llm, d_llm), "proj_b2": t(d_llm),
+        "proj_ln1_w": 1.0 + t(d_llm), "proj_ln1_b": t(d_llm),
+        "proj_ln2_w": 1.0 + t(d_llm), "proj_ln2_b": t(d_llm),
+    }
+    f = t(1, 16, d)
+    with torch.no_grad():
+        y = torch.tensor(f) @ torch.tensor(params["proj_w1"]) \
+            + torch.tensor(params["proj_b1"])
+        y = torch.nn.functional.layer_norm(
+            y, (d_llm,), torch.tensor(params["proj_ln1_w"]),
+            torch.tensor(params["proj_ln1_b"]), 1e-5)
+        y = torch.nn.functional.gelu(y, approximate="tanh")
+        y = y @ torch.tensor(params["proj_w2"]) + torch.tensor(
+            params["proj_b2"])
+        want = torch.nn.functional.layer_norm(
+            y, (d_llm,), torch.tensor(params["proj_ln2_w"]),
+            torch.tensor(params["proj_ln2_b"]), 1e-5).numpy()
+    got = np.asarray(llava_project(
+        {k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(f)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

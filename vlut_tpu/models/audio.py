@@ -175,6 +175,22 @@ def init_params(cfg: AudioConfig, seed: int = 0,
             "w1": rand(d * cfg.stack_factor, cfg.d_llm),
             "w2": rand(cfg.d_llm, cfg.d_llm),
         }
+    elif cfg.projector == "music_flamingo":
+        params["proj"] = {
+            "w1": rand(d, cfg.d_llm), "b1": jnp.zeros((cfg.d_llm,)),
+            "w2": rand(cfg.d_llm, cfg.d_llm),
+            "b2": jnp.zeros((cfg.d_llm,)),
+        }
+    elif cfg.projector == "glma":
+        ds = d * cfg.stack_factor
+        params["proj"] = {
+            "norm_pre_w": jnp.ones((d,), jnp.float32),
+            "norm_pre_b": jnp.zeros((d,), jnp.float32),
+            "w1": rand(ds, cfg.d_llm), "b1": jnp.zeros((cfg.d_llm,)),
+            "w2": rand(cfg.d_llm, cfg.d_llm),
+            "b2": jnp.zeros((cfg.d_llm,)),
+            "boi": rand(cfg.d_llm), "eoi": rand(cfg.d_llm),
+        }
     else:  # qwen2a
         params["proj"] = {
             "fc_w": rand(d, cfg.d_llm), "fc_b": jnp.zeros((cfg.d_llm,)),
@@ -257,6 +273,27 @@ def encode(params, cfg: AudioConfig, mel: jax.Array) -> jax.Array:
         g = jax.nn.gelu(x @ pr["w1"].astype(jnp.float32),
                         approximate=False)
         return g @ pr["w2"].astype(jnp.float32)
+    if cfg.projector == "music_flamingo":
+        # reference PROJECTOR_TYPE_MUSIC_FLAMINGO (whisper-enc.cpp:89):
+        # biased erf-GELU MLP straight on the encoder frames
+        g = jax.nn.gelu(
+            x @ pr["w1"].astype(jnp.float32) + pr["b1"], approximate=False)
+        return g @ pr["w2"].astype(jnp.float32) + pr["b2"]
+    if cfg.projector == "glma":
+        # reference PROJECTOR_TYPE_GLMA (whisper-enc.cpp:98): biased
+        # LayerNorm pre-norm, frame stacking, biased GELU MLP, BOI/EOI
+        # embedding rows bracketing the sequence
+        x = _ln(x, pr["norm_pre_w"], pr["norm_pre_b"],
+                cfg.layer_norm_eps)
+        s = cfg.stack_factor
+        pad = (-t) % s
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        x = x.reshape((t + pad) // s, s * cfg.d_model)
+        g = jax.nn.gelu(
+            x @ pr["w1"].astype(jnp.float32) + pr["b1"], approximate=True)
+        x = g @ pr["w2"].astype(jnp.float32) + pr["b2"]
+        return jnp.concatenate(
+            [pr["boi"][None], x, pr["eoi"][None]], axis=0)
     return x @ pr["fc_w"].astype(jnp.float32) \
         + pr["fc_b"].astype(jnp.float32)
 

@@ -156,12 +156,30 @@ def encode_image(
 
     if cfg.select_feature == "patch" and cfg.use_cls_token:
         x = x[:, 1:]
-    # llava projector: linear -> gelu -> linear
+    return llava_project(params, x)
+
+
+def llava_project(params, x):
+    """llava projector: linear -> gelu -> linear.  The MLP_NORM variant
+    (yi-vl; reference tools/mtmd/models/llava.cpp:176-196) inserts a
+    LayerNorm after EACH linear when proj_ln{1,2}_{w,b} are present."""
+
+    def _pln(v, nm):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)
+                * params[f"{nm}_w"].astype(jnp.float32)
+                + params[f"{nm}_b"].astype(jnp.float32))
+
     y = jnp.dot(x.astype(jnp.float32), params["proj_w1"].astype(jnp.float32))
     y = y + params["proj_b1"].astype(jnp.float32)
+    if "proj_ln1_w" in params:
+        y = _pln(y, "proj_ln1")
     y = jax.nn.gelu(y, approximate=True)
     y = jnp.dot(y, params["proj_w2"].astype(jnp.float32))
     y = y + params["proj_b2"].astype(jnp.float32)
+    if "proj_ln2_w" in params:
+        y = _pln(y, "proj_ln2")
     return y.astype(params["proj_w2"].dtype)
 
 
