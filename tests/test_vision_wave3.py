@@ -734,3 +734,156 @@ def test_glm_edge_adapter_twin():
     got = np.asarray(glm_edge_project(
         jax.tree.map(jnp.asarray, p), jnp.asarray(feats)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_qwen3vl_deepstack_vision_parity():
+    """Qwen3-VL deepstack ViT vs HF Qwen3VLVisionModel (reference
+    PROJECTOR_TYPE_QWEN3VL, tools/mtmd/models/qwen3vl.cpp): conv3d
+    patchify, block-major positions, 2-D rope, plain tanh-GELU MLP
+    blocks, main merger (pre-shuffle norm) + per-index deepstack mergers
+    (post-shuffle norm)."""
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLVisionConfig as HFVC,
+    )
+    from transformers.models.qwen3_vl.modeling_qwen3_vl import (
+        Qwen3VLVisionModel,
+    )
+
+    from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+    from vlut_tpu.models.vision_wave3 import (
+        Qwen3VLVisionConfig,
+        qwen3vl_vision_forward,
+    )
+
+    hc = HFVC(
+        hidden_size=32, depth=3, num_heads=4, intermediate_size=48,
+        out_hidden_size=40, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, num_position_embeddings=16,
+        deepstack_visual_indexes=[0, 2],
+    )
+    hm = Qwen3VLVisionModel(hc).float().eval()
+    _randomize(hm, 91)
+
+    vc = Qwen3VLVisionConfig(
+        patch_size=4, d_model=32, n_layers=3, n_heads=4, d_ff=48,
+        d_out=40, temporal_patch_size=2, merge=2, pos_grid=4,
+        deepstack_indexes=(0, 2),
+    )
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in hm.state_dict().items()}
+    params = {
+        "patch_w": sd["patch_embed.proj.weight"].reshape(32, -1).T,
+        "patch_b": sd["patch_embed.proj.bias"],
+        "pos": sd["pos_embed.weight"],
+        "merge_ln_w": sd["merger.norm.weight"],
+        "merge_ln_b": sd["merger.norm.bias"],
+        "merge_fc1_w": sd["merger.linear_fc1.weight"].T,
+        "merge_fc1_b": sd["merger.linear_fc1.bias"],
+        "merge_fc2_w": sd["merger.linear_fc2.weight"].T,
+        "merge_fc2_b": sd["merger.linear_fc2.bias"],
+        "layers": {},
+    }
+    for di in range(2):
+        pre = f"deepstack_merger_list.{di}"
+        params.update({
+            f"ds{di}_ln_w": sd[f"{pre}.norm.weight"],
+            f"ds{di}_ln_b": sd[f"{pre}.norm.bias"],
+            f"ds{di}_fc1_w": sd[f"{pre}.linear_fc1.weight"].T,
+            f"ds{di}_fc1_b": sd[f"{pre}.linear_fc1.bias"],
+            f"ds{di}_fc2_w": sd[f"{pre}.linear_fc2.weight"].T,
+            f"ds{di}_fc2_b": sd[f"{pre}.linear_fc2.bias"],
+        })
+    names = {
+        "norm1.weight": "ln1_w", "norm1.bias": "ln1_b",
+        "norm2.weight": "ln2_w", "norm2.bias": "ln2_b",
+        "attn.qkv.weight": ("wqkv", True), "attn.qkv.bias": "bqkv",
+        "attn.proj.weight": ("wo", True), "attn.proj.bias": "bo",
+        "mlp.linear_fc1.weight": ("w1", True),
+        "mlp.linear_fc1.bias": "b1",
+        "mlp.linear_fc2.weight": ("w2", True),
+        "mlp.linear_fc2.bias": "b2",
+    }
+    for sub, nm in names.items():
+        nm, tr = nm if isinstance(nm, tuple) else (nm, False)
+        vals = [sd[f"blocks.{i}.{sub}"] for i in range(3)]
+        params["layers"][nm] = np.stack([v.T if tr else v for v in vals])
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(92)
+    pix = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    qvc = QwenVisionConfig(
+        depth=3, embed_dim=32, n_heads=4, mlp_dim=48, patch_size=4,
+        temporal_patch_size=2, spatial_merge_size=2,
+    )
+    patches, grid = patchify(pix, qvc)
+    with torch.no_grad():
+        want_main, want_ds = hm(
+            torch.tensor(patches),
+            grid_thw=torch.tensor([[1, grid[0], grid[1]]]),
+        )
+    got_main, got_ds = qwen3vl_vision_forward(
+        params, vc, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(
+        np.asarray(got_main), want_main.numpy(), rtol=2e-4, atol=2e-5)
+    assert len(got_ds) == len(want_ds) == 2
+    for g, w in zip(got_ds, want_ds):
+        np.testing.assert_allclose(
+            np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_qwen3vl_vision_converter_route(tmp_path):
+    """Qwen3-VL deepstack tower through the REAL converter (previously
+    dropped as text-only): convert a tiny Qwen3VLForConditionalGeneration
+    and check tower outputs vs HF."""
+    from vlut_tpu.convert.checkpoint import load_qwen3vl_vision
+    from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+    from vlut_tpu.models.vision_wave3 import qwen3vl_vision_forward
+
+    c = transformers.Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [4, 2, 2],
+                          "mrope_interleaved": True},
+        ),
+        vision_config=dict(
+            hidden_size=32, depth=3, num_heads=4, intermediate_size=48,
+            out_hidden_size=64, patch_size=4, temporal_patch_size=2,
+            spatial_merge_size=2, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 2],
+        ),
+        image_token_id=V - 1, video_token_id=V - 2,
+        vision_start_token_id=V - 3, vision_end_token_id=V - 4,
+    )
+    m = transformers.Qwen3VLForConditionalGeneration(c).float().eval()
+    _randomize(m, 93)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+
+    qcfg, qp, img_tok = load_qwen3vl_vision(tmp_path / "out")
+    assert qcfg is not None and img_tok == V - 1
+    assert qcfg.deepstack_indexes == (0, 2)
+    qp = jax.tree.map(jnp.asarray, qp)
+    rng = np.random.default_rng(94)
+    pix = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    qvc = QwenVisionConfig(
+        depth=3, embed_dim=32, n_heads=4, mlp_dim=48, patch_size=4,
+        temporal_patch_size=2, spatial_merge_size=2,
+    )
+    patches, grid = patchify(pix, qvc)
+    with torch.no_grad():
+        want_main, want_ds = m.model.visual(
+            torch.tensor(patches),
+            grid_thw=torch.tensor([[1, grid[0], grid[1]]]),
+        )
+    got_main, got_ds = qwen3vl_vision_forward(
+        qp, qcfg, jnp.asarray(patches), grid)
+    np.testing.assert_allclose(
+        np.asarray(got_main), want_main.numpy(), rtol=2e-4, atol=2e-5)
+    for g, w in zip(got_ds, want_ds):
+        np.testing.assert_allclose(
+            np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-5)

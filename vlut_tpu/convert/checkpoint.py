@@ -339,6 +339,22 @@ def load_lfm2vl_vision(path: str | pathlib.Path):
             meta.get("image_token_id"))
 
 
+def load_qwen3vl_vision(path: str | pathlib.Path):
+    """Qwen3-VL deepstack tower.  Returns (Qwen3VLVisionConfig, params,
+    image_token_id) or (None, None, None)."""
+    path = pathlib.Path(path)
+    meta = json.loads((path / "vlut_config.json").read_text())
+    qc = meta.get("qwen3vl_vision_config")
+    if not qc or not (path / "qwen3vl_vision.safetensors").exists():
+        return None, None, None
+    from vlut_tpu.models.vision_wave3 import Qwen3VLVisionConfig
+
+    qc = {**qc, "deepstack_indexes": tuple(qc["deepstack_indexes"])}
+    return (Qwen3VLVisionConfig(**qc),
+            _load_tower(path, "qwen3vl_vision.safetensors"),
+            meta.get("image_token_id"))
+
+
 def load_glm4v_vision(path: str | pathlib.Path):
     """GLM4-V vision tower (+ downsample + merger).  Returns
     (Glm4vVisionConfig, params, image_token_id) or (None, None, None)."""

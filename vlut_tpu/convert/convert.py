@@ -2256,11 +2256,10 @@ def convert_hf(
         if name.startswith(("model.visual.", "visual.")):
             if mt0 in ("qwen2_vl", "qwen2_5_vl"):
                 qwen_vis_raw[name.split("visual.", 1)[1]] = np.asarray(w)
-            elif mt0 == "glm4v":
+            elif mt0 in ("glm4v", "qwen3_vl", "qwen3_vl_moe"):
                 vision_raw[
                     "visual." + name.split("visual.", 1)[1]
                 ] = np.asarray(w)
-            # qwen3-vl vision (deepstack) unsupported yet: text-only
             continue
         if name.startswith("language_model."):
             name = name[len("language_model."):]
@@ -2910,6 +2909,11 @@ def convert_hf(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(
                 "image_token_index", raw0.get("image_token_id"))
+        elif vmt == "qwen3_vl":
+            extra_meta["qwen3vl_vision_config"] = _convert_qwen3vl_vision(
+                vision_raw, raw0, pathlib.Path(out_dir))
+            extra_meta["image_token_id"] = raw0.get(
+                "image_token_index", raw0.get("image_token_id"))
         elif vmt == "janus_vision_model":
             extra_meta["janus_config"] = _convert_janus_vision(
                 vision_raw, raw0, pathlib.Path(out_dir))
@@ -3396,6 +3400,88 @@ def _convert_lfm2_vl(
     save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
               str(out_dir / "lfm2vl.safetensors"))
     return lcfg
+
+
+def _convert_qwen3vl_vision(
+    raw: dict[str, np.ndarray], cfgd: dict[str, Any], out_dir: pathlib.Path
+) -> dict[str, Any]:
+    """Qwen3-VL deepstack ViT -> qwen3vl_vision.safetensors
+    (models/vision_wave3.qwen3vl_vision_forward layout; reference
+    PROJECTOR_TYPE_QWEN3VL, tools/mtmd/models/qwen3vl.cpp).  The text
+    side consumes the deepstack features as early-layer residual adds
+    (DeepStack) — recorded in the meta for the describe pipeline."""
+    from safetensors.numpy import save_file
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    v = cfgd.get("vision_config", {})
+    d = v.get("hidden_size", 1152)
+    ds_idx = list(v.get("deepstack_visual_indexes", [8, 16, 24]))
+    qcfg = {
+        "patch_size": v.get("patch_size", 16),
+        "d_model": d,
+        "n_layers": v.get("depth", 27),
+        "n_heads": v.get("num_heads", 16),
+        "d_ff": v.get("intermediate_size", 4304),
+        "d_out": v.get("out_hidden_size", 2048),
+        "temporal_patch_size": v.get("temporal_patch_size", 2),
+        "merge": v.get("spatial_merge_size", 2),
+        "pos_grid": int(round(
+            v.get("num_position_embeddings", 2304) ** 0.5)),
+        "deepstack_indexes": ds_idx,
+    }
+    p = "visual."
+    g = lambda n: np.asarray(raw[n], np.float32)  # noqa: E731
+    out: dict[str, np.ndarray] = {
+        "patch_w": g(f"{p}patch_embed.proj.weight").reshape(d, -1).T,
+        "patch_b": g(f"{p}patch_embed.proj.bias"),
+        "pos": g(f"{p}pos_embed.weight"),
+        "merge_ln_w": g(f"{p}merger.norm.weight"),
+        "merge_ln_b": g(f"{p}merger.norm.bias"),
+        "merge_fc1_w": g(f"{p}merger.linear_fc1.weight").T,
+        "merge_fc1_b": g(f"{p}merger.linear_fc1.bias"),
+        "merge_fc2_w": g(f"{p}merger.linear_fc2.weight").T,
+        "merge_fc2_b": g(f"{p}merger.linear_fc2.bias"),
+    }
+    for di in range(len(ds_idx)):
+        pre = f"{p}deepstack_merger_list.{di}"
+        out.update({
+            f"ds{di}_ln_w": g(f"{pre}.norm.weight"),
+            f"ds{di}_ln_b": g(f"{pre}.norm.bias"),
+            f"ds{di}_fc1_w": g(f"{pre}.linear_fc1.weight").T,
+            f"ds{di}_fc1_b": g(f"{pre}.linear_fc1.bias"),
+            f"ds{di}_fc2_w": g(f"{pre}.linear_fc2.weight").T,
+            f"ds{di}_fc2_b": g(f"{pre}.linear_fc2.bias"),
+        })
+    name_map = {
+        "norm1.weight": ("ln1_w", False), "norm1.bias": ("ln1_b", False),
+        "norm2.weight": ("ln2_w", False), "norm2.bias": ("ln2_b", False),
+        "attn.qkv.weight": ("wqkv", True), "attn.qkv.bias": ("bqkv", False),
+        "attn.proj.weight": ("wo", True), "attn.proj.bias": ("bo", False),
+        "mlp.linear_fc1.weight": ("w1", True),
+        "mlp.linear_fc1.bias": ("b1", False),
+        "mlp.linear_fc2.weight": ("w2", True),
+        "mlp.linear_fc2.bias": ("b2", False),
+    }
+    L = qcfg["n_layers"]
+    stacks: dict[str, list] = {nm: [None] * L
+                               for nm, _ in name_map.values()}
+    lre = re.compile(rf"{re.escape(p)}blocks\.(\d+)\.(.+)$")
+    for name, w in raw.items():
+        mm = lre.match(name)
+        if not mm:
+            continue
+        li, sub = int(mm.group(1)), mm.group(2)
+        hit = name_map.get(sub)
+        if hit is None:
+            continue
+        nm, tr = hit
+        arr = np.asarray(w, np.float32)
+        stacks[nm][li] = arr.T if tr else arr
+    for nm, vals in stacks.items():
+        out[f"layers.{nm}"] = np.stack(vals)
+    save_file({k: np.ascontiguousarray(a) for k, a in out.items()},
+              str(out_dir / "qwen3vl_vision.safetensors"))
+    return qcfg
 
 
 def _convert_glm4v_vision(

@@ -381,6 +381,126 @@ def glm_edge_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Qwen3-VL deepstack vision (reference PROJECTOR_TYPE_QWEN3VL,
+# tools/mtmd/models/qwen3vl.cpp; HF Qwen3VLVisionModel)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3VLVisionConfig:
+    patch_size: int = 16
+    d_model: int = 1152
+    n_layers: int = 27
+    n_heads: int = 16
+    d_ff: int = 4304
+    d_out: int = 2048            # out_hidden_size (= LLM width)
+    temporal_patch_size: int = 2
+    merge: int = 2
+    pos_grid: int = 48           # sqrt(num_position_embeddings)
+    deepstack_indexes: tuple[int, ...] = (8, 16, 24)
+    ln_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def _qwen3vl_merger(params, prefix: str, x, d: int, m2: int,
+                    post_shuffle: bool, eps: float):
+    """Qwen3VLVisionPatchMerger: LayerNorm at n_embd (main merger) or at
+    the merged width (deepstack, use_postshuffle_norm) -> fc1/GELU/fc2."""
+    n = x.shape[0]
+    if post_shuffle:
+        y = x.reshape(n // m2, m2 * d)
+        y = _ln(y, params[f"{prefix}_ln_w"], params[f"{prefix}_ln_b"], eps)
+    else:
+        y = _ln(x, params[f"{prefix}_ln_w"], params[f"{prefix}_ln_b"], eps)
+        y = y.reshape(n // m2, m2 * d)
+    y = jax.nn.gelu(y @ params[f"{prefix}_fc1_w"]
+                    + params[f"{prefix}_fc1_b"], approximate=False)
+    return y @ params[f"{prefix}_fc2_w"] + params[f"{prefix}_fc2_b"]
+
+
+def qwen3vl_vision_forward(
+    params: dict[str, Any], vc: Qwen3VLVisionConfig, patches: jax.Array,
+    grid_hw: tuple[int, int],
+):
+    """Qwen3-VL ViT: (N, tp*p*p*C) merge-block-major patch rows ->
+    (main (N/merge^2, d_out), deepstack features list — one per
+    deepstack_visual_indexes entry, each (N/merge^2, d_out)).
+
+    HF Qwen3VLVisionModel: conv3d patchify (+bias), bilinearly
+    interpolated learned positions gathered merge-block-major (identity
+    at the native grid), qwen-style 2-D rotate-half rope, LN pre-norm
+    blocks with fused biased qkv + biased proj and a PLAIN (ungated)
+    tanh-GELU MLP; the main merger norms pre-shuffle, deepstack mergers
+    post-shuffle.  The text model adds the deepstack features to its
+    early hidden states at the visual positions (DeepStack)."""
+    from vlut_tpu.models.qwen_vision import _rot_half, _vision_rot_table
+
+    gh, gw = grid_hw
+    m = vc.merge
+    m2 = m * m
+    x = patches.astype(jnp.float32) @ params["patch_w"] + params["patch_b"]
+
+    # positions: native-grid = gather (bilinear weights degenerate);
+    # non-native grids bilinear-interpolate the (pos_grid, pos_grid) table
+    pos = params["pos"]
+    side = vc.pos_grid
+    pos2d = pos.reshape(side, side, vc.d_model)
+    if (gh, gw) != (side, side):
+        hi = np.linspace(0, side - 1, gh)
+        wi = np.linspace(0, side - 1, gw)
+        hf_, wf_ = np.floor(hi).astype(int), np.floor(wi).astype(int)
+        hc = np.clip(hf_ + 1, None, side - 1)
+        wc = np.clip(wf_ + 1, None, side - 1)
+        dh, dw = hi - hf_, wi - wf_
+        p2 = (
+            pos2d[hf_][:, wf_] * ((1 - dh)[:, None] * (1 - dw)[None])[..., None]
+            + pos2d[hf_][:, wc] * ((1 - dh)[:, None] * dw[None])[..., None]
+            + pos2d[hc][:, wf_] * (dh[:, None] * (1 - dw)[None])[..., None]
+            + pos2d[hc][:, wc] * (dh[:, None] * dw[None])[..., None]
+        )
+    else:
+        p2 = pos2d
+    hh = np.arange(gh).reshape(gh // m, m, 1, 1)
+    hh = np.broadcast_to(hh, (gh // m, m, gw // m, m))
+    hh = hh.transpose(0, 2, 1, 3).reshape(-1)
+    ww = np.arange(gw).reshape(1, 1, gw // m, m)
+    ww = np.broadcast_to(ww, (gh // m, m, gw // m, m))
+    ww = ww.transpose(0, 2, 1, 3).reshape(-1)
+    x = x + p2[jnp.asarray(hh), jnp.asarray(ww)]
+
+    cos, sin = _vision_rot_table(grid_hw, vc.head_dim, m)
+    H, hd = vc.n_heads, vc.head_dim
+    n = x.shape[0]
+
+    def rope(z):
+        return z * cos[:, None, :] + _rot_half(z) * sin[:, None, :]
+
+    L = params["layers"]
+    deepstack = []
+    for i in range(vc.n_layers):
+        lp = jax.tree.map(lambda a: a[i], L)
+        h = _ln(x, lp["ln1_w"], lp["ln1_b"], vc.ln_eps)
+        qkv = (h @ lp["wqkv"] + lp["bqkv"]).reshape(n, 3, H, hd)
+        q, k, v = rope(qkv[:, 0]), rope(qkv[:, 1]), qkv[:, 2]
+        sc = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+        p = jax.nn.softmax(sc, axis=-1)
+        att = jnp.einsum("hts,shd->thd", p, v).reshape(n, -1)
+        x = x + (att @ lp["wo"] + lp["bo"])
+        h = _ln(x, lp["ln2_w"], lp["ln2_b"], vc.ln_eps)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=True)
+        x = x + (a @ lp["w2"] + lp["b2"])
+        if i in vc.deepstack_indexes:
+            di = vc.deepstack_indexes.index(i)
+            deepstack.append(_qwen3vl_merger(
+                params, f"ds{di}", x, vc.d_model, m2, True, vc.ln_eps))
+    main = _qwen3vl_merger(params, "merge", x, vc.d_model, m2, False,
+                           vc.ln_eps)
+    return main, deepstack
+
+
+# ---------------------------------------------------------------------------
 # GLM4-V vision (reference PROJECTOR_TYPE_GLM4V, tools/mtmd/models/glm4v.cpp)
 # ---------------------------------------------------------------------------
 
