@@ -887,3 +887,67 @@ def test_qwen3vl_vision_converter_route(tmp_path):
     for g, w in zip(got_ds, want_ds):
         np.testing.assert_allclose(
             np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_qwen3vl_deepstack_text_injection(tmp_path):
+    """Text-side DeepStack: forward(deepstack_embeds=...) adds each
+    merger's features to the hidden state after layer i (HF
+    Qwen3VLTextModel._deepstack_process) — logit parity vs HF with
+    random visual features at marked positions."""
+    from vlut_tpu.convert.checkpoint import load_checkpoint
+    from vlut_tpu.models.transformer import forward, init_kv_cache
+    from vlut_tpu.train.finetune import float_twin_params
+
+    c = transformers.Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=V, hidden_size=512, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+            intermediate_size=64, max_position_embeddings=64,
+            rope_theta=10000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [32, 16, 16],
+                          "mrope_interleaved": True},
+        ),
+        vision_config=dict(
+            hidden_size=32, depth=2, num_heads=4, intermediate_size=48,
+            out_hidden_size=512, patch_size=4, temporal_patch_size=2,
+            spatial_merge_size=2, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1],
+        ),
+        image_token_id=V - 1, video_token_id=V - 2,
+        vision_start_token_id=V - 3, vision_end_token_id=V - 4,
+    )
+    m = transformers.Qwen3VLForConditionalGeneration(c).float().eval()
+    _randomize(m, 95)
+    _tern(m.model.language_model)
+    m.save_pretrained(str(tmp_path / "hf"), safe_serialization=True)
+    convert_hf(tmp_path / "hf", tmp_path / "out", dtype_hp="float32")
+    cfg, params, _ = load_checkpoint(tmp_path / "out")
+    pf = float_twin_params(params, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(96)
+    ids = np.array([[3, 11, 25, 40, 7, 19]], np.int32)
+    vis_mask = np.array([[False, True, True, False, False, False]])
+    n_vis = int(vis_mask.sum())
+    ds = [rng.standard_normal((n_vis, 512)).astype(np.float32) * 0.1
+          for _ in range(2)]
+    with torch.no_grad():
+        out = m.model.language_model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            visual_pos_masks=torch.tensor(vis_mask),
+            deepstack_visual_embeds=[torch.tensor(d) for d in ds],
+        ).last_hidden_state
+        want = m.lm_head(out).numpy()
+    # scatter the per-position features to full (B, T, D) planes
+    full = []
+    for d in ds:
+        plane = np.zeros((1, ids.shape[1], 512), np.float32)
+        plane[0, vis_mask[0]] = d
+        full.append(jnp.asarray(plane))
+    pos = jnp.tile(jnp.arange(ids.shape[1], dtype=jnp.int32), (1, 1))
+    got, _ = forward(pf, cfg, jnp.asarray(ids), pos,
+                     init_kv_cache(cfg, 1, max_len=16), impl="dequant",
+                     deepstack_embeds=tuple(full))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[..., : cfg.vocab_size], want,
+        rtol=2e-4, atol=3e-4)

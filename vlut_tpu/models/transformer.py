@@ -924,6 +924,8 @@ def forward(
     mrope_pos: jax.Array | None = None,  # (B, 3, T) qwen2-vl M-RoPE rows;
     # None = standard rope from `positions` (equal rows are equivalent)
     visual_expert: bool = False,  # cogvlm: use the vis_* weight set
+    deepstack_embeds: tuple | None = None,  # qwen3vl DeepStack per-layer
+    # visual adds, see run_layers
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Returns (logits, updated kv_cache).
 
@@ -975,7 +977,7 @@ def forward(
         cfg=cfg, plan=plan, impl=impl, tp_axis=tp_axis, tp_size=tp_size,
         ep_axis=ep_axis, ep_size=ep_size, sp_axis=sp_axis,
         attn_mask=attn_mask, mrope_pos=mrope_pos,
-        visual_expert=visual_expert,
+        visual_expert=visual_expert, deepstack_embeds=deepstack_embeds,
     )
 
     if cfg.norm_type == "ln":
@@ -1066,6 +1068,9 @@ def run_layers(
     attn_mask: jax.Array | None = None,  # (B, T, S) override, see _attention
     mrope_pos: jax.Array | None = None,  # (B, 3, T) M-RoPE rows
     visual_expert: bool = False,  # cogvlm vis_* weight set
+    deepstack_embeds: tuple | None = None,  # qwen3vl DeepStack: (B, T, D)
+    # per entry, added to the hidden state after layer i (zeros at
+    # non-visual positions; HF Qwen3VLTextModel._deepstack_process)
 ) -> tuple[jax.Array, dict[str, jax.Array] | None]:
     """Scan the transformer stack over a (possibly stage-local) layers tree.
 
@@ -2369,6 +2374,10 @@ def run_layers(
                     )
             kvio = _SlotKV(kv_state, i) if use_cache else None
             x = layer_step(x, (lp, kvio, layer_window[i], rope_on[i]))
+            if deepstack_embeds is not None and i < len(deepstack_embeds):
+                # qwen3vl DeepStack: visual features join the EARLY
+                # hidden states (one merger output per index)
+                x = x + deepstack_embeds[i].astype(x.dtype)
         if hetero:
             _dyn["plan"], _dyn["specs"] = plan, specs
         return x, kv_state
@@ -2392,18 +2401,40 @@ def run_layers(
             return x, {"k": new_k, "v": new_v, "k_scale": new_ks,
                        "v_scale": new_vs}
 
+        ds = _deepstack_scan_xs(deepstack_embeds, cfg.n_layers, x)
+
         def scan_body(x, xs):
-            lp, kc, vc, window, r_on = xs
+            lp, kc, vc, window, r_on, ds_l = xs
             kvio = _LayerKV(kc, vc, None, None)
             x = layer_step(x, (lp, kvio, window, r_on))
+            x = x + ds_l.astype(x.dtype)
             return x, (kvio.kc, kvio.vc)
 
-        xs = (layers, kv["k"], kv["v"], layer_window, rope_on)
+        xs = (layers, kv["k"], kv["v"], layer_window, rope_on, ds)
         x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
         return x, {"k": new_k, "v": new_v}
+    ds = _deepstack_scan_xs(deepstack_embeds, cfg.n_layers, x)
     x, _ = jax.lax.scan(
-        lambda c, xs_: (layer_step(c, (xs_[0], None, xs_[1], xs_[2])), None),
+        lambda c, xs_: (
+            layer_step(c, (xs_[0], None, xs_[1], xs_[2]))
+            + xs_[3].astype(c.dtype),
+            None,
+        ),
         x,
-        (layers, layer_window, rope_on),
+        (layers, layer_window, rope_on, ds),
     )
     return x, None
+
+
+def _deepstack_scan_xs(deepstack_embeds, n_layers: int, x: jax.Array):
+    """(L, B, T, D) scan input for the qwen3vl DeepStack adds: the given
+    per-layer features zero-padded to the layer count (zeros for models
+    without deepstack, so the add folds away)."""
+    if deepstack_embeds is None:
+        return jnp.zeros((n_layers, 1, 1, 1), x.dtype)
+    ds = jnp.stack([e.astype(x.dtype) for e in deepstack_embeds])
+    pad = n_layers - ds.shape[0]
+    if pad > 0:
+        ds = jnp.concatenate(
+            [ds, jnp.zeros((pad,) + ds.shape[1:], x.dtype)], axis=0)
+    return ds
