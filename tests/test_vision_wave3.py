@@ -951,3 +951,98 @@ def test_qwen3vl_deepstack_text_injection(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got, np.float32)[..., : cfg.vocab_size], want,
         rtol=2e-4, atol=3e-4)
+
+
+def test_cogvlm_vision_twin():
+    """CogVLM EVA2-CLIP tower + gated adapter vs a torch transcription of
+    the reference graph (tools/mtmd/models/cogvlm.cpp: CLS appended last,
+    POST-norm blocks, geglu-split FFN activating the up operand;
+    projector = linear -> LN -> GELU -> swiglu(gate, h4h) -> down ->
+    BOI/EOI).  The text-side dual-expert body already has its own twin
+    (cogvlm in ARCHS.md)."""
+    from vlut_tpu.models.vision_wave3 import (
+        CogVLMVisionConfig,
+        cogvlm_project,
+        cogvlm_vision_forward,
+    )
+
+    cfg = CogVLMVisionConfig(
+        image_size=16, patch_size=4, d_model=32, n_layers=2, n_heads=4,
+        d_ff=48, d_llm=40,
+    )
+    rng = np.random.default_rng(74)
+
+    def t(*s, scale=0.1):
+        return rng.standard_normal(s).astype(np.float32) * scale
+
+    L, d, f = cfg.n_layers, cfg.d_model, cfg.d_ff
+    params = {
+        "patch_w": t(48, d), "patch_b": t(d),
+        "cls": t(d), "pos": t(17, d),
+        "mm_proj": t(d, 40),
+        "post_fc_ln_w": 1.0 + t(40), "post_fc_ln_b": t(40),
+        "gate_w": t(40, 64), "h4h_w": t(40, 64),
+        "h4h_down_w": t(64, 40),
+        "boi": t(40), "eoi": t(40),
+        "layers": {
+            "wqkv": t(L, d, 3 * d), "bqkv": t(L, 3 * d),
+            "wo": t(L, d, d), "bo": t(L, d),
+            "ln1_w": 1.0 + t(L, d), "ln1_b": t(L, d),
+            "ln2_w": 1.0 + t(L, d), "ln2_b": t(L, d),
+            "w_up": t(L, d, f), "b_up": t(L, f),
+            "w_gate": t(L, d, f), "b_gate": t(L, f),
+            "w_down": t(L, f, d), "b_down": t(L, d),
+        },
+    }
+    img = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+
+    def torch_ref():
+        x = torch.tensor(img).reshape(1, 4, 4, 4, 4, 3)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(1, 16, 48)
+        x = x @ torch.tensor(params["patch_w"]) + torch.tensor(
+            params["patch_b"])
+        x = torch.cat([x, torch.tensor(params["cls"]).expand(1, 1, d)], 1)
+        x = x + torch.tensor(params["pos"])[None]
+        P = params["layers"]
+
+        def ln(v, w, b, eps=cfg.ln_eps):
+            return torch.nn.functional.layer_norm(
+                v, (v.shape[-1],), torch.tensor(np.asarray(w)),
+                torch.tensor(np.asarray(b)), eps)
+
+        hd, H = d // 4, 4
+        for i in range(L):
+            qkv = (x @ torch.tensor(P["wqkv"][i]) + torch.tensor(
+                P["bqkv"][i])).reshape(1, 17, 3, H, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            sc = torch.einsum("bthd,bshd->bhts", q, k) / np.sqrt(hd)
+            p = torch.softmax(sc, -1)
+            att = torch.einsum("bhts,bshd->bthd", p, v).reshape(1, 17, d)
+            att = att @ torch.tensor(P["wo"][i]) + torch.tensor(P["bo"][i])
+            att = ln(att, P["ln1_w"][i], P["ln1_b"][i])
+            x = x + att
+            a = torch.nn.functional.gelu(
+                x @ torch.tensor(P["w_up"][i]) + torch.tensor(P["b_up"][i]),
+                approximate="tanh") * (
+                x @ torch.tensor(P["w_gate"][i]) + torch.tensor(
+                    P["b_gate"][i]))
+            ff = a @ torch.tensor(P["w_down"][i]) + torch.tensor(
+                P["b_down"][i])
+            ff = ln(ff, P["ln2_w"][i], P["ln2_b"][i])
+            x = x + ff
+        y = x[:, :-1] @ torch.tensor(params["mm_proj"])
+        y = ln(y, params["post_fc_ln_w"], params["post_fc_ln_b"], 1e-5)
+        y = torch.nn.functional.gelu(y, approximate="tanh")
+        g = torch.nn.functional.silu(y @ torch.tensor(params["gate_w"])) \
+            * (y @ torch.tensor(params["h4h_w"]))
+        y = g @ torch.tensor(params["h4h_down_w"])
+        boi = torch.tensor(params["boi"]).expand(1, 1, 40)
+        eoi = torch.tensor(params["eoi"]).expand(1, 1, 40)
+        return torch.cat([boi, y, eoi], 1).numpy()
+
+    with torch.no_grad():
+        want = torch_ref()
+    jp = jax.tree.map(jnp.asarray, params)
+    feats = cogvlm_vision_forward(jp, cfg, jnp.asarray(img))
+    got = np.asarray(cogvlm_project(jp, feats))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

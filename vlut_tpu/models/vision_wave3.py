@@ -381,6 +381,69 @@ def glm_edge_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# CogVLM vision (EVA2-CLIP tower + gated adapter; reference
+# PROJECTOR_TYPE_COGVLM, tools/mtmd/models/cogvlm.cpp — the text-side
+# dual-expert body already exists in models/transformer.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CogVLMVisionConfig:
+    image_size: int = 490
+    patch_size: int = 14
+    d_model: int = 1792
+    n_layers: int = 63
+    n_heads: int = 16
+    d_ff: int = 15360
+    ln_eps: float = 1e-6
+    d_llm: int = 4096
+
+
+def cogvlm_vision_forward(
+    params: dict[str, Any], cfg: CogVLMVisionConfig, images: jax.Array
+) -> jax.Array:
+    """CogVLM EVA2-CLIP tower: (B, H, W, 3) -> (B, P+1, D), CLS LAST.
+    POST-norm blocks (attn -> LN -> +residual; gated-GELU FFN -> LN ->
+    +residual), fused biased qkv, biased o (reference cogvlm.cpp)."""
+    b = images.shape[0]
+    x = _patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = x @ params["patch_w"] + params["patch_b"]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, cfg.d_model))
+    x = jnp.concatenate([x, cls], axis=1)
+    x = x + params["pos"][None]
+    H, hd = cfg.n_heads, cfg.d_model // cfg.n_heads
+    t = x.shape[1]
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        qkv = (x @ lp["wqkv"] + lp["bqkv"]).reshape(b, t, 3, H, hd)
+        att = _attend(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], hd)
+        att = att.reshape(b, t, cfg.d_model) @ lp["wo"] + lp["bo"]
+        att = _ln(att, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        x = x + att
+        # build_ffn activates the UP operand: geglu_split(up, gate) =
+        # gelu(up(x)) * gate(x)
+        a = jax.nn.gelu(x @ lp["w_up"] + lp["b_up"],
+                        approximate=True) * (x @ lp["w_gate"] + lp["b_gate"])
+        f = a @ lp["w_down"] + lp["b_down"]
+        f = _ln(f, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        x = x + f
+    return x
+
+
+def cogvlm_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
+    """Drop the trailing CLS -> no-bias linear -> LayerNorm(1e-5) ->
+    GELU -> swiglu(gate, h_to_4h) -> down linear -> BOI/EOI brackets."""
+    b = feats.shape[0]
+    x = feats[:, :-1] @ params["mm_proj"]
+    x = _ln(x, params["post_fc_ln_w"], params["post_fc_ln_b"], 1e-5)
+    x = jax.nn.gelu(x, approximate=True)
+    g = jax.nn.silu(x @ params["gate_w"]) * (x @ params["h4h_w"])
+    x = g @ params["h4h_down_w"]
+    boi = jnp.broadcast_to(params["boi"], (b, 1, x.shape[-1]))
+    eoi = jnp.broadcast_to(params["eoi"], (b, 1, x.shape[-1]))
+    return jnp.concatenate([boi, x, eoi], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Qwen3-VL deepstack vision (reference PROJECTOR_TYPE_QWEN3VL,
 # tools/mtmd/models/qwen3vl.cpp; HF Qwen3VLVisionModel)
 # ---------------------------------------------------------------------------
