@@ -1046,3 +1046,111 @@ def test_cogvlm_vision_twin():
     feats = cogvlm_vision_forward(jp, cfg, jnp.asarray(img))
     got = np.asarray(cogvlm_project(jp, feats))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_youtuvl_vision_twin():
+    """Youtu-VL ViT + VLPatchMerger vs a torch transcription of the
+    reference graph (tools/mtmd/models/youtuvl.cpp): linear patchify, no
+    learned positions (pure 2-D rope), separate biased q/k/v, ungated
+    tanh-GELU MLP, RMS merge norm -> merge-4 GELU MLP.  Full-attention
+    configuration; the window path rides the qwen2.5-vl reorder
+    machinery already covered by test_qwen2vl.py."""
+    from vlut_tpu.models.qwen_vision import patchify, QwenVisionConfig
+    from vlut_tpu.models.vision_wave3 import (
+        YoutuVLConfig,
+        youtuvl_vision_forward,
+    )
+
+    vc = YoutuVLConfig(
+        patch_size=4, d_model=32, n_layers=2, n_heads=4, d_ff=48,
+        d_out=40, merge=2,
+    )
+    rng = np.random.default_rng(75)
+
+    def t(*s, scale=0.1):
+        return rng.standard_normal(s).astype(np.float32) * scale
+
+    L, d, f = vc.n_layers, vc.d_model, vc.d_ff
+    params = {
+        "patch_w": t(48, d), "patch_b": t(d),
+        "post_ln_w": 1.0 + t(d), "post_ln_b": t(d),
+        "merge_norm": 1.0 + t(d),
+        "merge_fc1_w": t(4 * d, 4 * d), "merge_fc1_b": t(4 * d),
+        "merge_fc2_w": t(4 * d, 40), "merge_fc2_b": t(40),
+        "layers": {
+            "ln1_w": 1.0 + t(L, d), "ln1_b": t(L, d),
+            "ln2_w": 1.0 + t(L, d), "ln2_b": t(L, d),
+            "wq": t(L, d, d), "bq": t(L, d),
+            "wk": t(L, d, d), "bk": t(L, d),
+            "wv": t(L, d, d), "bv": t(L, d),
+            "wo": t(L, d, d), "bo": t(L, d),
+            "w1": t(L, d, f), "b1": t(L, f),
+            "w2": t(L, f, d), "b2": t(L, d),
+        },
+    }
+    pix = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    qvc = QwenVisionConfig(
+        depth=2, embed_dim=d, n_heads=4, mlp_dim=f, patch_size=4,
+        temporal_patch_size=1, spatial_merge_size=2,
+    )
+    patches, grid = patchify(pix, qvc)
+
+    def torch_ref():
+        x = torch.tensor(np.asarray(patches)) @ torch.tensor(
+            params["patch_w"]) + torch.tensor(params["patch_b"])
+        hd, H = 8, 4
+        # block-major 2-D rope table (same as qwen machinery)
+        from vlut_tpu.models.qwen_vision import _vision_rot_table
+        cos, sin = _vision_rot_table(grid, hd, 2)
+        cos = torch.tensor(np.asarray(cos))
+        sin = torch.tensor(np.asarray(sin))
+
+        def rot_half(z):
+            h2 = z.shape[-1] // 2
+            return torch.cat([-z[..., h2:], z[..., :h2]], -1)
+
+        def rope(z):
+            return z * cos[:, None, :] + rot_half(z) * sin[:, None, :]
+
+        def ln(v, w, b, eps=vc.ln_eps):
+            return torch.nn.functional.layer_norm(
+                v, (v.shape[-1],), torch.tensor(np.asarray(w)),
+                torch.tensor(np.asarray(b)), eps)
+
+        P = params["layers"]
+        n = x.shape[0]
+        for i in range(L):
+            h = ln(x, P["ln1_w"][i], P["ln1_b"][i])
+            q = rope((h @ torch.tensor(P["wq"][i]) + torch.tensor(
+                P["bq"][i])).reshape(n, H, hd))
+            k = rope((h @ torch.tensor(P["wk"][i]) + torch.tensor(
+                P["bk"][i])).reshape(n, H, hd))
+            v = (h @ torch.tensor(P["wv"][i]) + torch.tensor(
+                P["bv"][i])).reshape(n, H, hd)
+            sc = torch.einsum("thd,shd->hts", q, k) / np.sqrt(hd)
+            p = torch.softmax(sc, -1)
+            att = torch.einsum("hts,shd->thd", p, v).reshape(n, -1)
+            x = x + (att @ torch.tensor(P["wo"][i]) + torch.tensor(
+                P["bo"][i]))
+            h = ln(x, P["ln2_w"][i], P["ln2_b"][i])
+            a = torch.nn.functional.gelu(
+                h @ torch.tensor(P["w1"][i]) + torch.tensor(P["b1"][i]),
+                approximate="tanh")
+            x = x + (a @ torch.tensor(P["w2"][i]) + torch.tensor(
+                P["b2"][i]))
+        x = ln(x, params["post_ln_w"], params["post_ln_b"])
+        xf = x.float()
+        xf = xf * torch.rsqrt((xf * xf).mean(-1, keepdim=True) + 1e-6) \
+            * torch.tensor(params["merge_norm"])
+        y = xf.reshape(n // 4, 4 * d)
+        y = torch.nn.functional.gelu(
+            y @ torch.tensor(params["merge_fc1_w"]) + torch.tensor(
+                params["merge_fc1_b"]), approximate="tanh")
+        return (y @ torch.tensor(params["merge_fc2_w"]) + torch.tensor(
+            params["merge_fc2_b"])).numpy()
+
+    with torch.no_grad():
+        want = torch_ref()
+    got = np.asarray(youtuvl_vision_forward(
+        jax.tree.map(jnp.asarray, params), vc, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

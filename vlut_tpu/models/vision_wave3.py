@@ -381,6 +381,114 @@ def glm_edge_project(params: dict[str, Any], feats: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Youtu-VL vision (reference PROJECTOR_TYPE_YOUTUVL,
+# tools/mtmd/models/youtuvl.cpp)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class YoutuVLConfig:
+    patch_size: int = 16
+    d_model: int = 1152
+    n_layers: int = 27
+    n_heads: int = 16
+    d_ff: int = 4304
+    d_out: int = 2048
+    merge: int = 2
+    ln_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    # layers with FULL attention when window attention is active; an
+    # empty tuple = full attention everywhere (reference
+    # use_window_attn = !wa_layer_indexes.empty()).  Window batches ride
+    # the qwen2.5-vl reorder machinery (qwen_vision._window_order).
+    wa_layer_indexes: tuple[int, ...] = ()
+    window_size: int = 0  # in patches (hparams.attn_window_size)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def youtuvl_vision_forward(
+    params: dict[str, Any], vc: YoutuVLConfig, patches: jax.Array,
+    grid_hw: tuple[int, int],
+) -> jax.Array:
+    """Youtu-VL ViT: (N, p*p*C) merge-block-major patch rows ->
+    (N/merge^2, d_out).  Linear patchify (+optional bias), optional
+    pre-LN, NO learned positions (pure 2-D rope), separate biased q/k/v,
+    window attention at non-wa layers when configured, ungated tanh-GELU
+    MLP, window-order restore, optional post-LN, then the VLPatchMerger:
+    RMSNorm at n_embd -> merge-4 reshape -> biased GELU MLP (reference
+    tools/mtmd/models/youtuvl.cpp)."""
+    from vlut_tpu.models.qwen_vision import (
+        QwenVisionConfig,
+        _rot_half,
+        _vision_rot_table,
+        _window_order,
+    )
+
+    m = vc.merge
+    m2 = m * m
+    x = patches.astype(jnp.float32) @ params["patch_w"]
+    if "patch_b" in params:
+        x = x + params["patch_b"]
+    if "pre_ln_w" in params:
+        x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], vc.ln_eps)
+    cos, sin = _vision_rot_table(grid_hw, vc.head_dim, m)
+    H, hd = vc.n_heads, vc.head_dim
+    n = x.shape[0]
+
+    win_mask = None
+    inv_units = None
+    use_window = bool(vc.wa_layer_indexes) and vc.window_size > 0
+    if use_window:
+        qvc = QwenVisionConfig(
+            depth=vc.n_layers, embed_dim=vc.d_model, n_heads=vc.n_heads,
+            mlp_dim=vc.d_ff, patch_size=vc.patch_size,
+            spatial_merge_size=m,
+            window_size=vc.window_size * vc.patch_size,
+        )
+        order, seqlens = _window_order(grid_hw, qvc)
+        perm = (order[:, None] * m2 + np.arange(m2)[None]).reshape(-1)
+        x = x[jnp.asarray(perm)]
+        cos, sin = cos[jnp.asarray(perm)], sin[jnp.asarray(perm)]
+        wid = np.repeat(np.arange(len(seqlens)), seqlens * m2)
+        win_mask = jnp.asarray(
+            np.where(wid[:, None] == wid[None, :], 0.0, -1e30), jnp.float32)
+        inv_units = np.argsort(order)
+
+    def rope(z):
+        return z * cos[:, None, :] + _rot_half(z) * sin[:, None, :]
+
+    L = params["layers"]
+    for i in range(vc.n_layers):
+        lp = jax.tree.map(lambda a: a[i], L)
+        h = _ln(x, lp["ln1_w"], lp["ln1_b"], vc.ln_eps)
+        q = rope((h @ lp["wq"] + lp["bq"]).reshape(n, H, hd))
+        k = rope((h @ lp["wk"] + lp["bk"]).reshape(n, H, hd))
+        v = (h @ lp["wv"] + lp["bv"]).reshape(n, H, hd)
+        sc = jnp.einsum("thd,shd->hts", q, k) * (hd ** -0.5)
+        if win_mask is not None and i not in vc.wa_layer_indexes:
+            sc = sc + win_mask[None]
+        p = jax.nn.softmax(sc, axis=-1)
+        att = jnp.einsum("hts,shd->thd", p, v).reshape(n, -1)
+        x = x + (att @ lp["wo"] + lp["bo"])
+        h = _ln(x, lp["ln2_w"], lp["ln2_b"], vc.ln_eps)
+        a = jax.nn.gelu(h @ lp["w1"] + lp["b1"], approximate=True)
+        x = x + (a @ lp["w2"] + lp["b2"])
+
+    if inv_units is not None:
+        perm = (inv_units[:, None] * m2 + np.arange(m2)[None]).reshape(-1)
+        x = x[jnp.asarray(perm)]
+    if "post_ln_w" in params:
+        x = _ln(x, params["post_ln_w"], params["post_ln_b"], vc.ln_eps)
+    x = _rms(x, params["merge_norm"], 1e-6)
+    y = x.reshape(n // m2, m2 * vc.d_model)
+    y = jax.nn.gelu(y @ params["merge_fc1_w"] + params["merge_fc1_b"],
+                    approximate=True)
+    return y @ params["merge_fc2_w"] + params["merge_fc2_b"]
+
+
+# ---------------------------------------------------------------------------
 # CogVLM vision (EVA2-CLIP tower + gated adapter; reference
 # PROJECTOR_TYPE_COGVLM, tools/mtmd/models/cogvlm.cpp — the text-side
 # dual-expert body already exists in models/transformer.py)
