@@ -460,3 +460,140 @@ def load_audio_encoder(path: str) -> tuple[AudioConfig, dict[str, Any]]:
             node = node.setdefault(part, {})
         node[parts[-1]] = jnp.asarray(data[key])
     return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# LFM2-Audio conformer encoder (reference PROJECTOR_TYPE_LFM2A,
+# tools/mtmd/models/conformer.cpp): conv subsampling -> macaron conformer
+# blocks with Transformer-XL relative-position attention -> LN + erf-GELU
+# MLP audio adapter.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    n_mels: int = 128
+    d_sub: int = 32        # subsampling conv channels
+    d_model: int = 512
+    n_layers: int = 16
+    n_heads: int = 8
+    d_ff: int = 2048
+    conv_kernel: int = 9
+    d_llm: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def _rel_shift(bd: jax.Array) -> jax.Array:
+    """Transformer-XL relative shift (conformer.cpp rel-shift block):
+    bd (H, Q, P=2Q-1) with relative positions ordered +max..-max ->
+    bd'[h, i, j] = bd[h, i, j + (Q - 1) - i], truncated to (H, Q, Q)."""
+    h, q, p = bd.shape
+    idx = jnp.arange(q)[:, None] * 0 + jnp.arange(q)[None, :] \
+        - jnp.arange(q)[:, None] + (q - 1)
+    return jnp.take_along_axis(
+        bd, jnp.broadcast_to(idx[None], (h, q, q)), axis=2)
+
+
+def rel_pos_emb(t: int, d: int) -> np.ndarray:
+    """Sinusoidal relative position table (2T-1, d), positions
+    T-1 .. -(T-1) (NeMo RelPositionalEncoding order)."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    ang = pos[:, None] * inv[None]
+    out = np.zeros((2 * t - 1, d), np.float64)
+    out[:, 0::2] = np.sin(ang)
+    out[:, 1::2] = np.cos(ang)
+    return out.astype(np.float32)
+
+
+def conformer_encode(
+    params, cfg: ConformerConfig, mel: jax.Array  # (T, n_mels)
+) -> jax.Array:
+    """(T, n_mels) -> (T/8, d_llm) decoder embeddings."""
+    # --- conv subsampling: 3 stride-2 stages over (time, freq) ---------
+    x = mel.astype(jnp.float32)[None, :, :, None]     # NHWC (1,T,F,1)
+
+    def conv(x, w, b, stride, groups=1):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride),
+            padding=[(1, 1), (1, 1)] if w.shape[0] == 3 else [(0, 0),
+                                                              (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        return y + b
+
+    x = jax.nn.relu(conv(x, params["sub0_w"], params["sub0_b"], 2))
+    x = conv(x, params["sub2_w"], params["sub2_b"], 2, groups=cfg.d_sub)
+    x = conv(x, params["sub3_w"], params["sub3_b"], 1)
+    x = jax.nn.relu(x)
+    x = conv(x, params["sub5_w"], params["sub5_b"], 2, groups=cfg.d_sub)
+    x = conv(x, params["sub6_w"], params["sub6_b"], 1)
+    x = jax.nn.relu(x)
+    t_out, f_out = x.shape[1], x.shape[2]
+    x = x[0].reshape(t_out, f_out * cfg.d_sub)        # (T', F'*C)
+    x = x @ params["sub_out_w"] + params["sub_out_b"]  # (T', D)
+
+    pos = jnp.asarray(rel_pos_emb(t_out, cfg.d_model))
+    H, hd = cfg.n_heads, cfg.head_dim
+
+    def ln(v, w, b):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + 1e-5) * w + b
+
+    L = params["layers"]
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], L)
+        res = x
+        # macaron FFN 1 (silu, half residual)
+        h = ln(x, lp["ff1_ln_w"], lp["ff1_ln_b"])
+        h = jax.nn.silu(h @ lp["ff1_up_w"] + lp["ff1_up_b"])
+        h = h @ lp["ff1_down_w"] + lp["ff1_down_b"]
+        res = res + 0.5 * h
+        # relative-position self-attention
+        h = ln(res, lp["attn_ln_w"], lp["attn_ln_b"])
+        q = (h @ lp["wq"] + lp["bq"]).reshape(t_out, H, hd)
+        k = (h @ lp["wk"] + lp["bk"]).reshape(t_out, H, hd)
+        v = (h @ lp["wv"] + lp["bv"]).reshape(t_out, H, hd)
+        p = (pos @ lp["pos_w"]).reshape(-1, H, hd)     # (2T'-1, H, hd)
+        ac = jnp.einsum("qhd,khd->hqk", q + lp["pos_bias_u"], k)
+        bd = jnp.einsum("qhd,phd->hqp", q + lp["pos_bias_v"], p)
+        scores = (ac + _rel_shift(bd)) / np.sqrt(hd)
+        att = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", att, v).reshape(t_out, -1)
+        res = res + (o @ lp["wo"] + lp["bo"])
+        # conv module
+        h = ln(res, lp["conv_ln_w"], lp["conv_ln_b"])
+        h = h @ lp["pw1_w"] + lp["pw1_b"]              # (T', 2D)
+        half = h.shape[-1] // 2
+        h = h[:, :half] * jax.nn.sigmoid(h[:, half:])  # sigmoid GLU
+        # depthwise SAME conv over time (kernel K)
+        kw = lp["dw_w"]                                # (K, D)
+        kpad = cfg.conv_kernel // 2
+        hp = jnp.pad(h, ((kpad, kpad), (0, 0)))
+        h = jax.lax.conv_general_dilated(
+            hp[None, :, :], kw[:, None, :].transpose(0, 1, 2),
+            window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=h.shape[-1],
+        )[0] + lp["dw_b"]
+        h = h * lp["conv_norm_w"] + lp["conv_norm_b"]
+        h = jax.nn.silu(h)
+        h = h @ lp["pw2_w"] + lp["pw2_b"]
+        res = res + h
+        # macaron FFN 2 (half residual)
+        h = ln(res, lp["ff2_ln_w"], lp["ff2_ln_b"])
+        h = jax.nn.silu(h @ lp["ff2_up_w"] + lp["ff2_up_b"])
+        h = h @ lp["ff2_down_w"] + lp["ff2_down_b"]
+        res = res + 0.5 * h
+        x = ln(res, lp["out_ln_w"], lp["out_ln_b"])
+
+    # audio adapter: LN -> erf-GELU MLP
+    x = ln(x, params["ada_ln_w"], params["ada_ln_b"])
+    h = jax.nn.gelu(x @ params["ada_w1"] + params["ada_b1"],
+                    approximate=False)
+    return h @ params["ada_w2"] + params["ada_b2"]
