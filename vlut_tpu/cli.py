@@ -491,6 +491,7 @@ def cmd_describe(args):
 
     cfg, params, _ = _load(args.model)
     tok = Tokenizer(args.model)
+    deepstack = None
     if getattr(args, "audio", None):
         # audio branch (reference: mtmd-cli with an audio file): log-mel +
         # whisper encoder + projector from an audio-encoder dir
@@ -513,6 +514,9 @@ def cmd_describe(args):
         if img_embeds is None:
             raise SystemExit("checkpoint has no vision tower (convert a "
                              "multimodal model)")
+        deepstack = None
+        if isinstance(family, tuple):  # qwen3vl: (name, deepstack feats)
+            family, deepstack = family
         print(f"[vision tower: {family}]", file=sys.stderr)
         marker = "<image>"
 
@@ -525,10 +529,23 @@ def cmd_describe(args):
 
     cache = init_kv_cache(cfg, 1, max_len=t + args.n_predict + 8)
     pos = jnp.arange(t, dtype=jnp.int32)[None]
+    ds_planes = None
+    if deepstack is not None:
+        # scatter each deepstack merger's features over the image span
+        # (rows len(prefix) .. len(prefix)+n_img) and add them to the
+        # early layers' hidden states (forward deepstack_embeds)
+        n_img = img_embeds.shape[0]
+        off = len(prefix)
+        ds_planes = tuple(
+            jnp.zeros((1, t, embeds.shape[-1]), jnp.float32)
+            .at[0, off : off + n_img].set(d.astype(jnp.float32))
+            for d in deepstack
+        )
     logits, cache = forward(
         params, cfg, jnp.zeros((1, t), jnp.int32), pos, cache,
         token_embeds=embeds[None],
         logits_at=jnp.asarray([t - 1], jnp.int32),
+        deepstack_embeds=ds_planes,
     )
     last = jnp.argmax(logits[0, 0, : cfg.vocab_size]).astype(jnp.int32)
 

@@ -339,6 +339,28 @@ def encode_image_auto(model_dir, image_path):
         return glm4v_vision_forward(
             gp, gcfg, jnp.asarray(patches), grid), "glm4v"
 
+    q3 = ck.load_qwen3vl_vision(model_dir)
+    if q3[0] is not None:
+        from vlut_tpu.models.qwen_vision import QwenVisionConfig, patchify
+        from vlut_tpu.models.vision_wave3 import qwen3vl_vision_forward
+
+        qcfg = q3[0]
+        img = _load_rgb(image_path, qcfg.pos_grid * qcfg.patch_size,
+                        _HALF, _HALF)
+        qvc = QwenVisionConfig(
+            depth=qcfg.n_layers, embed_dim=qcfg.d_model,
+            n_heads=qcfg.n_heads, mlp_dim=qcfg.d_ff,
+            patch_size=qcfg.patch_size,
+            temporal_patch_size=qcfg.temporal_patch_size,
+            spatial_merge_size=qcfg.merge,
+        )
+        patches, grid = patchify(img.transpose(2, 0, 1), qvc)
+        main, deepstack = qwen3vl_vision_forward(
+            q3[1], qcfg, jnp.asarray(patches), grid)
+        # the caller scatters deepstack planes to the image span and
+        # passes them as forward(deepstack_embeds=...) (DeepStack)
+        return main, ("qwen3vl-deepstack", tuple(deepstack))
+
     jcfg, jp, _ = ck.load_janus_vision(model_dir)
     if jcfg is not None:
         from vlut_tpu.models.vision_ext import siglip_forward
