@@ -739,3 +739,37 @@ def test_parse_tool_calls_shared_wire_forms():
         "<|python_tag|>wolfram_alpha.call(query=\"x^2\")<|eom_id|>")
     assert calls[0]["name"] == "ipython"
     assert "wolfram_alpha" in calls[0]["arguments"]["code"]
+
+
+@pytest.fixture(scope="module")
+def noshift_server():
+    """Engine with context_shift OFF: over-context prompts must fail
+    per-request with HTTP 400 (reference send_error), not kill the
+    serving loop."""
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+    engine = Engine(cfg, params, n_slots=2, max_len=32, impl="xla",
+                    context_shift=False)
+    httpd, state = serve(engine, StubTokenizer(), port=0)
+    yield "127.0.0.1", httpd.server_address[1]
+    state.running = False
+    httpd.shutdown()
+
+
+def test_over_context_prompt_400(noshift_server):
+    status, data = _req(
+        noshift_server, "POST", "/completion",
+        {"prompt": "x" * 100, "n_predict": 4, "temperature": 0.0,
+         "ignore_eos": True},
+    )
+    assert status == 400
+    err = json.loads(data)["error"]
+    assert "exceeds context" in err["message"]
+    # the engine keeps serving after the rejection
+    status, data = _req(
+        noshift_server, "POST", "/completion",
+        {"prompt": "ok", "n_predict": 3, "temperature": 0.0,
+         "ignore_eos": True},
+    )
+    assert status == 200
+    assert len(json.loads(data)["content"]) > 0

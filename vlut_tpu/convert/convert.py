@@ -2909,7 +2909,7 @@ def convert_hf(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(
                 "image_token_index", raw0.get("image_token_id"))
-        elif vmt == "qwen3_vl":
+        elif vmt in ("qwen3_vl", "qwen3_vl_moe"):
             extra_meta["qwen3vl_vision_config"] = _convert_qwen3vl_vision(
                 vision_raw, raw0, pathlib.Path(out_dir))
             extra_meta["image_token_id"] = raw0.get(

@@ -2401,7 +2401,8 @@ def run_layers(
             return x, {"k": new_k, "v": new_v, "k_scale": new_ks,
                        "v_scale": new_vs}
 
-        ds = _deepstack_scan_xs(deepstack_embeds, cfg.n_layers, x)
+        ds = _deepstack_scan_xs(
+            deepstack_embeds, layer_window.shape[0], x)
 
         def scan_body(x, xs):
             lp, kc, vc, window, r_on, ds_l = xs
@@ -2413,7 +2414,7 @@ def run_layers(
         xs = (layers, kv["k"], kv["v"], layer_window, rope_on, ds)
         x, (new_k, new_v) = jax.lax.scan(scan_body, x, xs)
         return x, {"k": new_k, "v": new_v}
-    ds = _deepstack_scan_xs(deepstack_embeds, cfg.n_layers, x)
+    ds = _deepstack_scan_xs(deepstack_embeds, layer_window.shape[0], x)
     x, _ = jax.lax.scan(
         lambda c, xs_: (
             layer_step(c, (xs_[0], None, xs_[1], xs_[2]))

@@ -1172,7 +1172,12 @@ def make_handler(router: Router):
                         if on_delta and len(text) > len(emitted):
                             on_delta(text[len(emitted):])
                         emitted = text
-                        if (
+                        if req.error:
+                            # per-request engine rejection (e.g. prompt
+                            # exceeds context with context_shift off) —
+                            # reference: send_error per slot
+                            finish = "error"
+                        elif (
                             len(req.output) >= req.max_new_tokens
                             and (not out or out[-1] not in stop_toks)
                         ):
@@ -1207,6 +1212,11 @@ def make_handler(router: Router):
                 self.wfile.write(b"data: [DONE]\n\n")
                 return
             text, finish = self._run_collect(req, stops)
+            if finish == "error":
+                self._json(400, {"error": {
+                    "message": req.error, "type": "invalid_request_error",
+                }})
+                return
             resp = {
                 "content": text,
                 "tokens_predicted": len(req.output),
@@ -1549,6 +1559,9 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=4096)
+    ap.add_argument("--no-context-shift", action="store_true",
+                    help="reject over-context requests instead of "
+                    "shifting/truncating (reference --no-context-shift)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (Megatron-shard weights "
                     "over the mesh; reference --split-mode row analog)")
@@ -1605,6 +1618,7 @@ def main(argv=None):
 
         engine = Engine(cfg, params, n_slots=args.slots, max_len=args.ctx,
                         kv_quant=(args.cache_type == "q8"),
+                        context_shift=not args.no_context_shift,
                         draft=draft, k_draft=args.draft_k,
                         lookahead=(
                             (args.lookahead_window, args.lookahead_ngram)
