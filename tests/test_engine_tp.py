@@ -140,3 +140,27 @@ def test_engine_tp_int8_kv():
         return [r.output for r in reqs]
 
     assert drive(make_mesh(dp=2, tp=2)) == drive(None)
+
+
+def test_engine_moe_expert_parallel():
+    """MoE under the engine mesh: the axis carries EXPERT parallelism
+    (experts shard, attention replicates, the combine psums partial
+    outputs — parallel/spmd.make_engine_forward MoE branch).  Greedy
+    outputs vs single-device.  (The expert-combine psum is a float
+    reduction, so exactness here is empirical rather than guaranteed —
+    the integer-exact contract covers the dense tp path.)"""
+    from vlut_tpu.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=128,
+        n_experts=4, n_experts_used=2, tp_pack=1,
+    )
+    params = init_params(cfg, seed=2)
+    want = _run(cfg, params)
+    got = _run(cfg, params, mesh=make_mesh(dp=2, tp=2))
+    assert got == want
+
+    with pytest.raises(ValueError, match="n_experts"):
+        Engine(cfg, params, n_slots=4, max_len=64,
+               mesh=make_mesh(dp=2, tp=3))

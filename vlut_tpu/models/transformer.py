@@ -2314,7 +2314,10 @@ def run_layers(
                     a = _rms(a, lp["ffn_sub_norm"], cfg.rms_eps, cfg.d_ff,
                              tp_axis)
                 dn = proj(a, lp, "w_down", reduce=True)
-        if tp_axis is not None and not dn_reduced:
+        if (tp_axis is not None and not dn_reduced
+                and tp_axis != ep_axis):
+            # when experts ride the SAME mesh axis as tp (engine MoE
+            # serving), the expert-combine psum above already reduced it
             dn = jax.lax.psum(dn, tp_axis)
         if cfg.proj_bias and "b_down" in lp:
             dn = dn + lp["b_down"].astype(dn.dtype)

@@ -82,8 +82,32 @@ def _one_layer_specs(layer: dict[str, Any], lead: tuple) -> dict[str, Any]:
     axis prefix: (None,) for the stacked (L, ...) tree, () for a
     per-layer tree from unstack_layers."""
     specs: dict[str, Any] = {}
+    # MoE layers (expert-stacked w_gate/up/down, one extra leading dim):
+    # the EXPERTS dim shards over the axis (expert parallel — the
+    # forward runs with ep_axis on this axis and the expert combine
+    # psums partial outputs); everything else in the layer REPLICATES —
+    # expert widths stay full, and attention tp would need the plan
+    # divided by tp, which the ep forward (tp_size=1) does not do.
+    moe = any(
+        isinstance(v, dict) and "packed" in v
+        and np.ndim(v["packed"]) > len(lead) + 2
+        for n_, v in layer.items() if n_ in ("w_gate", "w_up", "w_down")
+    )
     for name, v in layer.items():
-        if name in _COL_NAMES or name in _ROW_NAMES:
+        if moe and name in ("w_gate", "w_up", "w_down"):
+            sc = v["scale"]
+            extra = np.ndim(sc) - len(lead) - 1  # dims past E
+            specs[name] = {
+                **{k: P(*([None] * np.ndim(a))) for k, a in v.items()},
+                "packed": P(*lead, "tp", None, None),
+                "scale": P(*lead, "tp", *([None] * max(extra, 0))),
+            }
+        elif moe and name in ("eb_gate", "eb_up", "eb_down"):
+            # gpt-oss per-expert projection biases (E, width)
+            specs[name] = P(*lead, "tp", None)
+        elif moe:
+            specs[name] = _replicated(v)
+        elif name in _COL_NAMES or name in _ROW_NAMES:
             col = name in _COL_NAMES
             packed = (
                 P(*lead, None, "tp") if col else P(*lead, "tp", None)
@@ -135,20 +159,22 @@ def cache_specs() -> dict[str, P]:
     return {"k": spec, "v": spec}
 
 
-def cache_specs_for(cache: dict, batch_axis: str | None = "dp") -> dict:
+def cache_specs_for(cache: dict, batch_axis: str | None = "dp",
+                    head_axis: str | None = "tp") -> dict:
     """Spec tree matching an actual KV-cache pytree: stacked (L, B, S, H,
     hd) arrays or per-layer tuples of (B, S, H, hd), plus the int8-KV
     scale planes (B, S, H).  ``batch_axis`` shards the slot dim (None =
     replicated — used for prefill views whose row count doesn't divide
-    dp)."""
+    dp); ``head_axis`` shards KV heads (None for MoE engines, whose
+    attention replicates while experts shard)."""
     layered = isinstance(cache["k"], (tuple, list))
 
     def one(name: str, a) -> P:
         scale = name.endswith("_scale")
         if scale:
-            body = (batch_axis, None, "tp")
+            body = (batch_axis, None, head_axis)
         else:
-            body = (batch_axis, None, "tp", None)
+            body = (batch_axis, None, head_axis, None)
         return P(*body) if layered else P(None, *body)
 
     if layered:

@@ -94,15 +94,29 @@ def make_engine_forward(
     NamedShardings and the comm is XLA ICI collectives.
     """
     tp = mesh.shape["tp"]
+    moe = bool(getattr(cfg, "n_experts", 0))
     pspecs = param_specs(cfg, params_tree)
-    vspecs = cache_specs_for(cache_tree, batch_axis=batch_axis)
+    vspecs = cache_specs_for(
+        cache_tree, batch_axis=batch_axis,
+        head_axis=None if moe else "tp",
+    )
     b = batch_axis
 
     def local_fn(params, view, tokens, positions, logits_at):
-        logits, new_view = forward(
-            params, cfg, tokens, positions, view,
-            impl=impl, tp_axis="tp", tp_size=tp, logits_at=logits_at,
-        )
+        if moe:
+            # MoE: the "tp" axis carries EXPERT parallelism — experts
+            # shard, attention/router replicate (parallel/sharding.py),
+            # the expert combine psums partial outputs.  tp_size stays 1
+            # so weight_specs keeps full per-expert widths.
+            logits, new_view = forward(
+                params, cfg, tokens, positions, view,
+                impl=impl, ep_axis="tp", ep_size=tp, logits_at=logits_at,
+            )
+        else:
+            logits, new_view = forward(
+                params, cfg, tokens, positions, view,
+                impl=impl, tp_axis="tp", tp_size=tp, logits_at=logits_at,
+            )
         return logits, new_view
 
     return shard_map(

@@ -165,21 +165,38 @@ class Engine:
                     raise ValueError("mesh serving: MLA caches have one "
                                      "latent head; tp>1 unsupported")
                 if getattr(cfg, "n_experts", 0):
-                    raise ValueError("mesh serving: MoE experts shard "
-                                     "over ep, not tp (use tp=1)")
-                if cfg.n_heads % tp_m or cfg.n_kv_heads % tp_m:
+                    # MoE: the axis carries EXPERT parallelism (experts
+                    # shard, attention replicates — parallel/spmd.py)
+                    if cfg.n_experts % tp_m:
+                        raise ValueError(
+                            f"tp={tp_m} must divide "
+                            f"n_experts={cfg.n_experts} (the mesh axis "
+                            f"shards experts for MoE models)"
+                        )
+                    if (cfg.first_k_dense or cfg.n_shared_experts
+                            or cfg.dense_layers or cfg.moe_parallel
+                            or cfg.moe_chunk_experts):
+                        raise ValueError(
+                            "mesh serving: heterogeneous-FFN MoE "
+                            "variants (dense lead/shared experts/"
+                            "parallel/chunk) are single-device for now"
+                        )
+                elif cfg.n_heads % tp_m or cfg.n_kv_heads % tp_m:
                     raise ValueError(
                         f"tp={tp_m} must divide n_heads={cfg.n_heads} and "
                         f"n_kv_heads={cfg.n_kv_heads}"
                     )
-                from vlut_tpu.models.dims import make_plan as _mk
+                if not getattr(cfg, "n_experts", 0):
+                    # attention-tp only: MoE keeps attention replicated
+                    # (experts shard instead), so packing/fusion are fine
+                    from vlut_tpu.models.dims import make_plan as _mk
 
-                if _mk(cfg).tp_pack % tp_m:
-                    raise ValueError(
-                        f"checkpoint packed with tp_pack="
-                        f"{_mk(cfg).tp_pack}; tp={tp_m} must divide it"
-                    )
-                fuse = False  # a [q|k|v] concat does not column-shard
+                    if _mk(cfg).tp_pack % tp_m:
+                        raise ValueError(
+                            f"checkpoint packed with tp_pack="
+                            f"{_mk(cfg).tp_pack}; tp={tp_m} must divide it"
+                        )
+                    fuse = False  # a [q|k|v] concat doesn't column-shard
         # recurrent family (Mamba): per-slot conv/ssm state instead of KV
         # rows (reference: src/llama-memory-recurrent.cpp) — served through
         # the same slot machinery with left-padded prefill
@@ -268,7 +285,12 @@ class Engine:
             self.params = shard_params(self.params, mesh, cfg)
             self.cache = jax.tree.map(
                 lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-                self.cache, cache_specs_for(self.cache),
+                self.cache,
+                cache_specs_for(
+                    self.cache,
+                    head_axis=None if getattr(cfg, "n_experts", 0)
+                    else "tp",
+                ),
             )
             # host-fed sampler state replicates over the mesh so every
             # jitted program sees one consistent device set
