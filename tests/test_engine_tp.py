@@ -164,3 +164,34 @@ def test_engine_moe_expert_parallel():
     with pytest.raises(ValueError, match="n_experts"):
         Engine(cfg, params, n_slots=4, max_len=64,
                mesh=make_mesh(dp=2, tp=3))
+
+
+def test_engine_tp_real_weights():
+    """Mesh parity on GENUINE trained weights (tests/fixtures/tiny_real,
+    a QAT-trained ternary BitNet): real logit margins rather than
+    random-init near-ties back the token-for-token claim."""
+    import pathlib
+
+    from vlut_tpu.convert.checkpoint import load_checkpoint
+    from vlut_tpu.utils.tokenizer import Tokenizer
+
+    fx = pathlib.Path(__file__).parent / "fixtures" / "tiny_real"
+    cfg, params, _ = load_checkpoint(fx)
+    tok = Tokenizer(str(fx))
+    prompts = [
+        tok.encode("The little boy went to the"),
+        tok.encode("Once upon a time there was a"),
+    ]
+
+    def drive(mesh):
+        eng = Engine(cfg, params, n_slots=2, max_len=96, impl="xla",
+                     mesh=mesh)
+        reqs = [Request(prompt=list(p), max_new_tokens=12,
+                        sampler=SamplerParams(temperature=0.0))
+                for p in prompts]
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    if cfg.n_heads % 2 or cfg.n_kv_heads % 2:
+        pytest.skip("fixture heads not divisible for tp=2")
+    assert drive(make_mesh(dp=2, tp=2)) == drive(None)
