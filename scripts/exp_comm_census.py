@@ -127,5 +127,80 @@ def main():
     print(f"wrote {out}")
 
 
+
+
+
+def census_moe(nl: int, ep: int, mode: str):
+    """Mixtral-8x7B-shaped MoE engine forward: experts sharded over the
+    axis (attention replicated), per parallel/spmd.make_engine_forward's
+    MoE branch."""
+    cfg = ModelConfig(
+        arch="llama", vocab_size=32000, d_model=4096, n_layers=nl,
+        n_heads=32, n_kv_heads=8, d_ff=14336, max_seq_len=512,
+        rope_theta=1e6, n_experts=8, n_experts_used=2, tp_pack=1,
+    )
+    params = init_params_fast(cfg, seed=0)
+    from vlut_tpu.models.transformer import unstack_layers
+
+    params = unstack_layers(params, cfg)
+    mesh = make_mesh(dp=8 // ep, tp=ep)
+    b, t, s = 32, (1 if mode == "decode" else 128), 256
+    from vlut_tpu.runtime import kv_cache as kvc
+
+    cache = kvc.new_cache(cfg.n_layers, b, s, cfg.n_kv_heads, 128,
+                          jnp.bfloat16, layout="layers")
+    fwd = jax.jit(make_engine_forward(
+        cfg, mesh, params, cache, impl="xla",
+        batch_axis="dp" if b % mesh.shape["dp"] == 0 else None,
+    ))
+    sp = jax.tree.map(
+        lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec)),
+        params, param_specs(cfg, params),
+        is_leaf=lambda x: not isinstance(x, (dict, tuple, list)),
+    )
+    sc = jax.tree.map(
+        lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec)),
+        cache, cache_specs_for(cache, head_axis=None),
+    )
+    tokens = jnp.zeros((b, t), jnp.int32)
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1)) + 17
+    la = jnp.zeros((b,), jnp.int32)
+    return comm_census(fwd, sp, sc, tokens, pos, la)
+
+
+def main_moe():
+    print("\n--- MoE (mixtral-8x7B shapes, experts sharded) ---",
+          flush=True)
+    results = {}
+    for ep in (2, 4, 8):
+        for mode, comp_key in (("decode", "decode_b32"),
+                               ("prefill", "prefill_pp128_b32")):
+            c2 = census_moe(2, ep, mode)
+            c4 = census_moe(4, ep, mode)
+            per_layer = (total_bytes(c4) - total_bytes(c2)) / 2
+            b32 = per_layer * 32 + (total_bytes(c2) - 2 * per_layer)
+            ring = 2 * (ep - 1) / ep
+            comm_ms = (b32 * ring / (ICI_GBPS * 1e9)) * 1e3
+            # compute scales ~1/ep for the expert-dominated FLOPs;
+            # attention replicates, so use a conservative 1/ep
+            comp_ms = STEP_MS[comp_key] / ep
+            eff = comp_ms / (comp_ms + comm_ms)
+            results[f"ep{ep}:{comp_key}"] = {
+                "bytes_32l": int(b32),
+                "comm_ms_model": round(comm_ms, 3),
+                "pred_efficiency": round(eff, 4),
+            }
+            print(f"ep={ep} {mode}: 4-layer [{format_census(c4)}] -> "
+                  f"32-layer {b32/1e6:.1f} MB, comm {comm_ms:.3f} ms, "
+                  f"pred eff {eff:.1%}", flush=True)
+    out = pathlib.Path(__file__).parent.parent / "benchmarks" / \
+        "COMM_CENSUS_8B.json"
+    data = json.loads(out.read_text()) if out.exists() else {}
+    data.update(results)
+    out.write_text(json.dumps(data, indent=1))
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     main()
+    main_moe()

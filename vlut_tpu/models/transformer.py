@@ -387,11 +387,25 @@ def init_params_fast(
     layers: dict[str, Any] = {}
     for name, spec in specs.items():
         key, sub = jax.random.split(key)
-        shape = (cfg.n_layers, rows(spec), cols(spec))
+        expert = (
+            cfg.n_experts and name in ("w_gate", "w_up", "w_down")
+        )
+        shape = (cfg.n_layers,) + (
+            (cfg.n_experts,) if expert else ()
+        ) + (rows(spec), cols(spec))
         layers[name] = {
             "packed": _gen(sub, shape, cfg.weight_fmt),
-            "scale": jnp.full((cfg.n_layers,), 0.05, jnp.float32),
+            "scale": jnp.full(
+                (cfg.n_layers,) + ((cfg.n_experts,) if expert else ()),
+                0.05, jnp.float32),
         }
+    if cfg.n_experts:
+        layers["router"] = (
+            jnp.zeros((cfg.n_layers, cfg.d_model, cfg.n_experts),
+                      jnp.bfloat16)
+            + jnp.linspace(-0.02, 0.02, cfg.n_experts)[None, None, :]
+            .astype(jnp.bfloat16)
+        )
     layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.d_model), jnp.float32)
     if cfg.use_subnorms:
