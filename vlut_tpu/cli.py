@@ -370,6 +370,57 @@ def cmd_generate(args):
             scale=args.control_vector_scale,
         )
     tok = Tokenizer(args.model)
+    if getattr(args, "prompt_lookup", 0):
+        # prompt-lookup (n-gram) speculative decoding (reference:
+        # examples/lookup, common/ngram-cache.cpp) — no draft model;
+        # exact greedy output
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlut_tpu.models.transformer import (
+            forward,
+            fuse_projections,
+            init_kv_cache,
+            unstack_layers,
+        )
+        from vlut_tpu.runtime.speculative import make_lookup_fn
+
+        p2 = unstack_layers(fuse_projections(params, cfg), cfg)
+        ids = tok.encode(args.prompt)
+        t, n = len(ids), args.n_predict
+        k = args.prompt_lookup
+        cache = init_kv_cache(
+            cfg, 1, max_len=min(args.ctx, cfg.max_seq_len), layout="layers"
+        )
+        lg, cache = forward(
+            p2, cfg, jnp.asarray([ids], jnp.int32),
+            jnp.arange(t, dtype=jnp.int32)[None], cache,
+            logits_at=jnp.asarray([t - 1], jnp.int32),
+        )
+        last = jnp.argmax(lg[:, 0, : cfg.vocab_size], -1).astype(jnp.int32)
+        hist = np.zeros((1, 512), np.int32)
+        hist[0, : t] = ids
+        fn = make_lookup_fn(cfg, k, n - 1, ngram=2)
+        t0 = time.time()
+        out, cnt, accs, _ = fn(
+            p2, cache, jnp.asarray(hist),
+            jnp.asarray([t], jnp.int32), last,
+            jnp.asarray([t], jnp.int32),
+        )
+        toks = [int(np.asarray(last)[0])] + [
+            int(x) for x in np.asarray(out)[0][: n - 1]
+        ]
+        dt = time.time() - t0
+        acc = np.asarray(accs)[:, 0]
+        rounds = int((acc >= 0).sum()) if acc.size else 0
+        print(tok.decode(toks))
+        print(
+            f"\n[{len(toks)} tokens, {len(toks)/dt:.1f} tok/s | "
+            f"prompt-lookup k={k}, {rounds} rounds, "
+            f"{int(acc[acc >= 0].sum())} drafts accepted]",
+            file=sys.stderr,
+        )
+        return
     if args.lookahead:
         # draft-model-free lookahead decoding (reference:
         # examples/lookahead): device-side greedy, exact greedy output
@@ -814,6 +865,10 @@ def main(argv=None):
                         "checkpoints serve ~1.7x faster promoted to i2)")
     p.add_argument("--lookahead", action="store_true",
                    help="draft-free windowed lookahead decoding (greedy)")
+    p.add_argument("--prompt-lookup", type=int, default=0, metavar="K",
+                   help="prompt-lookup (n-gram) speculative decoding "
+                        "with K drafted tokens per round (greedy; "
+                        "reference examples/lookup)")
     p.add_argument("--lookahead-window", type=int, default=8,
                    help="Jacobi window branches (lookahead W)")
     p.add_argument("--lookahead-ngram", type=int, default=3,
