@@ -773,3 +773,37 @@ def test_over_context_prompt_400(noshift_server):
     )
     assert status == 200
     assert len(json.loads(data)["content"]) > 0
+
+
+def test_server_mesh_parity():
+    """VERDICT r4 item 1 'Done' criterion: the SERVER produces identical
+    outputs tp x dp vs single-device on the virtual CPU mesh — greedy
+    /completion through the full HTTP stack."""
+    from vlut_tpu.parallel.sharding import make_mesh
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, seed=0)
+
+    def drive(mesh):
+        engine = Engine(cfg, params, n_slots=2, max_len=64, impl="xla",
+                        mesh=mesh)
+        httpd, state = serve(engine, StubTokenizer(), port=0)
+        try:
+            outs = []
+            for prompt in ("hello there", "the quick brown"):
+                status, data = _req(
+                    ("127.0.0.1", httpd.server_address[1]), "POST",
+                    "/completion",
+                    {"prompt": prompt, "n_predict": 6, "temperature": 0.0,
+                     "ignore_eos": True},
+                )
+                assert status == 200
+                outs.append(json.loads(data)["content"])
+            return outs
+        finally:
+            state.running = False
+            httpd.shutdown()
+
+    want = drive(None)
+    got = drive(make_mesh(dp=2, tp=2))
+    assert got == want and all(len(o) > 0 for o in want)
