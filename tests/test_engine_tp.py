@@ -195,3 +195,21 @@ def test_engine_tp_real_weights():
     if cfg.n_heads % 2 or cfg.n_kv_heads % 2:
         pytest.skip("fixture heads not divisible for tp=2")
     assert drive(make_mesh(dp=2, tp=2)) == drive(None)
+
+
+def test_engine_moe_heterogeneous_mesh():
+    """Deepseek-style heterogeneous MoE on the mesh: first_k_dense lead
+    layer + always-on shared experts — dense tensors replicate, expert
+    stacks shard, shared/dense adds land AFTER the combine psum."""
+    from vlut_tpu.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, d_model=128, n_layers=3,
+        n_heads=4, n_kv_heads=2, d_ff=128, max_seq_len=128,
+        n_experts=4, n_experts_used=2, tp_pack=1,
+        first_k_dense=1, d_ff_dense=192, n_shared_experts=1,
+    )
+    params = init_params(cfg, seed=3)
+    want = _run(cfg, params)
+    got = _run(cfg, params, mesh=make_mesh(dp=2, tp=2))
+    assert got == want

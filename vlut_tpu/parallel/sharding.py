@@ -77,7 +77,8 @@ def _replicated(v) -> Any:
     )
 
 
-def _one_layer_specs(layer: dict[str, Any], lead: tuple) -> dict[str, Any]:
+def _one_layer_specs(layer: dict[str, Any], lead: tuple,
+                     moe_model: bool = False) -> dict[str, Any]:
     """Specs for one layer's name->tensor dict.  ``lead`` is the leading
     axis prefix: (None,) for the stacked (L, ...) tree, () for a
     per-layer tree from unstack_layers."""
@@ -88,13 +89,18 @@ def _one_layer_specs(layer: dict[str, Any], lead: tuple) -> dict[str, Any]:
     # psums partial outputs); everything else in the layer REPLICATES —
     # expert widths stay full, and attention tp would need the plan
     # divided by tp, which the ep forward (tp_size=1) does not do.
-    moe = any(
+    # MODEL-level flag: in an MoE model, heterogeneous layers (deepseek
+    # dense lead etc.) carry dense w_gate/up/down but must still
+    # replicate — the ep forward runs with tp_size=1 everywhere
+    moe = moe_model or any(
         isinstance(v, dict) and "packed" in v
         and np.ndim(v["packed"]) > len(lead) + 2
         for n_, v in layer.items() if n_ in ("w_gate", "w_up", "w_down")
     )
     for name, v in layer.items():
-        if moe and name in ("w_gate", "w_up", "w_down"):
+        if (moe and name in ("w_gate", "w_up", "w_down")
+                and isinstance(v, dict)
+                and np.ndim(v["packed"]) > len(lead) + 2):
             sc = v["scale"]
             extra = np.ndim(sc) - len(lead) - 1  # dims past E
             specs[name] = {
@@ -136,10 +142,14 @@ def param_specs(cfg: ModelConfig, params: dict[str, Any]) -> dict[str, Any]:
     """PartitionSpec tree matching the params pytree structure (stacked or
     per-layer-tuple layers; bf16 or int8-quantized lm_head)."""
     layers = params["layers"]
+    moe_model = bool(getattr(cfg, "n_experts", 0))
     if isinstance(layers, (tuple, list)):
-        lspecs: Any = tuple(_one_layer_specs(lp, ()) for lp in layers)
+        lspecs: Any = tuple(
+            _one_layer_specs(lp, (), moe_model=moe_model)
+            for lp in layers
+        )
     else:
-        lspecs = _one_layer_specs(layers, (None,))
+        lspecs = _one_layer_specs(layers, (None,), moe_model=moe_model)
     specs: dict[str, Any] = {}
     for k, v in params.items():
         if k == "layers":

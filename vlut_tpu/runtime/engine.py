@@ -173,14 +173,11 @@ class Engine:
                             f"n_experts={cfg.n_experts} (the mesh axis "
                             f"shards experts for MoE models)"
                         )
-                    if (cfg.first_k_dense or cfg.n_shared_experts
-                            or cfg.dense_layers or cfg.moe_parallel
-                            or cfg.moe_chunk_experts):
-                        raise ValueError(
-                            "mesh serving: heterogeneous-FFN MoE "
-                            "variants (dense lead/shared experts/"
-                            "parallel/chunk) are single-device for now"
-                        )
+                    # heterogeneous variants (dense lead / shared
+                    # experts / arctic parallel / grove chunks) work
+                    # too: their dense tensors replicate (model-level
+                    # MoE flag in parallel/sharding.py) and their adds
+                    # land AFTER the expert-combine psum
                 elif cfg.n_heads % tp_m or cfg.n_kv_heads % tp_m:
                     raise ValueError(
                         f"tp={tp_m} must divide n_heads={cfg.n_heads} and "
